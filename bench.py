@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+
+Contract (driver): ``{"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec}, "sf": ...}`` at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Each query is materialized through the ``noop`` sink so every output column
+is actually computed (a bare ``count()`` would let Catalyst prune the
+projections we're trying to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark_streaming_base_spark.session import SessionFactory
+from pyspark_streaming_base_spark.queries import load_all
+
+#: Headline set: one per operator family, weighted toward the scale-relevant
+#: paths (big agg, star join, window top-k, explode, MinHash dedup, vector
+#: search, event-time windows).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_revenue_by_nation",
+    "q08_late_ship_priority",
+    "q21_explode_terms",
+    "q30_topk_per_group",
+    "q31_running_total",
+    "q41_minhash_lsh_pairs",
+    "q60_knn_bruteforce",
+    "q61_ann_lsh",
+    "q70_tumbling_window",
+    "q72_session_window",
+    "q74_event_dedup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = SessionFactory.local(app_name="bench")
+    registry = load_all()
+    # Warmup: JVM/codegen/parquet-footer costs land here, not on q01.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

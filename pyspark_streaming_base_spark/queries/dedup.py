@@ -1,0 +1,216 @@
+"""Deduplication operators (SURVEY.md §2C C16–C17): exact, MinHash+LSH,
+n-gram Jaccard, SimHash.
+
+Scale design: all near-dup paths avoid the O(n²) all-pairs comparison.
+MinHash/LSH and SimHash bucket documents so only same-bucket candidates are
+compared; the exact-Jaccard query restricts pairs to a blocking key. At
+100 TB the blocking/banding join is the only shuffle and candidate
+verification touches a tiny fraction of the cross product.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._tables import t
+
+
+def _tokens(col: F.Column) -> F.Column:
+    """Whitespace tokens, empties dropped — shared by all text-dedup ops."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def _shingles(col: F.Column, k: int = 3) -> F.Column:
+    """Distinct word k-shingles as strings (``w1 w2 w3``)."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+
+
+@query(
+    "q40_ngram_jaccard_pairs",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_common,
+           CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS n_union,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+    FROM
+      (SELECT doc_id, lang,
+              list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+       FROM documents) a
+      JOIN
+      (SELECT doc_id, lang,
+              list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+       FROM documents) b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    """,
+)
+def q40_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs within a language block (C17).
+
+    Blocking on ``lang`` bounds the pair space; at scale the blocking key
+    would be an LSH band (see q41) — this query is the exact verifier both
+    for tests and for LSH candidates. Jaccard = |A∩B| / |A∪B| over distinct
+    tokens; integer ratio → bit-exact double on both engines.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(_tokens(F.col("text"))).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    n_common = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    n_union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = n_common.cast("double") / n_union
+    return (
+        j.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_common.cast("bigint").alias("n_common"),
+            n_union.cast("bigint").alias("n_union"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+#: MinHash parameters: 16 permutations in 4 bands of 4 rows.
+_N_PERM = 16
+_BAND_SIZE = 4
+
+
+@query("q41_minhash_lsh_pairs", oracle=None)  # hash family is engine-specific
+def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified by exact Jaccard
+    (C17). Rows-only driver check: the MinHash family (xxhash64 + salt) is
+    Spark-specific, so no SQL oracle; correctness is covered by the pytest
+    recall test against q40's exact pairs.
+
+    Pipeline (all built-ins, no UDFs):
+      1. shingle: distinct word 3-shingles per doc;
+      2. signature: explode shingles → ``min(xxhash64(salt_i || shingle))``
+         per doc for 16 salts — one narrow shuffle on doc_id;
+      3. banding: 4 bands of 4 mins; hash each band → (band_idx, band_hash)
+         bucket join — only same-bucket docs pair up (no cross product);
+      4. verify candidates with exact Jaccard ≥ 0.8.
+
+    Scale: the bucket join replaces the O(n²) comparison with
+    O(n · bands) shuffle rows; hot buckets (boilerplate docs) are the skew
+    case AQE splits.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text"), _shingles(F.col("text")).alias("sh")
+    )
+    exploded = d.select("doc_id", F.explode("sh").alias("shingle"))
+    mins = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"perm{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(_N_PERM)
+        ]
+    )
+    # 4 bands of 4 signature slots each, hashed to one bucket id per band
+    bands = mins.select(
+        "doc_id",
+        *[
+            F.xxhash64(*[F.col(f"h{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)]).alias(
+                f"band{b}"
+            )
+            for b in range(_N_PERM // _BAND_SIZE)
+        ],
+    )
+    stacked = reduce(
+        DataFrame.unionByName,
+        [
+            bands.select(
+                "doc_id", F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
+            )
+            for b in range(_N_PERM // _BAND_SIZE)
+        ],
+    )
+    l, r = stacked.alias("l"), stacked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks")
+    )
+    ta = toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("toks", "toks_a")
+    tb = toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("toks", "toks_b")
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+            / F.size(F.array_union("toks_a", "toks_b")),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+@query("q42_simhash_buckets", oracle=None)  # hash family is engine-specific
+def q42_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + bucket sizes (C17 SimHash variant).
+
+    64-bit SimHash from token hashes: for each bit, sum +1/-1 over tokens by
+    bit value, sign → fingerprint bit. Computed with built-ins: explode →
+    per-bit conditional sums → bit reassembly. Buckets on the top 16 bits
+    group likely-similar docs. Rows-only check (hash family is
+    engine-specific); pytest asserts identical docs share fingerprints.
+
+    Scale: one explode + one groupBy(doc_id) shuffle; bucket stats are a
+    second narrow aggregation — no pairwise comparisons at all.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok")
+    )
+    h = d.withColumn("th", F.xxhash64("tok"))
+    # bit b contribution: +1 if bit set else -1; sum per doc
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        reduce(
+            lambda acc, b: acc.bitwiseOR(
+                F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ),
+            range(64),
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    buckets = fp.withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48))
+    return buckets.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

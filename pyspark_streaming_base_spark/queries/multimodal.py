@@ -1,0 +1,73 @@
+"""Multimodal column operators (SURVEY.md §2C "multimodal columns").
+
+Treats media as opaque ``binary`` columns + typed metadata. The test tables
+have no real media, so binary payloads are derived from document text
+(``encode(text, 'utf-8')``) — the Spark-side plumbing (binary schema,
+Arrow-batched ``mapInPandas`` decode, partitioning) is real; the decoder
+itself is a clearly-marked deterministic fake (the image/audio libraries
+are not in this environment — see ``functions/multimodal.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._tables import t
+
+
+@query(
+    "q80_binary_metadata",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(strlen(text) AS BIGINT) AS payload_bytes,
+      md5(text) AS payload_md5,
+      SUBSTRING(md5(text), 1, 8) AS payload_fp,
+      CASE WHEN strlen(text) >= 400 THEN 'large' ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def q80_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (multimodal base op): payload byte
+    length, content digest, short fingerprint, size class.
+
+    Scale: metadata ops never deserialize the payload beyond a streaming
+    digest; grouping/joining happens on the 8-char fingerprint, never the
+    blob.
+    """
+    d = t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("bigint").alias("payload_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+        F.substring(F.md5(F.col("payload")), 1, 8).alias("payload_fp"),
+        F.when(F.octet_length(F.col("text")) >= 400, "large")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@query("q81_decode_features", oracle=None)  # mapInPandas plumbing; rows-only check
+def q81_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode → feature-extract pipeline over binary payloads
+    (multimodal slow path).
+
+    Uses ``mapInPandas`` with the stub decoder in
+    ``functions/multimodal.py`` — deterministic fake width/height/frames
+    derived from the digest, so the pipeline shape (binary in, typed
+    features out, batch-wise Arrow transfer) is fully exercised without
+    media libraries. Rows-only driver check.
+
+    Scale: decode parallelism = input partitions; payloads never hit the
+    driver; batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    from pyspark_streaming_base_spark.functions.multimodal import decode_features
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_features(d, payload_col="payload", id_col="doc_id")

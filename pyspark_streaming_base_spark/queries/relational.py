@@ -1,0 +1,839 @@
+"""Relational operator coverage (SURVEY.md §2B, §2C C1–C16, C19 partial).
+
+Each query exercises one operator family over the driver's synthetic
+TPC-H-ish tables, declaratively (DataFrame API) so Catalyst plans
+pushdown/pruning/joins. Scale notes are per-query docstrings.
+
+Cross-engine determinism conventions (see ``_exact.py``):
+
+* double SUM/AVG → exact DECIMAL accumulation, cast back to double;
+* computed integer columns cast to bigint on both sides (Spark's
+  ``count``/``sum(int)`` are long; DuckDB's ``sum(int)`` is HUGEINT and
+  ``length`` is bigint — explicit casts align the schemas);
+* LIMIT / top-k always tie-breaks on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._exact import DEC, dsum, sql_dsum
+from pyspark_streaming_base_spark.queries._tables import dim, t
+
+
+# ---------------------------------------------------------------------------
+# C1/C2/C6/C14 — flagship: filter + groupBy + multi-aggregate (TPC-H Q1 style)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      {sum_qty} AS sum_qty,
+      {sum_base} AS sum_base_price,
+      {sum_disc} AS sum_disc_price,
+      {sum_charge} AS sum_charge,
+      {sum_qty} / COUNT(l_quantity) AS avg_qty,
+      {sum_base} / COUNT(l_extendedprice) AS avg_price,
+      {sum_disc_col} / COUNT(l_discount) AS avg_disc,
+      CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=sql_dsum("l_quantity"),
+        sum_base=sql_dsum("l_extendedprice"),
+        sum_disc=sql_dsum("l_extendedprice * (1 - l_discount)"),
+        sum_charge=sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+        sum_disc_col=sql_dsum("l_discount"),
+    ),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary (C1 filter, C2 projection, C6 agg,
+    C14 arithmetic).
+
+    Scale: single scan of the fact table; the shipdate filter and the 7-column
+    projection push into the parquet scan; partial aggregation happens
+    map-side so the shuffle carries only (flag, status) groups — O(groups),
+    not O(rows), across the wire at 100 TB.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(charge).alias("sum_charge"),
+        (dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+        (dsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
+        (dsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).cast("bigint").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1 — predicate pushdown
+# ---------------------------------------------------------------------------
+
+@query(
+    "q02_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+      AND l_quantity < 5
+    """,
+)
+def q02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + narrow projection (C1).
+
+    Scale: both predicates and the 4-column projection reach the parquet
+    reader (``PushedFilters`` + ``ReadSchema`` in the physical plan) —
+    row-group statistics skip most of a 100 TB table before any CPU is spent.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+            & (F.col("l_quantity") < 5)
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2/C14 — derived projection, per-row arithmetic (bit-exact double ops)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q03_derived_projection",
+    oracle="""
+    SELECT
+      l_orderkey, l_linenumber,
+      l_extendedprice * (1 - l_discount) AS net_price,
+      l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+      ABS(l_extendedprice - l_quantity * 1000.0) AS price_dev,
+      CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_bucket
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q03_derived_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed columns (C2) with IEEE-exact double arithmetic (C14).
+
+    Only +,-,*,/ and abs/floor are used per-row: those are exactly rounded
+    in IEEE 754, so Spark and DuckDB agree bit-for-bit with no decimal
+    detour. Narrow projection keeps the scan to 6 columns.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (1 + F.col("l_tax"))).alias("charged"),
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000.0).alias("price_dev"),
+        F.floor(F.col("l_quantity") / 10.0).cast("bigint").alias("qty_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C3 — multi-way equi-join with broadcast dims (TPC-H Q5 style)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q04_revenue_by_nation",
+    oracle="""
+    SELECT n_name, {rev} AS revenue, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """.format(rev=sql_dsum("l_extendedprice * (1 - l_discount)")),
+)
+def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join → revenue per nation (C3, TPC-H Q5 shape).
+
+    Scale plan: lineitem⋈orders is the only big shuffle (both sides hashed
+    on orderkey); supplier/nation/region are broadcast so the fact side
+    never re-shuffles for them; customer⋈orders shuffles on custkey before
+    joining the fact. The region filter is applied to the broadcast side
+    *before* the join, shrinking the build hash table.
+    """
+    cu = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = dim(spark, sf_dir, "supplier")
+    n = dim(spark, sf_dir, "nation")
+    r = dim(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    joined = (
+        cu.join(o, cu.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(
+        dsum(rev).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 — semi / anti joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "q05_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders
+      WHERE o_totalprice > 400000
+    )
+    """,
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one big order — left_semi join (C4).
+
+    Scale: semi join keeps only the probe side's columns, so no row
+    explosion; with AQE the filtered orders side can demote to a broadcast.
+    """
+    cu = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cu.join(big, cu.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q06_anti_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 470000
+    )
+    """,
+)
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no very-large order — left_anti join (C4, NOT EXISTS
+    shape; the data has no nulls in o_custkey so NOT IN ≡ NOT EXISTS)."""
+    cu = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 470000)
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — theta join (equi prefix + inequality)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q07_theta_join",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {d} AS bal_gap
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_nationkey
+    """.format(d=sql_dsum("s_acctbal - c_acctbal")),
+)
+def q07_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier/customer pairs in the same nation where the supplier is
+    richer — equi key + inequality predicate (C5).
+
+    Scale: the equi part (nationkey) drives the shuffle/hash join; the
+    inequality is a post-join filter, so this is NOT a cartesian product.
+    Nationkey is low-cardinality (skew-prone) — AQE skew-join splits hot
+    partitions at scale.
+    """
+    s = t(spark, sf_dir, "supplier")
+    cu = t(spark, sf_dir, "customer")
+    n = dim(spark, sf_dir, "nation")
+    j = s.join(
+        cu,
+        (s.s_nationkey == cu.c_nationkey) & (s.s_acctbal > cu.c_acctbal),
+    ).join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+    return j.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        dsum(F.col("s_acctbal") - F.col("c_acctbal")).alias("bal_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4/C13 — EXISTS with correlated date condition (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q08_late_ship_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q08_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose lineitems shipped >60 days after order date, counted by
+    priority (C4 correlated EXISTS as semi join, C13 interval arithmetic)."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 — distinct / count-distinct
+# ---------------------------------------------------------------------------
+
+@query(
+    "q09_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+    FROM lineitem
+    """,
+)
+def q09_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a low-cardinality triple (C7).
+
+    Scale: planned as a hash aggregate with map-side partial dedup — the
+    shuffle carries unique triples only.
+    """
+    return t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_linenumber"
+    ).distinct()
+
+
+@query(
+    "q10_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {b} AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """.format(b=sql_dsum("c_acctbal")),
+)
+def q10_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct alongside plain aggregates (C7).
+
+    Scale: count-distinct expands to a two-phase aggregate; keeping the
+    other aggregates in the same groupBy lets Catalyst share the shuffle.
+    """
+    return t(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
+@query("q11_approx_count_distinct", oracle=None)  # sketch values are engine-specific
+def q11_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (C7 approx).
+
+    No oracle: HLL estimates are engine-specific (driver does a rows-only
+    check). Scale: O(1) state per group vs O(distinct) for exact — the
+    only viable distinct-count at 100 TB cardinalities.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C8 — rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+@query(
+    "q12_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           {q} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.format(q=sql_dsum("l_quantity")),
+)
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping id (C8)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+    )
+
+
+@query(
+    "q13_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           {p} AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """.format(p=sql_dsum("o_totalprice")),
+)
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (C8).
+
+    Scale: cube multiplies rows by 2^dims during aggregation — keep dims
+    low-cardinality; Spark expands then partially aggregates map-side.
+    """
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "sum_price", "n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C10 — global top-k (deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q14_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price (C10), ties broken on the unique key.
+
+    Scale: Spark plans ``TakeOrderedAndProject`` — each partition keeps its
+    local top-10 and only those reach the driver; no global sort of 100 TB.
+    """
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C11 — set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_set_ops",
+    oracle="""
+    WITH big_buyers AS (
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    ),
+    rich AS (
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    ),
+    machinery AS (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    SELECT custkey FROM (
+      SELECT custkey FROM big_buyers
+      INTERSECT
+      SELECT custkey FROM rich
+    )
+    UNION
+    SELECT custkey FROM (
+      SELECT custkey FROM machinery
+      EXCEPT
+      SELECT custkey FROM rich
+    )
+    """,
+)
+def q15_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT composition (C11).
+
+    Scale: set ops shuffle on the full row; projecting to the single key
+    column first keeps shuffle width minimal.
+    """
+    o = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    big_buyers = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    rich = cu.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    machinery = cu.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return big_buyers.intersect(rich).union(machinery.exceptAll(rich).distinct()).distinct()
+
+
+# ---------------------------------------------------------------------------
+# C12 — string functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_string_funcs",
+    oracle="""
+    SELECT
+      p_partkey,
+      UPPER(p_brand) AS brand_u,
+      LOWER(p_type) AS type_l,
+      CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+      SUBSTRING(p_name, 1, 8) AS name_head,
+      CONCAT_WS('#', p_brand, p_type) AS brand_type,
+      REPLACE(p_type, ' ', '_') AS type_snake,
+      TRIM(p_name) AS name_trim,
+      regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    WHERE p_size >= 40
+    """,
+)
+def q16_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function coverage: case, length, substring, concat, replace,
+    trim, regex extraction (C12). All JVM-side built-ins — no Python UDFs."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C13 — date/time functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "q17_date_funcs",
+    oracle="""
+    SELECT
+      CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      CAST(MONTH(o_orderdate) AS BIGINT) AS o_month,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      {p} AS month_rev
+    FROM orders
+    WHERE datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') < 1500
+    GROUP BY 1, 2, 3
+    """.format(p=sql_dsum("o_totalprice")),
+)
+def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extraction + truncation + datediff filter (C13).
+
+    Scale: date_trunc group keys are derived JVM-side inside codegen; the
+    groupBy shuffles only (year, month) aggregates.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")) < 1500
+    )
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.month("o_orderdate").cast("bigint").alias("o_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("month_rev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C14 — math functions (transcendentals rounded to kill last-ulp divergence)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_math_funcs",
+    oracle="""
+    SELECT
+      c_custkey,
+      ABS(c_acctbal) AS bal_abs,
+      CAST(CEIL(c_acctbal / 100.0) AS BIGINT) AS bal_ceil,
+      CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_floor,
+      SQRT(ABS(c_acctbal)) AS bal_sqrt,
+      ROUND(LN(ABS(c_acctbal) + 1.0), 6) AS bal_ln,
+      c_acctbal * c_acctbal AS bal_sq
+    FROM customer
+    WHERE c_custkey % 7 = 0
+    """,
+)
+def q18_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function coverage (C14): abs/ceil/floor/sqrt are IEEE-exact;
+    ln is rounded to 6 dp because libm implementations may differ in the
+    final ulp between JVM and C engines."""
+    cu = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    return cu.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("bal_abs"),
+        F.ceil(F.col("c_acctbal") / 100.0).cast("bigint").alias("bal_ceil"),
+        F.floor(F.col("c_acctbal") / 100.0).cast("bigint").alias("bal_floor"),
+        F.sqrt(F.abs(F.col("c_acctbal"))).alias("bal_sqrt"),
+        F.round(F.log(F.abs(F.col("c_acctbal")) + 1.0), 6).alias("bal_ln"),
+        (F.col("c_acctbal") * F.col("c_acctbal")).alias("bal_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4/C23-style — conditional aggregation (CASE WHEN pivot shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q19_conditional_agg",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+      CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_debt,
+      {pos} AS pos_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """.format(pos=sql_dsum("CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END")),
+)
+def q19_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN inside aggregates (B4: when/otherwise, isNotNull family)."""
+    cu = t(spark, sf_dir, "customer")
+    return cu.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).cast("bigint").alias("n_rich"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).cast("bigint").alias("n_debt"),
+        dsum(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(F.lit(0.0))).alias("pos_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C15 — JSON extraction (events.props is a JSON string)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_json_extract",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q20_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (C15) + aggregation.
+
+    ``get_json_object`` is evaluated JVM-side; at scale prefer parsing once
+    with ``from_json`` into a struct column when several fields are needed.
+    """
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C15/C19 — array explode (term frequencies over documents)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q21_explode_terms",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q21_explode_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → term frequency + document frequency (C15 arrays,
+    C19 text analysis).
+
+    Scale: explode multiplies rows by tokens/doc; the groupBy on ``word``
+    benefits from map-side partial aggregation, and hot stopwords are
+    exactly the skewed keys AQE's skew handling addresses.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C16 — exact deduplication (deterministic representative via min)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q22_exact_dedup",
+    oracle="""
+    SELECT
+      md5(text) AS text_hash,
+      CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keeping the lowest doc_id (C16).
+
+    ``dropDuplicates`` keeps an *arbitrary* row per key — fine in
+    production, not hash-comparable; the deterministic formulation
+    aggregates min(doc_id) per hash. Scale: grouping on md5(text) shuffles
+    a 32-byte key instead of the full document text.
+    """
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6+C9 — correlated-subquery shape via window (above-average parts)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q23_above_avg_parts",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM (
+      SELECT p_partkey, p_brand, p_retailprice,
+             CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6)))
+                    OVER (PARTITION BY p_brand) AS DOUBLE)
+               / COUNT(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM part
+    )
+    WHERE p_retailprice > brand_avg
+    """,
+)
+def q23_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts priced above their brand average — the classic correlated
+    subquery decorrelated into a window aggregate (C6/C9).
+
+    Scale: one shuffle on p_brand instead of a self-join; identical result,
+    half the I/O.
+    """
+    from pyspark.sql import Window as W
+
+    p = t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(F.col("p_retailprice").cast(DEC)).over(w).cast("double")
+        / F.count("p_retailprice").over(w)
+    )
+    return (
+        p.withColumn("brand_avg", brand_avg)
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6 — pivot (conditional-aggregation twin for the oracle)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q24_pivot_event_types",
+    oracle="""
+    SELECT
+      CAST(user_id % 50 AS BIGINT) AS user_bucket,
+      {click} AS click, {view} AS view, {purchase} AS purchase,
+      {signup} AS signup, {error} AS error
+    FROM events
+    GROUP BY user_id % 50
+    """.format(
+        **{
+            et: sql_dsum(f"CASE WHEN event_type = '{et}' THEN value ELSE 0 END")
+            for et in ("click", "view", "purchase", "signup", "error")
+        }
+    ),
+)
+def q24_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event values into one column per event type (C6 pivot).
+
+    Scale: an explicit value list avoids the extra distinct-values job Spark
+    otherwise runs before pivoting.
+    """
+    ev = t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 50).cast("bigint")
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.sum(F.when(F.col("event_type").isNotNull(), F.col("value")).otherwise(0.0).cast(DEC)).cast("double"))
+    )
+    # pivot yields NULL for absent (bucket, type) combos; oracle's CASE yields 0
+    out = piv
+    for et in types:
+        out = out.withColumn(et, F.coalesce(F.col(et), F.lit(0.0)))
+    return out

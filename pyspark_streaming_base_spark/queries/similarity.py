@@ -1,0 +1,233 @@
+"""Vector similarity search (SURVEY.md §2C C18) over the ``embeddings``
+table (``embedding: array<float>``, 64-dim).
+
+Two paths, per the 100 TB design:
+
+* brute-force cosine top-k — correct baseline; OK when the query set is
+  small (broadcast) even if the corpus is huge: one scan, no shuffle of the
+  corpus, per-partition top-k then a tiny final merge;
+* LSH (random hyperplane) bucketed ANN — the scale path: corpus is hashed
+  once to sign-pattern buckets, candidates come from equal buckets only.
+
+All vector math is built-in (``zip_with`` + ``aggregate`` fold in double
+precision) — no UDFs, stays inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._tables import t
+
+#: Number of query vectors (lowest vec_ids) used by the demo queries.
+_N_QUERIES = 3
+_TOP_K = 10
+
+
+def _dvec(col: str | Column) -> Column:
+    """array<float> → array<double> so the fold accumulates in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — same accumulation order as the DuckDB
+    oracle's list_dot_product, so results agree bit-for-bit in double."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@query(
+    "q60_knn_bruteforce",
+    oracle=f"""
+    SELECT qid, vec_id, sim_r, rnk
+    FROM (
+      SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+             ROUND(
+               list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+               6) AS sim_r,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(
+                 list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                 / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
+                 6) DESC, c.vec_id
+             ) AS BIGINT) AS rnk
+      FROM (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+    )
+    WHERE rnk <= {_TOP_K}
+    """,
+)
+def q60_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for a small query set (C18 baseline).
+
+    Similarities are rounded to 6 dp *before* ranking and ties break on
+    vec_id, so the top-k set is deterministic across engines. Scale: the
+    query side is broadcast; the corpus is scanned once with per-partition
+    top-k (window rank ≤ k) — no corpus shuffle until the final tiny merge.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("qid"), _dvec("embedding").alias("qvec")
+        )
+    )
+    c = emb.select("vec_id", _dvec("embedding").alias("cvec"))
+    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    ranked = (
+        q.join(c, F.col("vec_id") != F.col("qid"))
+        .withColumn("sim_r", sim)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.col("sim_r").desc(), F.col("vec_id")))
+            .cast("bigint"),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= _TOP_K).select("qid", "vec_id", "sim_r", "rnk")
+
+
+#: LSH parameters: L hash tables × b hyperplanes each (2^b buckets/table).
+#: Multiple tables trade compute for recall: a neighbor is a candidate if it
+#: collides in ANY table. 4 tables × 6 planes ≈ 93% recall for cos sim ≥0.8.
+_N_TABLES = 4
+_N_PLANES = 6
+_DIM = 64
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1).
+
+    Derived from a splitmix64-style integer mix of (plane, dim) — stable
+    across engines/runs, no RNG state (Date-free, seed-free by design).
+    """
+    x = (p * 1_000_003 + d * 97 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    x = x ^ (x >> 31)
+    return (x % 2_000_000) / 1_000_000.0 - 1.0
+
+
+def _bucket_expr(vec: Column, table: int) -> Column:
+    """Sign-pattern bucket id for one hash table: bit p = 1 iff
+    plane_{table,p} · vec >= 0."""
+    acc = F.lit(0).cast("bigint")
+    for p in range(_N_PLANES):
+        plane = F.array(
+            *[F.lit(_plane_component(table * 101 + p, d)) for d in range(_DIM)]
+        )
+        s = dot(plane, vec)
+        acc = acc + F.when(s >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return acc
+
+
+@query("q61_ann_lsh", oracle=None)  # bucket assignment is engine-side; pytest checks recall
+def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (C18 scale path).
+
+    Random-hyperplane signatures over ``_N_TABLES`` independent hash tables
+    (deterministic planes, no RNG) bucket the corpus; a corpus vector is a
+    candidate for a query iff they collide in at least one table. Driver
+    does a rows-only check; the pytest suite measures recall against q60's
+    exact brute-force top-k.
+
+    Scale: corpus is hashed in one scan (all tables' buckets computed
+    per-row, then stacked); the candidate join is an equi-join on
+    (table, bucket) — a standard hash join on a well-distributed key versus
+    an infeasible O(n²) cross product. Hot buckets are AQE skew-join
+    territory.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    for tbl in range(_N_TABLES):
+        emb = emb.withColumn(f"b{tbl}", _bucket_expr(F.col("vec"), tbl))
+    stacked = emb.select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tbl).alias("tbl"), F.col(f"b{tbl}").alias("bucket")
+                    )
+                    for tbl in range(_N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    q = F.broadcast(
+        stacked.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec").alias("qvec"),
+            F.col("tbl").alias("qtbl"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = (
+        q.join(
+            stacked,
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "qvec", "vec_id", "vec")
+        .distinct()  # collapse multi-table collisions before scoring
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
+    ranked = cand.withColumn("sim_r", sim).withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.col("sim_r").desc(), F.col("vec_id")))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= _TOP_K).select("qid", "vec_id", "sim_r", "rnk")
+
+
+@query(
+    "q62_centroid_by_label",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(SUM(emb_norm), 6) AS sum_norm
+    FROM (
+      SELECT label,
+             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS emb_norm
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def q62_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats (C18 support op): count + summed L2 norm.
+
+    Norms are per-row (deterministic); the cross-row SUM of irrational
+    norms is rounded to 6 dp — group sizes (~hundreds) keep accumulated
+    float error orders of magnitude below the rounding grid.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot(_dvec("embedding"), _dvec("embedding")))
+    return (
+        emb.select("label", norm.alias("emb_norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.sum("emb_norm"), 6).alias("sum_norm"),
+        )
+    )

@@ -1,0 +1,211 @@
+"""Event-time windowing operators (SURVEY.md §2C C13, C20–C23).
+
+Each query here is the *batch-equivalent* formulation of a streaming
+operator over the ``events`` table — Structured Streaming runs the exact
+same logical plan incrementally (`readStream` instead of `read`), which the
+pytest suite verifies by replaying the same parquet through a file stream
+with ``trigger(availableNow=True)`` and asserting batch/stream equality
+(SURVEY.md §5 "batch-equivalence harness").
+
+Oracle notes: Spark's ``window(ts, w)`` aligns tumbling windows to the Unix
+epoch; DuckDB's ``time_bucket`` aligns to 2000-01-01, which is itself
+epoch-aligned for divisors of a day, so the buckets coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._exact import sql_dsum, dsum
+from pyspark_streaming_base_spark.queries._tables import t
+
+
+@query(
+    "q70_tumbling_window",
+    oracle="""
+    SELECT
+      time_bucket(INTERVAL '5 minutes', ts) AS win_start,
+      time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS win_end,
+      event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      {v} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """.format(v=sql_dsum("value")),
+)
+def q70_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregation by event type (C20).
+
+    Streaming twin: ``withWatermark('ts', ...)`` + identical groupBy —
+    state per open window only. Scale: map-side partial aggregation means
+    the shuffle carries (window, type) groups, not events.
+    """
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q71_sliding_window",
+    oracle="""
+    SELECT win_start, win_start + INTERVAL '10 minutes' AS win_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {v} AS sum_value
+    FROM (
+      SELECT unnest([
+               time_bucket(INTERVAL '5 minutes', ts),
+               time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+             ]) AS win_start,
+             value
+      FROM events
+    )
+    GROUP BY win_start
+    """.format(v=sql_dsum("value")),
+)
+def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (C20 sliding).
+
+    Each event lands in exactly 2 overlapping windows; Spark's ``window``
+    with a slide expands rows the same way the oracle's unnest does.
+    """
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q72_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {v} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """.format(v=sql_dsum("value")),
+)
+def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user (C21).
+
+    Spark's ``session_window`` merges events closer than the gap; the
+    oracle is the classic gaps-and-islands rewrite (lag → new-session flag
+    → running count → group), which defines identical sessions. Session end
+    is last event + gap in both.
+    """
+    ev = t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q73_stream_static_join",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {v} AS sum_value
+    FROM events JOIN nation ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+    GROUP BY n_name
+    """.format(v=sql_dsum("value")),
+)
+def q73_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + aggregation (C23).
+
+    In streaming form the ``nation`` side is a static broadcast rebuilt per
+    micro-batch; the batch formulation is the identical logical plan. The
+    dimension is broadcast → the event stream never shuffles for the join.
+    """
+    ev = t(spark, sf_dir, "events").withColumn(
+        "nkey", (F.col("user_id") % 25).cast("int")
+    )
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        ev.join(n, F.col("nkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q74_event_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(MIN(event_id) AS BIGINT) AS first_event_id,
+           MIN(ts) AS first_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def q74_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type) (C16/C22 streaming twin).
+
+    Streaming form is ``dropDuplicatesWithinWatermark([...])``; the batch
+    twin picks the deterministic first event per key (min event_id / ts) so
+    the oracle hash-matches. One hash-aggregate shuffle on the dedup key.
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").cast("bigint").alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
+    )

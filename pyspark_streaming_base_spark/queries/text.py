@@ -1,0 +1,193 @@
+"""Text-analysis operators (SURVEY.md §2C C19): token stats, quality
+scoring, language ID, document fingerprinting.
+
+All built-in expression work — no Python in the hot path. Each query is a
+single scan + narrow groupBy/projection, so the plans are embarrassingly
+parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._tables import t
+
+#: Tiny per-language stopword lists for the heuristic language-ID operator.
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for"],
+    "es": ["el", "la", "de", "y", "en", "es", "por", "un"],
+    "zh": ["de", "shi", "le", "zai", "he", "you", "wo", "ta"],
+}
+
+
+@query(
+    "q50_token_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+        AS n_distinct,
+      CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_token_chars,
+      CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+        / len(list_filter(string_split(text, ' '), x -> x <> '')) AS avg_token_len
+    FROM documents
+    """,
+)
+def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document (C19): counts, distinct counts, char
+    totals, average token length. Integer-derived doubles are exact."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        n_chars.cast("bigint").alias("n_token_chars"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q51_quality_score",
+    oracle="""
+    SELECT doc_id, n_tokens, distinct_ratio, length_score,
+           0.45 * distinct_ratio + 0.35 * length_score
+             + 0.2 * (CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END) AS quality
+    FROM (
+      SELECT
+        doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+          / len(list_filter(string_split(text, ' '), x -> x <> '')) AS distinct_ratio,
+        LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS length_score
+      FROM documents
+    )
+    """,
+)
+def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score (C19): lexical diversity + length
+    saturation + minimum-length gate, combined linearly. Every term uses
+    exact double arithmetic so the score hash-matches the oracle."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    length_score = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    base = d.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        length_score.alias("length_score"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "length_score",
+        (
+            0.45 * F.col("distinct_ratio")
+            + 0.35 * F.col("length_score")
+            + 0.2 * F.when(F.col("n_tokens") >= 10, 1.0).otherwise(0.0)
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q52_language_id",
+    oracle="""
+    SELECT doc_id, lang, en_hits, es_hits, zh_hits,
+           CASE
+             WHEN en_hits >= es_hits AND en_hits >= zh_hits THEN 'en'
+             WHEN es_hits >= zh_hits THEN 'es'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM (
+      SELECT
+        doc_id, lang,
+        CAST(len(list_intersect(toks, {en})) AS BIGINT) AS en_hits,
+        CAST(len(list_intersect(toks, {es})) AS BIGINT) AS es_hits,
+        CAST(len(list_intersect(toks, {zh})) AS BIGINT) AS zh_hits
+      FROM (
+        SELECT doc_id, lang,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+        FROM documents
+      )
+    )
+    """.format(
+        en=str(_STOPWORDS["en"]),
+        es=str(_STOPWORDS["es"]),
+        zh=str(_STOPWORDS["zh"]),
+    ),
+)
+def q52_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID via stopword-set overlap (C19).
+
+    Counts distinct-token hits against tiny per-language lexicons and takes
+    the argmax with a fixed precedence (en > es > zh on ties) so the
+    prediction is deterministic. Pure array built-ins.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    base = d.select("doc_id", "lang", toks.alias("toks"))
+    hits = {
+        lang: F.size(
+            F.array_intersect(F.col("toks"), F.array(*[F.lit(w) for w in words]))
+        ).cast("bigint")
+        for lang, words in _STOPWORDS.items()
+    }
+    scored = base.select(
+        "doc_id",
+        "lang",
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["zh"].alias("zh_hits"),
+    )
+    return scored.withColumn(
+        "pred_lang",
+        F.when(
+            (F.col("en_hits") >= F.col("es_hits")) & (F.col("en_hits") >= F.col("zh_hits")),
+            "en",
+        )
+        .when(F.col("es_hits") >= F.col("zh_hits"), "es")
+        .otherwise("zh"),
+    )
+
+
+@query(
+    "q53_fingerprint",
+    oracle="""
+    SELECT prefix_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM (
+      SELECT doc_id, n_chars, md5(SUBSTRING(text, 1, 64)) AS prefix_fp
+      FROM documents
+    )
+    GROUP BY prefix_fp
+    """,
+)
+def q53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (C19): md5 over a normalized prefix groups
+    near-identical heads; fingerprint collisions signal boilerplate/dup
+    clusters. Scale: the groupBy key is a fixed 32-char hash — shuffle
+    width is constant regardless of document size."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.substring(F.col("text"), 1, 64)).alias("prefix_fp"),
+        )
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )

@@ -1,0 +1,180 @@
+"""Window-function operator coverage (SURVEY.md §2C C9, C10 per-group top-k).
+
+Every window uses a *total* order (tie-break on a unique key) so ranking
+functions are deterministic and hash-comparable against the DuckDB oracle.
+
+Scale note (applies to all): a window = one shuffle on its partition keys +
+a per-partition sort. Windows sharing (partitionBy, orderBy) reuse one
+exchange; a window with no partitionBy collapses to a single task and is
+forbidden at 100 TB (none below does that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._exact import DEC
+from pyspark_streaming_base_spark.queries._tables import t
+
+
+@query(
+    "q30_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS BIGINT) AS rn
+      FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (C9 ranking + C10 top-k).
+
+    Scale: rank-then-filter pushes ``WindowGroupLimit`` into the shuffle in
+    Spark 3.5+/4.x — each map task keeps only 3 rows per customer before the
+    exchange.
+    """
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+        )
+    )
+
+
+@query(
+    "q31_running_total",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_qty
+    FROM lineitem
+    WHERE l_suppkey <= 20
+    """,
+)
+def q31_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per supplier over ship order (C9 frames).
+
+    The ROWS frame over a total order (shipdate, orderkey, linenumber) makes
+    every prefix sum well-defined; decimal accumulation keeps it exact.
+    """
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 20)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
+        )
+    )
+
+
+@query(
+    "q32_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           value - COALESCE(LAG(value) OVER w, value) AS delta
+    FROM events
+    WHERE user_id % 10 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q32_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation per user over event time (C9 analytic).
+
+    Raw double values pass through untouched, so no decimal detour needed;
+    subtraction of identical doubles is IEEE-exact on both engines.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        prev.alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(prev, F.col("value"))).alias("delta"),
+    )
+
+
+@query(
+    "q33_rank_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(RANK()       OVER w AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+           CAST(NTILE(4)     OVER w AS BIGINT) AS bal_quartile,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS bal_rownum
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q33_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / row_number in one pass (C9).
+
+    All four share one (partition, order) spec → Catalyst plans a single
+    sort + window operator, not four.
+    """
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+        F.row_number().over(w).cast("bigint").alias("bal_rownum"),
+    )
+
+
+@query(
+    "q34_sliding_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS moving_sum3,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS frame_n
+    FROM events
+    WHERE user_id % 20 = 0
+    """,
+)
+def q34_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding ROWS frame — 3-event moving sum per user (C9)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("moving_sum3"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("frame_n"),
+    )

@@ -1,0 +1,127 @@
+"""SparkSession lifecycle management.
+
+Parity target: ``App.generate_spark_session`` in the reference
+(``src/pyspark_streaming_base/app/app.py:22-50``) — a local session factory
+with UTC timezone, parquet filter pushdown, and optional Delta/Kafka
+extensions. Redesigned Spark-first:
+
+* AQE on by default (runtime re-planning, skew-join handling, partition
+  coalescing) — essential at 100 TB, harmless locally.
+* Arrow on for the Pandas-UDF slow path.
+* ``shuffle_partitions`` sized to the local core count rather than Spark's
+  default 200 (the reference leaves 200; at cluster scale callers pass an
+  explicit value sized to input volume / target partition size).
+* Delta Lake / Kafka jars are NOT assumed present: ``delta_enabled`` gates
+  the Delta extension behind an import-try, mirroring the reference's jar
+  wiring (``app/app.py:38-42``) without hard-failing where the jars are
+  absent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import SparkSession
+
+
+def _local_core_count() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 4
+
+
+class SessionFactory:
+    """Builds configured SparkSessions (reference ``app/app.py:22-50``)."""
+
+    #: Defaults applied to every session this factory builds. All values are
+    #: strings because Spark RuntimeConf is a string map (reference keeps the
+    #: same convention, ``sources/kafka_source.py:14-70``).
+    BASE_CONF: Dict[str, str] = {
+        # Reference parity (app/app.py:44-47)
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.mergeSchema": "false",
+        "spark.sql.parquet.writeLegacyFormat": "false",
+        # Scale-first additions (not in reference)
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # At 100 TB an accidental huge broadcast kills the driver; keep the
+        # default 10 MB threshold and rely on explicit F.broadcast hints for
+        # known-small dimension tables.
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
+        "spark.ui.enabled": "false",
+    }
+
+    @staticmethod
+    def local(
+        app_name: str = "pyspark-streaming-base-spark",
+        cores: Optional[int] = None,
+        shuffle_partitions: Optional[int] = None,
+        delta_enabled: bool = False,
+        extra_conf: Optional[Dict[str, str]] = None,
+    ) -> SparkSession:
+        """Local (single-JVM) session sized to the machine.
+
+        ``local[N]`` means N executor threads in the driver JVM — partitioning
+        decisions still exercise the same shuffle machinery a cluster uses,
+        so plans validated here transfer to multi-executor deployments.
+        """
+        n = cores or _local_core_count()
+        builder = (
+            SparkSession.builder.master(f"local[{n}]")
+            .appName(app_name)
+            .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        )
+        for k, v in SessionFactory.BASE_CONF.items():
+            builder = builder.config(k, v)
+        if delta_enabled:
+            builder = SessionFactory._try_enable_delta(builder)
+        for k, v in (extra_conf or {}).items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
+
+    @staticmethod
+    def _try_enable_delta(builder: "SparkSession.Builder") -> "SparkSession.Builder":
+        """Attach the Delta extension if delta-spark is importable.
+
+        Reference hard-wires ``io.delta:delta-spark_2.13:4.0.0`` +
+        ``DeltaSparkSessionExtension`` + ``DeltaCatalog``
+        (``app/app.py:38-42``); here absent jars degrade gracefully so the
+        parquet-only test environment still works.
+        """
+        try:
+            import importlib.util
+
+            if importlib.util.find_spec("delta") is None:
+                return builder
+        except ImportError:  # pragma: no cover
+            return builder
+        return builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+
+    @staticmethod
+    def get_or_active(session: Optional[SparkSession] = None) -> SparkSession:
+        """Return ``session``, else the active session, else a local one.
+
+        Mirrors the reference's injection pattern (``app/app.py:55-79``:
+        constructor-injected session wins, otherwise one is generated).
+        """
+        if session is not None:
+            return session
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            return active
+        return SessionFactory.local()
