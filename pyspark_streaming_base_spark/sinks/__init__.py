@@ -1,0 +1,11 @@
+from pyspark_streaming_base_spark.sinks.base import StreamingSink
+from pyspark_streaming_base_spark.sinks.delta import DeltaStreamingSink
+from pyspark_streaming_base_spark.sinks.file import FileStreamingSink
+from pyspark_streaming_base_spark.sinks.foreach_batch import IdempotentForeachBatchSink
+
+__all__ = [
+    "StreamingSink",
+    "DeltaStreamingSink",
+    "FileStreamingSink",
+    "IdempotentForeachBatchSink",
+]

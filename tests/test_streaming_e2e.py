@@ -1,0 +1,221 @@
+"""End-to-end streaming tests (reference style §5.3–5.4: golden-fixture
+pipeline + read-back fingerprint), on the jar-free file connectors, plus
+batch↔stream equivalence for the event-time operators and the stateful /
+idempotent paths.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.app import StreamingApp
+from pyspark_streaming_base_spark.queries._tables import t
+from pyspark_streaming_base_spark.sinks import IdempotentForeachBatchSink
+from pyspark_streaming_base_spark.streaming import stream_replay, running_aggregate
+
+from tests.conftest import SF_SMALL
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# -- reference-style e2e: file source → app.run() → file sink --------------
+
+
+def test_app_run_end_to_end(spark, tmp_path):
+    """Mirror of the reference's Delta→Delta availableNow e2e
+    (tests/test_delta_end_to_end.py:45-110) on parquet connectors, with its
+    data-quality fingerprint read-back."""
+    fixture = t(spark, SF_SMALL, "nation")
+    src_dir, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    fixture.write.parquet(src_dir)
+
+    app = StreamingApp(session=spark)
+    app.with_config(
+        {
+            "spark.app.name": "e2e_app",
+            "spark.app.checkpoints.path": str(tmp_path / "ckpt"),
+            "spark.app.checkpoints.version": "t1",
+        }
+    ).initialize()
+    app.with_file_source(config={"path": src_dir})
+    app.file_source().with_schema(fixture.schema)
+    app.with_file_sink(config={"path": out_dir, "queryName": "e2e_sink"})
+
+    query = app.run(available_now=True)
+    query.awaitTermination()
+
+    back = spark.read.parquet(out_dir)
+    # reference fingerprint: rows > 0, non-null density, cols > 0
+    assert back.count() == 25
+    non_null = back.select(
+        [F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0)).alias(c) for c in back.columns]
+    ).collect()[0]
+    assert sum(non_null) > back.count()
+    assert _rows(back) == _rows(fixture)
+    # checkpoint landed under the derived location (A6 rule)
+    assert (tmp_path / "ckpt" / "e2e_app" / "t1" / "_checkpoints").exists()
+    spark.conf.unset("spark.app.checkpoints.path")
+    spark.conf.unset("spark.app.checkpoints.version")
+
+
+def test_app_run_with_transform(spark, tmp_path):
+    fixture = t(spark, SF_SMALL, "region")
+    src_dir, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    fixture.write.parquet(src_dir)
+    app = StreamingApp(session=spark)
+    app.with_config(
+        {
+            "spark.app.name": "e2e_tx",
+            "spark.app.checkpoints.path": str(tmp_path / "ckpt"),
+        }
+    ).initialize()
+    app.with_file_source(config={"path": src_dir})
+    app.file_source().with_schema(fixture.schema)
+    app.with_file_sink(config={"path": out_dir})
+    app.run(
+        transform=lambda df: df.select("r_regionkey", F.upper("r_name").alias("r_name_u"))
+    ).awaitTermination()
+    back = spark.read.parquet(out_dir)
+    assert back.columns == ["r_regionkey", "r_name_u"]
+    assert back.count() == 5
+    spark.conf.unset("spark.app.checkpoints.path")
+
+
+# -- batch ↔ stream equivalence for event-time operators -------------------
+
+
+@pytest.mark.parametrize(
+    "name,transform,keys",
+    [
+        (
+            "tumbling",
+            lambda df: df.withWatermark("ts", "365 days")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n"),
+            ["ws", "event_type", "n"],
+        ),
+        (
+            "session",
+            lambda df: df.withWatermark("ts", "365 days")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "user_id", "n"),
+            ["ws", "user_id", "n"],
+        ),
+    ],
+)
+def test_stream_matches_batch(spark, tmp_path, name, transform, keys):
+    events = t(spark, SF_SMALL, "events").select("ts", "event_type", "user_id", "value")
+    batch = transform(events)
+    streamed = stream_replay(
+        spark,
+        events,
+        transform,
+        staging_dir=str(tmp_path / "stage"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_chunks=4,
+        output_mode="complete",
+    )
+    assert _rows(streamed, keys) == _rows(batch, keys)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    events = t(spark, SF_SMALL, "events").select("ts", "user_id", "event_type")
+    streamed = stream_replay(
+        spark,
+        events,
+        lambda df: df.withWatermark("ts", "365 days").dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        ),
+        staging_dir=str(tmp_path / "stage"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_chunks=2,
+        output_mode="append",
+    )
+    # watermark spans the fixture: exactly one row per key survives
+    batch_keys = events.select("user_id", "event_type").distinct().count()
+    assert streamed.count() == batch_keys
+
+
+# -- stateful: applyInPandasWithState --------------------------------------
+
+
+def test_running_aggregate_state(spark, tmp_path):
+    events = t(spark, SF_SMALL, "events").select("ts", "user_id", "value")
+    streamed = stream_replay(
+        spark,
+        events,
+        running_aggregate,
+        staging_dir=str(tmp_path / "stage"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_chunks=3,
+        output_mode="update",
+    )
+    # memory sink in update mode keeps every emission; the LAST emission per
+    # user must equal the batch aggregate
+    final = (
+        streamed.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    f = {r["user_id"]: r for r in final.collect()}
+    b = {r["user_id"]: r for r in batch.collect()}
+    assert set(f) == set(b)
+    for uid in b:
+        assert f[uid]["n_events"] == b[uid]["n_events"]
+        assert abs(f[uid]["total_value"] - b[uid]["total_value"]) < 1e-6
+        assert f[uid]["max_value"] == b[uid]["max_value"]
+
+
+# -- idempotent foreachBatch sink ------------------------------------------
+
+
+def test_foreach_batch_idempotency(spark, tmp_path):
+    src_df = spark.range(100).selectExpr("id", "id * 1.5 AS v")
+    src_dir, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    src_df.repartition(4).write.parquet(src_dir)
+
+    sink = IdempotentForeachBatchSink(config={"path": out_dir})
+    reader = (
+        spark.readStream.schema(src_df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        sink.from_df(reader)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 100
+
+    # Replay the WHOLE stream with a fresh checkpoint — same batch ids
+    # arrive again; the ledger must drop them (exactly-once on re-run).
+    q2 = (
+        sink.from_df(reader)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 100  # no duplicates
