@@ -5,12 +5,19 @@ dims"). Used by the perf test suite to assert plan shape, not just results.
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
-    """The ``explain('formatted')`` text of a DataFrame."""
-    return df._jdf.queryExecution().explainString("formatted")
+    """The ``explain('formatted')`` text of a DataFrame (captured from
+    ``df.explain`` — the stable public surface across Spark versions)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def pushed_filters(df: DataFrame) -> str:
@@ -30,11 +37,11 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange operators in the physical plan (before AQE
-    runtime re-planning) — the shuffle budget of the query."""
+    """Number of shuffle Exchange operators in the physical plan (before
+    AQE runtime re-planning) — the shuffle budget of the query. Broadcast
+    and reused exchanges don't count (they're the point of the hints)."""
+    import re
+
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "ExchangeExec" not in line and "Reused" not in line
-    )
+    ops = re.findall(r"^\s*(?:[:+\-\s]*)\(\d+\)\s+([A-Za-z]+)", plan, re.MULTILINE)
+    return sum(1 for op in ops if op == "Exchange")

@@ -837,3 +837,105 @@ def q24_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     for et in types:
         out = out.withColumn(et, F.coalesce(F.col(et), F.lit(0.0)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# C15 — from_json struct parsing (vs q20's get_json_object path)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q25_from_json",
+    oracle="""
+    SELECT
+      CAST(user_id % 20 AS BIGINT) AS user_bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_target,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY user_id % 20
+    """,
+)
+def q25_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON payload ONCE into a typed struct with ``from_json``
+    (C15) and aggregate fields from it.
+
+    Scale: unlike per-field ``get_json_object`` (q20), ``from_json``
+    tokenizes each payload a single time however many fields are read —
+    the right pattern when a 100 TB event stream carries wide JSON.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.groupBy((F.col("user_id") % 20).cast("bigint").alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_target"),
+            F.sum(F.col("p.k")).cast("bigint").alias("sum_k"),
+            F.max(F.col("p.k")).cast("bigint").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 — exact percentiles (linear interpolation, matches quantile_cont)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q26_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q26_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (C7): Spark ``percentile`` and DuckDB
+    ``quantile_cont`` both use linear interpolation — verified bit-exact.
+
+    Scale: exact percentile buffers each group's values; at 100 TB switch
+    to ``percentile_approx`` (t-digest sketch, O(compression) state) — the
+    approx twin is exercised rows-only alongside HLL in q11.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C15 — array transformations (slice / sort / join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q27_array_ops",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_slice(toks, 1, 5), '-') AS head5,
+           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), '-')
+             AS alpha3,
+           CAST(len(toks) AS BIGINT) AS n_toks
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    """,
+)
+def q27_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array slice/sort/distinct/join coverage (C15), scalar outputs so the
+    value hash stays type-simple."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.concat_ws("-", F.slice(toks, 1, 5)).alias("head5"),
+        F.concat_ws("-", F.slice(F.sort_array(F.array_distinct(toks)), 1, 3)).alias("alpha3"),
+        F.size(toks).cast("bigint").alias("n_toks"),
+    )

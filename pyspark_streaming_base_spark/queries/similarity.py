@@ -15,8 +15,12 @@ precision) — no UDFs, stays inside codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from pyspark_streaming_base_spark.queries import query
 from pyspark_streaming_base_spark.queries._tables import t
@@ -102,9 +106,13 @@ def q60_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: LSH parameters: L hash tables × b hyperplanes each (2^b buckets/table).
 #: Multiple tables trade compute for recall: a neighbor is a candidate if it
-#: collides in ANY table. 4 tables × 6 planes ≈ 93% recall for cos sim ≥0.8.
-_N_TABLES = 4
-_N_PLANES = 6
+#: collides in ANY table. Sized for weakly-clustered corpora (top-k cosine
+#: ≈ 0.3 ⇒ per-table collision ≈ 0.6^b): 8×5 gives ≈ 50% top-10 recall
+#: while scoring ~25% of the corpus; raise L for higher recall — at 100 TB
+#: the knob trades one more hash-join probe per table for recall, never an
+#: O(n²) scan.
+_N_TABLES = 8
+_N_PLANES = 5
 _DIM = 64
 
 
@@ -121,19 +129,36 @@ def _plane_component(p: int, d: int) -> float:
     return (x % 2_000_000) / 1_000_000.0 - 1.0
 
 
-def _bucket_expr(vec: Column, table: int) -> Column:
-    """Sign-pattern bucket id for one hash table: bit p = 1 iff
-    plane_{table,p} · vec >= 0."""
-    acc = F.lit(0).cast("bigint")
-    for p in range(_N_PLANES):
-        plane = F.array(
-            *[F.lit(_plane_component(table * 101 + p, d)) for d in range(_DIM)]
-        )
-        s = dot(plane, vec)
-        acc = acc + F.when(s >= 0, F.lit(1 << p).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return acc
+def _plane_matrix():
+    """(dim × tables·planes) hyperplane matrix from the deterministic mix."""
+    return np.array(
+        [
+            [_plane_component(tbl * 101 + p, d) for tbl in range(_N_TABLES) for p in range(_N_PLANES)]
+            for d in range(_DIM)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _bucket_udf():
+    """Pandas UDF: embedding → array of per-table bucket ids.
+
+    Bucket assignment is dense linear algebra — (batch × dim) @ (dim ×
+    tables·planes) — which is exactly the case where an Arrow-batched
+    numpy matmul beats interpreted expression folds (~40 higher-order
+    folds/row otherwise). Deterministic: fixed plane matrix, sign test.
+    """
+    W_planes = _plane_matrix()
+    powers = (1 << np.arange(_N_PLANES, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        X = np.stack(emb.to_numpy()).astype(np.float64)  # (n, dim)
+        S = X @ W_planes >= 0  # (n, tables*planes) sign bits
+        B = S.reshape(len(X), _N_TABLES, _N_PLANES) @ powers  # (n, tables)
+        return pd.Series(list(B.astype(np.int64)))
+
+    return buckets
 
 
 @query("q61_ann_lsh", oracle=None)  # bucket assignment is engine-side; pytest checks recall
@@ -152,25 +177,14 @@ def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     an infeasible O(n²) cross product. Hot buckets are AQE skew-join
     territory.
     """
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _dvec("embedding").alias("vec")
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .withColumn("bks", _bucket_udf()(F.col("vec")))
     )
-    for tbl in range(_N_TABLES):
-        emb = emb.withColumn(f"b{tbl}", _bucket_expr(F.col("vec"), tbl))
     stacked = emb.select(
-        "vec_id",
-        "vec",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(tbl).alias("tbl"), F.col(f"b{tbl}").alias("bucket")
-                    )
-                    for tbl in range(_N_TABLES)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        "vec_id", "vec", F.posexplode("bks").alias("tbl", "bucket")
+    )
     q = F.broadcast(
         stacked.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("qid"),

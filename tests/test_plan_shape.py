@@ -1,0 +1,101 @@
+"""Physical-plan shape tests — the 100 TB design rules, asserted.
+
+Correctness says the operator computes the right answer; these say it
+computes it the way that survives a 1000-executor cluster: filters reach
+the parquet scan, projections prune columns, dimension joins broadcast,
+per-group top-k group-limits before the exchange, and the shuffle budget
+stays at the plan's theoretical minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark_streaming_base_spark.plans import (
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+)
+from pyspark_streaming_base_spark.queries import load_all
+
+from tests.conftest import SF_SMALL
+
+R = load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = R["q02_filter_pushdown"].fn(spark, SF_SMALL)
+    pushed = pushed_filters(df)
+    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed
+    assert "l_quantity" in pushed and "LessThan" in pushed
+    # zero shuffles: filter+project is embarrassingly parallel
+    assert shuffle_count(df) == 0
+
+
+def test_column_pruning(spark):
+    df = R["q02_filter_pushdown"].fn(spark, SF_SMALL)
+    schema = scan_read_schema(df)
+    # 4 projected + 1 filter column; the other 6 lineitem columns pruned
+    assert "l_orderkey" in schema and "l_shipdate" in schema
+    assert "l_returnflag" not in schema and "l_tax" not in schema
+
+
+def test_agg_reads_only_needed_columns(spark):
+    df = R["q01_pricing_summary"].fn(spark, SF_SMALL)
+    schema = scan_read_schema(df)
+    assert "l_orderkey" not in schema  # not referenced by Q1
+    assert "l_partkey" not in schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = R["q04_revenue_by_nation"].fn(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+
+
+def test_stream_static_join_is_broadcast(spark):
+    df = R["q73_stream_static_join"].fn(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    # only the final aggregation shuffles; the join itself must not
+    assert shuffle_count(df) <= 1
+
+
+def test_topk_group_limit_pushed(spark):
+    # rank<=k must plan WindowGroupLimit (map-side top-k before exchange)
+    plan = formatted_plan(R["q30_topk_per_group"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_topk_avoids_total_sort(spark):
+    # ORDER BY + LIMIT must plan TakeOrderedAndProject, not a global Sort
+    plan = formatted_plan(R["q14_global_topk"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_single_aggregation_pass(spark):
+    # the band stacking must NOT replan the signature agg per band
+    df = R["q41_minhash_lsh_pairs"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # one agg for 16 mins + banding via explode → small constant exchange count
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_q1_single_shuffle(spark):
+    # partial agg map-side, one exchange on the group keys, final agg
+    df = R["q01_pricing_summary"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) == 1
+
+
+def test_no_python_in_hot_path(spark):
+    # relational operators must never cross the Python boundary — JVM
+    # expressions only (formatted mode doesn't annotate codegen spans, so
+    # assert the absence of Python-eval operators instead)
+    for name in (
+        "q01_pricing_summary",
+        "q04_revenue_by_nation",
+        "q21_explode_terms",
+        "q40_ngram_jaccard_pairs",
+        "q60_knn_bruteforce",
+    ):
+        plan = formatted_plan(R[name].fn(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "HashAggregate" in plan or "Join" in plan, name

@@ -219,3 +219,50 @@ def test_foreach_batch_idempotency(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out_dir).count() == 100  # no duplicates
+
+
+# -- stream-stream join (C23) ----------------------------------------------
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream inner join: clicks ⋈ purchases by the same
+    user within 30 minutes (event-time range condition both sides)."""
+    events = t(spark, SF_SMALL, "events").select("ts", "user_id", "event_type", "event_id")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+
+    def batch_join(c, p):
+        return c.alias("c").join(
+            p.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        )
+
+    expected = _rows(batch_join(clicks, purchases))
+
+    stage = str(tmp_path / "stage")
+    events.repartition(3).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    sc = stream.filter(F.col("event_type") == "click").withWatermark("ts", "365 days")
+    sp = stream.filter(F.col("event_type") == "purchase").withWatermark("ts", "365 days")
+    out = batch_join(sc, sp)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _rows(spark.table("ssj_out"))
+    assert got == expected
