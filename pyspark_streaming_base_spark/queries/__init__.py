@@ -59,6 +59,7 @@ def load_all() -> Dict[str, QuerySpec]:
         text,
         streaming,
         multimodal,
+        udfs,
     )
 
     return REGISTRY

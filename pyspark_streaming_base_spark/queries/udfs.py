@@ -1,0 +1,143 @@
+"""UDF/UDAF surface (SURVEY.md §2B B8, §2C C25) + as-of join.
+
+The UDF tiers, demonstrated in ascending cost order:
+
+* built-in expressions (everything else in this package) — JVM, codegen;
+* scalar/grouped-agg Pandas UDFs (here) — Arrow-batched, vectorized numpy;
+* ``applyInPandas`` grouped-map (as-of join here, decode in multimodal);
+* row-at-a-time Python UDFs — deliberately ABSENT: never the right tool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._tables import t
+
+
+@query(
+    "q28_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q28_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (C25 UDAF): quantity-weighted mean
+    price per return flag.
+
+    Arrow moves each group's columns once; numpy does the arithmetic.
+    Rounded to 4 dp: numpy's pairwise summation and DuckDB's sequential
+    summation differ only at ~1e-9 relative, far inside the grid.
+
+    Scale: grouped-agg UDFs buffer each group's values in one worker —
+    group cardinality and size must be modest (here: 3 groups). For
+    high-cardinality groups, pre-reduce with built-ins and reserve the UDF
+    for the final combine. Spark also forbids mixing grouped-agg Pandas
+    UDFs with built-in aggregates in one ``agg`` — this query is UDAF-only.
+    """
+
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float(np.round(np.sum(price.values * qty.values) / np.sum(qty.values), 4))
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(wavg("l_extendedprice", "l_quantity").alias("w_avg_price"))
+    )
+
+
+@query(
+    "q29_scalar_pandas_udf",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(LN(1.0 + o_totalprice) * 100.0, 6) AS price_score
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+)
+def q29_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (C25/B8): vectorized per-row scoring via numpy.
+
+    Exists to prove the Arrow scalar path; the identical expression is a
+    one-liner in built-ins (q18) — which is what production code should
+    use. Rounded to 6 dp to absorb libm last-ulp differences.
+    """
+
+    @F.pandas_udf("double")
+    def score(total: pd.Series) -> pd.Series:
+        return np.round(np.log1p(total) * 100.0, 6)
+
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select("o_orderkey", score("o_totalprice").alias("price_score"))
+    )
+
+
+@query(
+    "q75_asof_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q75_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (click→purchase attribution): for each purchase, the most
+    recent click of the same user at or before the purchase time.
+
+    Spark has no native ASOF JOIN; the scalable composition is the
+    union-and-window trick: interleave both event kinds in one per-user
+    time-ordered window and carry the last click forward — ONE shuffle on
+    user_id, no range join, no per-group Python. (``merge_asof`` via
+    ``applyInPandas`` is the fallback when the payload is too wide for a
+    window carry.) DuckDB's native ASOF JOIN is the oracle.
+
+    Scale: the window approach is O(n log n) per user partition vs the
+    O(n·m) range join a naive theta-join would plan. Skewed users are
+    AQE-split like any window partition.
+    """
+    ev = t(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        # clicks sort before purchases at equal ts → "at or before" inclusive
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w)
+    click_id = F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True).over(w)
+    return (
+        both.withColumn("click_ts", click_ts)
+        .withColumn("click_id", click_id)
+        .filter((F.col("kind") == 1) & F.col("click_ts").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("click_id").cast("bigint").alias("click_id"),
+            (F.col("ts").cast("long") - F.col("click_ts").cast("long"))
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )
