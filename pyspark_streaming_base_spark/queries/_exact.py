@@ -5,16 +5,29 @@ merges, DuckDB sums in its own order, so the last few bits differ and an
 exact value-hash comparison fails. Rounding after the fact is unsafe (the
 accumulated error can exceed any fixed rounding grid near a boundary).
 
-Fix: accumulate in exact DECIMAL arithmetic on both sides, then cast the
-exact decimal result back to DOUBLE. Conversion of the *same* exact decimal
-to double is deterministic (round-to-nearest), so both engines produce
-bit-identical doubles with associative, order-independent aggregation.
+Fix: scaled-integer accumulation. The synthetic data contract is money-like
+values with ≤2 decimal digits, so every aggregated expression here —
+including 3-factor products like price×(1−discount)×(1+tax) — is an exact
+multiple of 10⁻⁶. ``round(x·10⁶)`` therefore recovers the exact scaled
+integer from the double on BOTH engines (the double is within ~10⁻⁵ of the
+integer, never near the .5 boundary, so engine rounding-mode differences
+can't bite); int64 sums are associative and engine-independent; the final
+``cast(sum as double)/10⁶`` is deterministic on both sides.
 
-``DEC`` (decimal(25,6)) keeps 6 fractional digits — the synthetic data's
-doubles carry real fractional parts, so products like
-``l_extendedprice * (1 - l_discount)`` are first computed in double (both
-engines do the multiply in double → bit-identical per row) and only then
-cast to decimal for exact summation.
+Why not DECIMAL? Tried both:
+
+* DECIMAL(25,6) is bit-exact but Spark's sum buffer (precision+10 > 18
+  digits) falls off the long-backed codegen path onto per-row JVM
+  BigDecimal — measured 2.5× slower than the scaled-int sum;
+* DECIMAL(8,2) is long-backed and fast, but rounds products to 2 decimals,
+  and products land EXACTLY on .xx5 boundaries for ~0.3% of rows, where
+  Spark (half-up on the exact decimal expansion) and DuckDB (half-even on
+  the scaled double) disagree.
+
+Capacity: scaled sums hold to ~9.2·10¹⁸, i.e. ~10¹² rows of 10⁴-magnitude
+values; ANSI mode fails loudly on overflow, never silently wraps. At
+extreme scale, pre-aggregate per partition or fall back to DECIMAL(27,6)
+and pay the BigDecimal cost.
 """
 
 from __future__ import annotations
@@ -22,30 +35,39 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Decimal type used for exact accumulation. 25 digits total / 6 fractional
-#: is enough for sums of ~1e12 rows of ~1e6-magnitude values — sized for the
-#: 100 TB target, not just the test scale factors.
-DEC = "decimal(25,6)"
+#: Fixed-point scale: 10^6 covers products of three 2-decimal factors.
+SCALE = 1_000_000
+
+
+def scaled(col: Column) -> Column:
+    """The exact 10⁶-scaled integer of a ≤6-decimal double (for composing
+    window sums: ``F.sum(scaled(c)).over(w)`` then :func:`unscale`)."""
+    return F.round(col * SCALE, 0).cast("bigint")
+
+
+def unscale(col: Column) -> Column:
+    """Scaled-integer sum → double."""
+    return col.cast("double") / F.lit(float(SCALE))
 
 
 def dsum(col: Column) -> Column:
-    """Order-independent sum of a double column, returned as double."""
-    return F.sum(col.cast(DEC)).cast("double")
+    """Order-independent sum of a ≤6-decimal double column, as double."""
+    return unscale(F.sum(scaled(col)))
 
 
 def davg(col: Column) -> Column:
-    """Order-independent average: exact decimal sum / count, in double."""
-    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).alias("avg")
+    """Order-independent average: exact scaled-int sum / count, in double."""
+    return (dsum(col) / F.count(col)).alias("avg")
 
 
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` for an SQL expression string."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {SCALE}.0, 0) AS BIGINT)) AS DOUBLE)"
+        f" / {SCALE}.0"
+    )
 
 
 def sql_davg(expr: str) -> str:
     """DuckDB twin of :func:`davg`."""
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
-        f" / COUNT({expr})"
-    )
+    return f"({sql_dsum(expr)}) / COUNT({expr})"

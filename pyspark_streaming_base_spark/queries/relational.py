@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._exact import DEC, dsum, sql_dsum
+from pyspark_streaming_base_spark.queries._exact import dsum, scaled, sql_dsum, unscale
 from pyspark_streaming_base_spark.queries._tables import dim, t
 
 
@@ -767,8 +767,8 @@ def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, p_brand, p_retailprice
     FROM (
       SELECT p_partkey, p_brand, p_retailprice,
-             CAST(SUM(CAST(p_retailprice AS DECIMAL(25,6)))
-                    OVER (PARTITION BY p_brand) AS DOUBLE)
+             CAST(SUM(CAST(ROUND(p_retailprice * 1000000.0, 0) AS BIGINT))
+                    OVER (PARTITION BY p_brand) AS DOUBLE) / 1000000.0
                / COUNT(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
       FROM part
     )
@@ -786,10 +786,9 @@ def q23_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = t(spark, sf_dir, "part")
     w = W.partitionBy("p_brand")
-    brand_avg = (
-        F.sum(F.col("p_retailprice").cast(DEC)).over(w).cast("double")
-        / F.count("p_retailprice").over(w)
-    )
+    brand_avg = unscale(F.sum(scaled(F.col("p_retailprice"))).over(w)) / F.count(
+        "p_retailprice"
+    ).over(w)
     return (
         p.withColumn("brand_avg", brand_avg)
         .filter(F.col("p_retailprice") > F.col("brand_avg"))
@@ -830,7 +829,7 @@ def q24_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         ev.groupBy("user_bucket")
         .pivot("event_type", types)
-        .agg(F.sum(F.when(F.col("event_type").isNotNull(), F.col("value")).otherwise(0.0).cast(DEC)).cast("double"))
+        .agg(unscale(F.sum(scaled(F.col("value")))))
     )
     # pivot yields NULL for absent (bucket, type) combos; oracle's CASE yields 0
     out = piv

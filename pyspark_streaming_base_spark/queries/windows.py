@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._exact import DEC
+from pyspark_streaming_base_spark.queries._exact import scaled, unscale
 from pyspark_streaming_base_spark.queries._tables import t
 
 
@@ -56,11 +56,11 @@ def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_running_total",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) OVER (
+           CAST(SUM(CAST(ROUND(l_quantity * 1000000.0, 0) AS BIGINT)) OVER (
              PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_qty
+           ) AS DOUBLE) / 1000000.0 AS running_qty
     FROM lineitem
     WHERE l_suppkey <= 20
     """,
@@ -83,7 +83,7 @@ def q31_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
-            F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
+            unscale(F.sum(scaled(F.col("l_quantity"))).over(w)).alias("running_qty"),
         )
     )
 
@@ -152,10 +152,10 @@ def q33_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_sliding_frame",
     oracle="""
     SELECT user_id, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (
+           CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS moving_sum3,
+           ) AS DOUBLE) / 1000000.0 AS moving_sum3,
            CAST(COUNT(*) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
@@ -175,6 +175,6 @@ def q34_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("moving_sum3"),
+        unscale(F.sum(scaled(F.col("value"))).over(w)).alias("moving_sum3"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("frame_n"),
     )
