@@ -45,9 +45,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = SessionFactory.local(app_name="bench")
     registry = load_all()
-    # Warmup: JVM/codegen/parquet-footer costs land here, not on q01.
+    # Warmup: one-time machinery costs land here, not on the first query
+    # that happens to touch them — JVM/codegen/parquet footers, the Arrow
+    # python-worker pool (pandas UDFs), and the shuffle subsystem.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    inc = F.pandas_udf(lambda s: s + 1, "long")
+    spark.range(1_000).select(inc("id")).write.format("noop").mode("overwrite").save()
+    spark.range(10_000).withColumnRenamed("id", "k").hint("shuffle_hash").join(
+        spark.range(10_000).withColumnRenamed("id", "k").hint("shuffle_hash"), "k"
+    ).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]

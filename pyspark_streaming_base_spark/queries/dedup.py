@@ -159,6 +159,12 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.band_hash").alias("band_hash"))
+    # Self-join as a SHUFFLE_HASH join (not AQE's broadcast pick): both
+    # sides' exchanges on (band_idx, band_hash) are then canonically
+    # identical, so ReusedExchange computes the shingle→MinHash pipeline
+    # ONCE; a broadcast plan materializes it twice. This is also the only
+    # shape that exists at 100 TB, where neither side is broadcastable.
+    stacked = stacked.hint("shuffle_hash")
     l, r = stacked.alias("l"), stacked.alias("r")
     cand = (
         l.join(

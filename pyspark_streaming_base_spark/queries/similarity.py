@@ -175,20 +175,21 @@ def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row, then stacked); the candidate join is an equi-join on
     (table, bucket) — a standard hash join on a well-distributed key versus
     an infeasible O(n²) cross product. Hot buckets are AQE skew-join
-    territory.
+    territory. The bucket/dedup phase moves only (vec_id, tbl, bucket)
+    longs — the 64-dim vectors never enter the exploded join or the
+    distinct; they are re-attached per *surviving candidate id* afterwards
+    (at 100 TB that's the difference between shuffling 8×512 B/row of
+    vector payload and 8×24 B/row of keys).
     """
-    emb = (
-        t(spark, sf_dir, "embeddings")
-        .select("vec_id", _dvec("embedding").alias("vec"))
-        .withColumn("bks", _bucket_udf()(F.col("vec")))
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
     )
-    stacked = emb.select(
-        "vec_id", "vec", F.posexplode("bks").alias("tbl", "bucket")
+    stacked = emb.withColumn("bks", _bucket_udf()(F.col("vec"))).select(
+        "vec_id", F.posexplode("bks").alias("tbl", "bucket")
     )
     q = F.broadcast(
         stacked.filter(F.col("vec_id") < _N_QUERIES).select(
             F.col("vec_id").alias("qid"),
-            F.col("vec").alias("qvec"),
             F.col("tbl").alias("qtbl"),
             F.col("bucket").alias("qbucket"),
         )
@@ -200,11 +201,17 @@ def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("qid")),
         )
-        .select("qid", "qvec", "vec_id", "vec")
+        .select("qid", "vec_id")
         .distinct()  # collapse multi-table collisions before scoring
     )
+    qvecs = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+        )
+    )
+    scored = cand.join(emb, "vec_id").join(qvecs, "qid")
     sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
-    ranked = cand.withColumn("sim_r", sim).withColumn(
+    ranked = scored.withColumn("sim_r", sim).withColumn(
         "rnk",
         F.row_number()
         .over(W.partitionBy("qid").orderBy(F.col("sim_r").desc(), F.col("vec_id")))
