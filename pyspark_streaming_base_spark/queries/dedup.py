@@ -201,6 +201,57 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
+@query(
+    "q43_embedding_neardup",
+    oracle="""
+    SELECT doc_a, doc_b, sim_r
+    FROM (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             ROUND(
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+               6) AS sim_r
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    WHERE sim_r >= 0.35
+    """,
+)
+def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key (C17's
+    semantic-dedup flavor: MinHash/SimHash catch lexical dups, cosine over
+    embeddings catches paraphrases).
+
+    Blocking on ``label`` bounds the pair space exactly like q40 blocks on
+    ``lang``; at 100 TB the block key is an LSH bucket (q61's hyperplane
+    signature) and this query is the exact verifier applied to candidate
+    pairs only — never the raw cross product. Similarity is rounded to
+    6 dp before thresholding: both engines fold the dot product in the
+    same sequential order, so the rounded values agree bit-for-bit.
+    Threshold 0.35 is calibrated to the synthetic fixture (weakly
+    clustered labels; real near-dup corpora use ~0.9).
+    """
+    from pyspark_streaming_base_spark.queries.similarity import _dvec, cosine
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dvec("embedding").alias("vec")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"), "label", F.col("vec").alias("vec_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"), "label", F.col("vec").alias("vec_b")
+    )
+    pairs = a.join(b, ["label"]).filter(F.col("doc_a") < F.col("doc_b"))
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        pairs.withColumn("sim_r", sim)
+        .filter(F.col("sim_r") >= 0.35)
+        .select("doc_a", "doc_b", "sim_r")
+    )
+
+
 @query("q42_simhash_buckets", oracle=None)  # hash family is engine-specific
 def q42_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + bucket sizes (C17 SimHash variant).
