@@ -71,3 +71,54 @@ def decode_features(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+#: Output schema of the frame-sample stage — one row PER SAMPLED FRAME.
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_fp string, "
+    "out_width int, out_height int"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    every_k: int = 10,
+    max_side: int = 256,
+) -> DataFrame:
+    """Frame-sample + resize pipeline over binary video payloads.
+
+    Row-expanding ``mapInPandas``: each payload decodes (stub) to
+    ``n_frames`` frames; every ``every_k``-th frame is kept and "resized"
+    so its longest side is ``max_side`` (aspect preserved, integer floor —
+    the geometry math is real; the pixel work is where ffmpeg/PIL would
+    slot in). Frame fingerprints are md5(digest ‖ frame_idx) — stable
+    across engines/runs.
+
+    Scale: output fan-out is bounded by ``n_frames / every_k`` per row and
+    produced lazily batch-by-batch, so a task's memory stays O(batch), not
+    O(frames-in-partition); downstream joins key on (doc_id, frame_idx),
+    never the blob.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                meta = _decode_payload(bytes(p))
+                w, h = meta["width"], meta["height"]
+                scale = max_side / max(w, h)
+                # downscale only — small media keeps its native geometry
+                ow, oh = (w, h) if scale >= 1 else (int(w * scale), int(h * scale))
+                for idx in range(0, meta["n_frames"], every_k):
+                    fp = hashlib.md5(
+                        f"{meta['digest']}:{idx}".encode()
+                    ).hexdigest()[:16]
+                    rows.append((doc_id, idx, fp, ow, oh))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_fp", "out_width", "out_height"],
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -71,3 +71,31 @@ def q81_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return decode_features(d, payload_col="payload", id_col="doc_id")
+
+
+@query("q82_frame_sample", oracle=None)  # row-expanding mapInPandas; rows-only check
+def q82_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + resize over binary video payloads (multimodal
+    row-expanding path), then a per-document rollup of sampled-frame stats.
+
+    Every 10th frame of each (stub-decoded) payload is kept and resized to
+    a 256-px longest side; the rollup proves the typed frame rows compose
+    with ordinary relational ops. Rows-only driver check (the stub decoder
+    is engine-side); pytest pins exact fan-out and geometry.
+
+    Scale: fan-out happens executor-side batch-by-batch (no driver
+    materialization), and the rollup shuffles only (doc_id, small ints).
+    """
+    from pyspark_streaming_base_spark.functions.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    frames = sample_frames(d, payload_col="payload", id_col="doc_id", every_k=10)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.max("frame_idx").cast("int").alias("last_idx"),
+        F.min("frame_fp").alias("min_fp"),
+        F.max("out_width").cast("int").alias("out_w"),
+        F.max("out_height").cast("int").alias("out_h"),
+    )

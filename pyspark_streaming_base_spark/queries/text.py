@@ -52,6 +52,51 @@ def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-2-style pre-tokenizer, simplified to the subset with identical
+#: semantics in Java regex (Spark) and RE2 (DuckDB): a token is an optional
+#: leading space + a letter run, digit run, or other-symbol run. The real
+#: BPE pre-tokenizer adds contraction splits and a lookahead; RE2 has no
+#: lookahead, so the shared subset is the cross-engine contract.
+_BPE_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@query(
+    "q54_bpe_token_count",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(MAX(n_bpe) AS BIGINT) AS max_bpe_tokens,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_word
+    FROM (
+      SELECT lang,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def q54_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting (C19): pre-tokenizer regex token counts per
+    document, rolled up by language, with the tokens-per-word ratio every
+    training-data budget estimate needs. Pure ``regexp_extract_all`` —
+    JVM-side, no UDF; the ratio is an exact integer quotient in double."""
+    d = t(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
+    n_ws = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    return (
+        d.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.max("n_bpe").cast("bigint").alias("max_bpe_tokens"),
+            (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("bpe_per_word"),
+        )
+    )
+
+
 @query(
     "q51_quality_score",
     oracle="""

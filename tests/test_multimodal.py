@@ -1,0 +1,58 @@
+"""Multimodal plumbing tests: the decode/frame-sample stubs are
+deterministic, so their distributed output is pinned exactly against a
+driver-side recomputation over the same payloads."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.functions.multimodal import (
+    _decode_payload,
+    decode_features,
+    sample_frames,
+)
+from pyspark_streaming_base_spark.queries._tables import t
+
+from tests.conftest import SF_SMALL
+
+
+def _payloads(spark):
+    d = t(spark, SF_SMALL, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return d, {r["doc_id"]: bytes(r["payload"]) for r in d.collect()}
+
+
+def test_decode_features_matches_stub(spark):
+    d, raw = _payloads(spark)
+    rows = {r["doc_id"]: r.asDict() for r in decode_features(d, "payload", "doc_id").collect()}
+    assert set(rows) == set(raw)
+    for doc_id, payload in raw.items():
+        expect = _decode_payload(payload)
+        got = rows[doc_id]
+        for k, v in expect.items():
+            assert got[k] == v, (doc_id, k)
+
+
+def test_sample_frames_fanout_and_geometry(spark):
+    d, raw = _payloads(spark)
+    out = sample_frames(d, "payload", "doc_id", every_k=10, max_side=256).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(raw)
+    for doc_id, payload in raw.items():
+        meta = _decode_payload(payload)
+        frames = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        # exact fan-out: ceil(n_frames / 10) sampled frames at indices 0,10,...
+        assert [f["frame_idx"] for f in frames] == list(range(0, meta["n_frames"], 10))
+        w, h = meta["width"], meta["height"]
+        scale = 256 / max(w, h)
+        ow, oh = (w, h) if scale >= 1 else (int(w * scale), int(h * scale))
+        for f in frames:
+            assert (f["out_width"], f["out_height"]) == (ow, oh)
+            assert max(f["out_width"], f["out_height"]) <= 256
+            fp = hashlib.md5(f"{meta['digest']}:{f['frame_idx']}".encode()).hexdigest()[:16]
+            assert f["frame_fp"] == fp
