@@ -203,6 +203,52 @@ def q52_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-language sampling rates for the stratified-sample operator, as
+#: 16-bit hex thresholds: keep a row iff the first 4 hex digits of
+#: md5(doc_id) sort below the threshold. int(rate · 65536) → hex.
+_STRATA_RATES = {"en": ("8000", 0.5), "es": ("4000", 0.25)}
+_DEFAULT_RATE = ("1999", 0.1)  # 0x1999 = 6553 ≈ 0.1 · 65536
+
+
+@query(
+    "q55_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+      FROM documents
+    )
+    WHERE hk < (CASE lang
+                  WHEN 'en' THEN '{_STRATA_RATES["en"][0]}'
+                  WHEN 'es' THEN '{_STRATA_RATES["es"][0]}'
+                  ELSE '{_DEFAULT_RATE[0]}'
+                END)
+    """,
+)
+def q55_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-pipeline op): per-stratum
+    rates via a content hash, not ``df.sample()``'s seeded RNG.
+
+    Keep a row iff the leading 16 bits of ``md5(doc_id)`` fall below the
+    stratum's threshold — md5 hex is uniform, so the kept fraction
+    converges to the rate per stratum, and membership is a pure function
+    of the key: reproducible across engines, runs, cluster sizes, AND
+    dataset growth (a doc keeps/loses membership only with its own id —
+    rows never flip when neighbors arrive, unlike reservoir/seeded
+    sampling). Scale: embarrassingly parallel filter, no shuffle; the
+    predicate pushes to the scan.
+    """
+    d = t(spark, sf_dir, "documents")
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    threshold = (
+        F.when(F.col("lang") == "en", _STRATA_RATES["en"][0])
+        .when(F.col("lang") == "es", _STRATA_RATES["es"][0])
+        .otherwise(_DEFAULT_RATE[0])
+    )
+    return d.filter(hk < threshold).select("doc_id", "lang", "n_chars")
+
+
 @query(
     "q53_fingerprint",
     oracle="""
