@@ -111,33 +111,29 @@ def q75_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·m) range join a naive theta-join would plan. Skewed users are
     AQE-split like any window partition.
     """
-    ev = t(spark, sf_dir, "events")
-    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
-        "user_id",
-        "ts",
-        "event_id",
-        # clicks sort before purchases at equal ts → "at or before" inclusive
-        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
-    )
-    from pyspark.sql import Window as W
+    from pyspark_streaming_base_spark.operators.asof import asof_backward_join
 
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
     )
-    click_ts = F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w)
-    click_id = F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True).over(w)
-    return (
-        both.withColumn("click_ts", click_ts)
-        .withColumn("click_id", click_id)
-        .filter((F.col("kind") == 1) & F.col("click_ts").isNotNull())
-        .select(
-            "user_id",
-            F.col("event_id").alias("purchase_id"),
-            F.col("click_id").cast("bigint").alias("click_id"),
-            (F.col("ts").cast("long") - F.col("click_ts").cast("long"))
-            .cast("bigint")
-            .alias("gap_s"),
-        )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_backward_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        carry=["ts", "event_id"],
+        right_tiebreak=["event_id"],
+    )
+    return joined.filter(F.col("r_ts").isNotNull()).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").cast("bigint").alias("click_id"),
+        (F.col("ts").cast("long") - F.col("r_ts").cast("long"))
+        .cast("bigint")
+        .alias("gap_s"),
     )

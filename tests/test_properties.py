@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the invariants the oracle suite
+can't sweep: the exact-aggregation contract over arbitrary 2-decimal
+inputs, and as-of join semantics against ``pandas.merge_asof`` on random
+event layouts. The reference repo has no property tests (SURVEY.md §5);
+these close that gap for the two most subtle hand-built pieces.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.operators.asof import asof_backward_join
+from pyspark_streaming_base_spark.queries._exact import dsum
+
+#: Money-like values per the data contract: ≤2 fractional digits,
+#: magnitude ≤ 10⁵ (cents as integers, scaled down).
+money = st.integers(min_value=-10_000_000, max_value=10_000_000).map(
+    lambda c: c / 100.0
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(values=st.lists(money, min_size=1, max_size=300))
+@SETTINGS
+def test_dsum_is_exact_for_two_decimal_inputs(spark, values):
+    """dsum over any partitioning equals the exact Decimal sum: the scaled
+    int64 path must never lose a cent regardless of row order/partition
+    placement (float summation would, by ~1e-11 per op)."""
+    df = spark.createDataFrame(
+        [(v,) for v in values], "v double"
+    ).repartition(7)  # arbitrary placement: result must not depend on it
+    got = df.agg(dsum(F.col("v")).alias("s")).collect()[0]["s"]
+    expect = float(sum(Decimal(str(v)) for v in values))
+    assert got == expect
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=60
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=60
+    ),
+)
+@SETTINGS
+def test_asof_backward_matches_pandas_merge_asof(spark, lefts, rights):
+    """asof_backward_join ≡ pandas merge_asof(direction='backward',
+    allow_exact_matches=True) for any key/time layout (right times
+    deduplicated per key so the tie rule can't differ)."""
+    lpdf = pd.DataFrame(lefts, columns=["k", "t"]).astype("int64")
+    lpdf["lid"] = range(len(lpdf))
+    rpdf = (
+        pd.DataFrame(rights, columns=["k", "t"])
+        .drop_duplicates(["k", "t"])
+        .astype("int64")
+    )
+    rpdf["payload"] = rpdf["k"] * 10_000 + rpdf["t"]
+
+    expect = pd.merge_asof(
+        lpdf.sort_values("t", kind="stable"),
+        rpdf.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("lid")
+
+    ldf = spark.createDataFrame(lpdf, "k long, t long, lid long")
+    rdf = spark.createDataFrame(rpdf, "k long, t long, payload long")
+    got = (
+        asof_backward_join(
+            ldf, rdf, on=["k"], left_time="t", right_time="t", carry=["payload"]
+        )
+        .toPandas()
+        .sort_values("lid")
+    )
+
+    assert list(got["lid"]) == list(expect["lid"])
+    for g, e in zip(got["r_payload"], expect["payload"]):
+        if pd.isna(e):
+            assert pd.isna(g)
+        else:
+            assert g == e
