@@ -203,6 +203,56 @@ def q52_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q56_rolling_hash",
+    oracle="""
+    SELECT rh,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, least(strlen(text), 64) + 1),
+                                i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, x) -> (acc * 257 + x) % 2147483647) AS rh
+      FROM documents
+    )
+    GROUP BY rh
+    """,
+)
+def q56_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial (Rabin–Karp) rolling-hash document fingerprint (C19):
+    ``h = (h·257 + charcode) mod (2³¹−1)`` folded over the first 64
+    characters, then collision-cluster stats. Complements q53's md5
+    prefix: the polynomial form extends incrementally (sliding windows /
+    chunked content-defined dedup) where a block digest can't.
+
+    Exactly oracle-checkable: both engines fold the same codepoint
+    sequence left-to-right in int64 (no overflow: acc < 2³¹, acc·257 +
+    255 < 2³⁹). Scale: per-row expression work plus one constant-width
+    groupBy — same shape as q53.
+    """
+    d = t(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.least(F.length("text"), F.lit(64))),
+        lambda i: F.ascii(F.substring(F.col("text"), i, F.lit(1))).cast("bigint"),
+    )
+    rh = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 257 + x) % 2147483647,
+    )
+    return (
+        d.select("doc_id", rh.alias("rh"))
+        .groupBy("rh")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+    )
+
+
 #: Per-language sampling rates for the stratified-sample operator, as
 #: 16-bit hex thresholds: keep a row iff the first 4 hex digits of
 #: md5(doc_id) sort below the threshold. int(rate · 65536) → hex.
