@@ -10,6 +10,7 @@ from pyspark_streaming_base_spark.queries.dedup import _tokens as tokens
 from pyspark_streaming_base_spark.queries.similarity import cosine, dot
 from pyspark_streaming_base_spark.functions.multimodal import decode_features, sample_frames
 from pyspark_streaming_base_spark.operators.asof import asof_backward_join
+from pyspark_streaming_base_spark.operators.salting import salted_join
 
 __all__ = [
     "tokens",
@@ -19,4 +20,5 @@ __all__ = [
     "decode_features",
     "sample_frames",
     "asof_backward_join",
+    "salted_join",
 ]

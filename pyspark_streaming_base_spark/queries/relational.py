@@ -442,6 +442,41 @@ def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q35_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           {p} AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """.format(p=sql_dsum("o_totalprice")),
+)
+def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (C8's general form): per-status, per-priority,
+    and grand totals in one pass — the two rollup slices a dashboard wants
+    without cube's full 2^dims expansion.
+
+    Scale: Spark expands rows once per set then partially aggregates
+    map-side, so the shuffle carries O(sets × groups), not O(sets × rows).
+    """
+    return (
+        t(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "sum_price", "n_orders")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C10 — global top-k (deterministic tie-break)
 # ---------------------------------------------------------------------------
