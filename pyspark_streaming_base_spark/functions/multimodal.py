@@ -64,8 +64,14 @@ def decode_features(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        null_row = {k: None for k in ("payload_bytes", "digest", "width", "height", "n_frames", "decoder")}
         for pdf in it:
-            feats = [_decode_payload(bytes(p)) for p in pdf[payload_col]]
+            # NULL payloads dead-letter to an all-null feature row instead of
+            # killing the stage (binary columns are nullable by default).
+            feats = [
+                null_row if p is None else _decode_payload(bytes(p))
+                for p in pdf[payload_col]
+            ]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out
@@ -102,10 +108,17 @@ def sample_frames(
     never the blob.
     """
 
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    if max_side < 1:
+        raise ValueError(f"max_side must be >= 1, got {max_side}")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:  # NULL payload → no frames, not a stage crash
+                    continue
                 meta = _decode_payload(bytes(p))
                 w, h = meta["width"], meta["height"]
                 scale = max_side / max(w, h)

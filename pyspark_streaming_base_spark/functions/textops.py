@@ -1,0 +1,35 @@
+"""Shared text expression helpers — the single definition of tokenization
+and shingling used by the dedup queries, the text-analysis queries, and
+the public operator facade. Pure ``pyspark.sql.functions`` expressions
+(JVM-side, no Python in the hot path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped — the canonical tokenizer."""
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+def word_shingles(col: Column) -> Column:
+    """Distinct word 3-shingles as strings (``w1 w2 w3``).
+
+    Built by zipping three shifted slices of the token array — one pass,
+    three array allocations total. The naive per-index ``slice``/
+    ``element_at`` constructions are 3.5×/11× slower (higher-order
+    functions run interpreted, so per-shingle allocations dominate).
+    Documents with <3 tokens yield one whole-text shingle.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    m = F.greatest(n - 2, F.lit(0))
+    z = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m), F.slice(toks, 3, m))
+    return F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -1,0 +1,32 @@
+"""Shared vector expression helpers — dot product and cosine similarity
+over ``array<float>``/``array<double>`` columns as pure built-in
+expression folds (JVM-side, no UDF).
+
+The fold accumulates sequentially in double — the same order DuckDB's
+``list_dot_product`` uses — so similarity values agree bit-for-bit with
+the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dvec(col: str | Column) -> Column:
+    """array<float> → array<double> so the fold accumulates in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (same accumulation order as DuckDB's
+    list_dot_product, so results agree bit-for-bit in double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))

@@ -1,14 +1,18 @@
 """Operator library façade.
 
-The operator implementations live in :mod:`pyspark_streaming_base_spark.queries`
-(registered, oracle-checked) and the reusable expression helpers here give
-library users direct access without going through the registry.
+Reusable expression helpers live in
+:mod:`pyspark_streaming_base_spark.functions` (textops / vectorops /
+multimodal) and the composite operators in this package; the oracle-checked
+query registry (:mod:`pyspark_streaming_base_spark.queries`) builds on the
+same definitions, so library users and the registry can never diverge.
 """
 
-from pyspark_streaming_base_spark.queries.dedup import _shingles as word_shingles
-from pyspark_streaming_base_spark.queries.dedup import _tokens as tokens
-from pyspark_streaming_base_spark.queries.similarity import cosine, dot
-from pyspark_streaming_base_spark.functions.multimodal import decode_features, sample_frames
+from pyspark_streaming_base_spark.functions.textops import tokens, word_shingles
+from pyspark_streaming_base_spark.functions.vectorops import cosine, dot, dvec
+from pyspark_streaming_base_spark.functions.multimodal import (
+    decode_features,
+    sample_frames,
+)
 from pyspark_streaming_base_spark.operators.asof import asof_backward_join
 from pyspark_streaming_base_spark.operators.salting import salted_join
 
@@ -16,6 +20,7 @@ __all__ = [
     "tokens",
     "word_shingles",
     "dot",
+    "dvec",
     "cosine",
     "decode_features",
     "sample_frames",

@@ -37,9 +37,17 @@ def salted_join(
 
     ``salt_on`` is a left column of high cardinality (ideally a unique
     id): the salt is ``xxhash64(salt_on) mod salt_buckets`` — deterministic,
-    so retries/re-runs place rows identically. Only ``inner`` and ``left``
-    joins are legal: under replication, right/full semantics would emit
-    one null-extended row per *unmatched replica* instead of per row.
+    so retries/re-runs place rows identically. Rows where ``salt_on`` IS
+    NULL fall back to a row-position salt (``monotonically_increasing_id``
+    mod n): xxhash64 of NULL is the bare seed, which would pile every
+    NULL-keyed row into ONE bucket — exactly the hot-key shape this
+    operator exists to break. (The fallback is stable within a run and
+    across task retries, but not across re-runs with different input
+    splits; any salt value is *correct* — the right side matches all of
+    them — so this only affects placement, never results.) Only ``inner``
+    and ``left`` joins are legal: under replication, right/full semantics
+    would emit one null-extended row per *unmatched replica* instead of
+    per row.
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
@@ -50,7 +58,13 @@ def salted_join(
     if n < 2:
         raise ValueError("salt_buckets must be >= 2")
     l2 = left.withColumn(
-        _SALT, F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n)).cast("int")
+        _SALT,
+        F.when(
+            F.col(salt_on).isNull(),
+            F.pmod(F.monotonically_increasing_id(), F.lit(n)),
+        )
+        .otherwise(F.pmod(F.xxhash64(F.col(salt_on)), F.lit(n)))
+        .cast("int"),
     )
     # sequence of int literals → explode yields int, matching the left cast
     r2 = right.withColumn(_SALT, F.explode(F.sequence(F.lit(0), F.lit(n - 1))))

@@ -15,34 +15,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_streaming_base_spark.functions.textops import (
+    tokens as _tokens,
+    word_shingles as _shingles,
+)
 from pyspark_streaming_base_spark.queries import query
 from pyspark_streaming_base_spark.queries._tables import t
-
-
-def _tokens(col: F.Column) -> F.Column:
-    """Whitespace tokens, empties dropped — shared by all text-dedup ops."""
-    return F.filter(F.split(col, " "), lambda x: x != "")
-
-
-def _shingles(col: F.Column) -> F.Column:
-    """Distinct word 3-shingles as strings (``w1 w2 w3``).
-
-    Built by zipping three shifted slices of the token array — one pass,
-    three array allocations total. The naive per-index ``slice``/
-    ``element_at`` constructions are 3.5×/11× slower (higher-order
-    functions run interpreted, so per-shingle allocations dominate).
-    Documents with <3 tokens yield one whole-text shingle.
-    """
-    toks = _tokens(col)
-    n = F.size(toks)
-    m = F.greatest(n - 2, F.lit(0))
-    z = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m), F.slice(toks, 3, m))
-    return F.when(
-        n >= 3,
-        F.array_distinct(
-            F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 @query(

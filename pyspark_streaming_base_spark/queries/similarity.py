@@ -22,32 +22,14 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from pyspark_streaming_base_spark.functions.vectorops import cosine, dot, dvec as _dvec
 from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._exact import dsum, sql_dsum
 from pyspark_streaming_base_spark.queries._tables import t
 
 #: Number of query vectors (lowest vec_ids) used by the demo queries.
 _N_QUERIES = 3
 _TOP_K = 10
-
-
-def _dvec(col: str | Column) -> Column:
-    """array<float> → array<double> so the fold accumulates in double."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
-
-
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product — same accumulation order as the DuckDB
-    oracle's list_dot_product, so results agree bit-for-bit in double."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 @query(
@@ -225,30 +207,32 @@ def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(SUM(emb_norm), 6) AS sum_norm
+           {s} AS sum_norm
     FROM (
       SELECT label,
-             SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))) AS emb_norm
+             ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6) AS emb_norm
       FROM embeddings
     )
     GROUP BY label
-    """,
+    """.format(s=sql_dsum("emb_norm")),
 )
 def q62_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats (C18 support op): count + summed L2 norm.
 
-    Norms are per-row (deterministic); the cross-row SUM of irrational
-    norms is rounded to 6 dp — group sizes (~hundreds) keep accumulated
-    float error orders of magnitude below the rounding grid.
+    Each per-row norm is deterministic (identical fold → identical
+    double) and is rounded to 6 dp *before* the sum, which then runs on
+    the exact scaled-int64 path — rounding an order-dependent float SUM
+    after the fact would sit on a rounding-grid knife edge (see
+    ``_exact.py``).
     """
     emb = t(spark, sf_dir, "embeddings")
-    norm = F.sqrt(dot(_dvec("embedding"), _dvec("embedding")))
+    norm = F.round(F.sqrt(dot(_dvec("embedding"), _dvec("embedding"))), 6)
     return (
         emb.select("label", norm.alias("emb_norm"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            F.round(F.sum("emb_norm"), 6).alias("sum_norm"),
+            dsum(F.col("emb_norm")).alias("sum_norm"),
         )
     )

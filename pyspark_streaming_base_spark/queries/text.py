@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_streaming_base_spark.functions.textops import tokens as _tokens
 from pyspark_streaming_base_spark.queries import query
 from pyspark_streaming_base_spark.queries._tables import t
 
@@ -40,7 +41,7 @@ def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document (C19): counts, distinct counts, char
     totals, average token length. Integer-derived doubles are exact."""
     d = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     return d.select(
@@ -84,7 +85,7 @@ def q54_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, no UDF; the ratio is an exact integer quotient in double."""
     d = t(spark, sf_dir, "documents")
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0)))
-    n_ws = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    n_ws = F.size(_tokens(F.col("text")))
     return (
         d.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
         .groupBy("lang")
@@ -119,7 +120,7 @@ def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturation + minimum-length gate, combined linearly. Every term uses
     exact double arithmetic so the score hash-matches the oracle."""
     d = t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
     length_score = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
@@ -177,7 +178,7 @@ def q52_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction is deterministic. Pure array built-ins.
     """
     d = t(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    toks = F.array_distinct(_tokens(F.col("text")))
     base = d.select("doc_id", "lang", toks.alias("toks"))
     hits = {
         lang: F.size(

@@ -36,6 +36,27 @@ def test_decode_features_matches_stub(spark):
             assert got[k] == v, (doc_id, k)
 
 
+def test_null_payloads_dead_letter_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, None), (3, b"xy")], "doc_id long, payload binary"
+    )
+    feats = {r["doc_id"]: r for r in decode_features(df, "payload", "doc_id").collect()}
+    assert feats[2]["digest"] is None and feats[2]["payload_bytes"] is None
+    assert feats[1]["digest"] == _decode_payload(b"abc")["digest"]
+    frames = sample_frames(df, "payload", "doc_id").collect()
+    assert {r["doc_id"] for r in frames} == {1, 3}  # NULL row yields no frames
+
+
+def test_sample_frames_rejects_bad_args(spark):
+    df = spark.createDataFrame([(1, b"a")], "doc_id long, payload binary")
+    import pytest
+
+    with pytest.raises(ValueError):
+        sample_frames(df, "payload", "doc_id", every_k=0)
+    with pytest.raises(ValueError):
+        sample_frames(df, "payload", "doc_id", max_side=0)
+
+
 def test_sample_frames_fanout_and_geometry(spark):
     d, raw = _payloads(spark)
     out = sample_frames(d, "payload", "doc_id", every_k=10, max_side=256).collect()

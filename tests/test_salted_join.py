@@ -49,6 +49,22 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert _multiset(salted) == _multiset(plain)
 
 
+def test_null_salt_on_spreads_and_preserves_rows(spark):
+    # salt_on NULL must not collapse to one bucket, and must not lose rows
+    left = spark.createDataFrame(
+        [(None, 1)] * 200 + [(i, 1) for i in range(20)], "row_id long, k long"
+    ).repartition(8)
+    right = spark.createDataFrame([(1, 99)], "k long, payload long")
+    out = salted_join(
+        left, right, on=["k"], salt_on="row_id", how="inner", salt_buckets=4
+    )
+    assert out.count() == 220
+    salts = left.selectExpr(
+        "CAST(pmod(monotonically_increasing_id(), 4) AS INT) AS s"
+    ).where("row_id IS NULL")
+    assert salts.select("s").distinct().count() > 1
+
+
 def test_salted_join_rejects_outer(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
