@@ -20,6 +20,76 @@ from pyspark_streaming_base_spark.queries._tables import t
 
 
 @query(
+    "q36_resample_ffill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS hv
+      FROM events WHERE user_id <= 10 GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h
+      FROM bounds
+    )
+    SELECT g.user_id, g.h,
+           LAST_VALUE(hourly.hv IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+           CAST(hourly.hv IS NOT NULL AS BIGINT) AS observed
+    FROM grid g
+    LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+    """,
+)
+def q36_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to an hourly grid + forward-fill (gap filling) —
+    the fixed-grid densification every downstream feature pipeline wants
+    and Spark has no built-in for.
+
+    Composition: hourly exact sums → per-key bounds → ``sequence`` +
+    ``explode`` generates the dense grid executor-side (fan-out bounded by
+    each key's own time span, never a global range) → left join observed
+    hours → ``last(…, ignorenulls)`` carries values across gaps.
+
+    Scale: grid generation is O(hours-per-key) per row with no shuffle;
+    the join and the fill window both shuffle on user_id once (same key →
+    AQE can reuse partitioning). The filled value is an exact hourly sum,
+    so the carry is deterministic.
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(unscale(F.sum(scaled(F.col("value")))).alias("hv"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        F.last("hv", ignorenulls=True).over(w).alias("v_ffill"),
+        F.col("hv").isNotNull().cast("bigint").alias("observed"),
+    )
+
+
+@query(
     "q30_topk_per_group",
     oracle="""
     SELECT c_custkey, o_orderkey, o_totalprice, rn
