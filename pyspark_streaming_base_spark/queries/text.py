@@ -254,6 +254,80 @@ def q56_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q57_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents WHERE doc_id < 100
+    ),
+    tf AS (
+      SELECT doc_id, term,
+             CAST(COUNT(*) AS DOUBLE)
+               / SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tok)
+    SELECT doc_id, term, tfidf, rnk
+    FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (n.n / df.df) AS tfidf,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (n.n / df.df) DESC, tf.term
+             ) AS BIGINT) AS rnk
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    WHERE rnk <= 3
+    """,
+)
+def q57_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (C19): term frequency × inverse
+    document frequency, linear-idf variant (``N/df`` instead of
+    ``ln(N/df)``) so every factor is an exact integer ratio — doubles are
+    bit-deterministic across engines, no transcendental rounding risk
+    (Java's and DuckDB's ``ln`` are not both correctly-rounded).
+
+    Scale: one explode → (doc, term) aggregation, one term-level
+    aggregation (both map-side combined), a hash join on term, and the
+    per-doc top-k window (WindowGroupLimit pre-filters). The doc_id < 100
+    block bounds the demo; at 100 TB the same plan runs unblocked.
+    """
+    tok = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    )
+    from pyspark.sql import Window as W
+
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "tf",
+            F.col("cnt").cast("double") / F.sum("cnt").over(W.partitionBy("doc_id")),
+        )
+    )
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = tok.select(F.countDistinct("doc_id").cast("double").alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf") * (F.col("n") / F.col("df")))
+    )
+    wr = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
 #: Per-language sampling rates for the stratified-sample operator, as
 #: 16-bit hex thresholds: keep a row iff the first 4 hex digits of
 #: md5(doc_id) sort below the threshold. int(rate · 65536) → hex.
