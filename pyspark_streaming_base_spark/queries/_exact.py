@@ -5,14 +5,18 @@ merges, DuckDB sums in its own order, so the last few bits differ and an
 exact value-hash comparison fails. Rounding after the fact is unsafe (the
 accumulated error can exceed any fixed rounding grid near a boundary).
 
-Fix: scaled-integer accumulation. The synthetic data contract is money-like
-values with ≤2 decimal digits, so every aggregated expression here —
-including 3-factor products like price×(1−discount)×(1+tax) — is an exact
-multiple of 10⁻⁶. ``round(x·10⁶)`` therefore recovers the exact scaled
-integer from the double on BOTH engines (the double is within ~10⁻⁵ of the
-integer, never near the .5 boundary, so engine rounding-mode differences
-can't bite); int64 sums are associative and engine-independent; the final
-``cast(sum as double)/10⁶`` is deterministic on both sides.
+Fix: scaled-integer accumulation. For the money-like TPC-H columns (≤2
+decimal digits), every aggregated expression — including 3-factor products
+like price×(1−discount)×(1+tax) — is an exact multiple of 10⁻⁶, so
+``round(x·10⁶)`` recovers the exact scaled integer and the sum is EXACT.
+For arbitrary-precision doubles (e.g. ``events.value``) the same scheme is
+still cross-engine DETERMINISTIC (the weaker property the oracle gate
+needs): the ·10⁶ multiply yields the same IEEE double on both engines, and
+both Spark (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB
+(ties away from zero) round any representable tie identically — non-ties
+round identically under any mode. int64 sums are associative and
+engine-independent; the final ``cast(sum as double)/10⁶`` is deterministic
+on both sides.
 
 Why not DECIMAL? Tried both:
 

@@ -90,6 +90,86 @@ def q36_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q37_user_correlation",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS hv
+      FROM events WHERE user_id <= 8 GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(a.hv * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sx,
+             CAST(SUM(CAST(ROUND(b.hv * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sy,
+             CAST(SUM(CAST(ROUND(a.hv * b.hv * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxy,
+             CAST(SUM(CAST(ROUND(a.hv * a.hv * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(SUM(CAST(ROUND(b.hv * b.hv * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS syy
+      FROM hourly a JOIN hourly b ON a.h = b.h AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT user_a, user_b, CAST(n AS BIGINT) AS n_hours,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_r
+    FROM pairs
+    WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+)
+def q37_user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of hourly activity between users —
+    computed from five deterministic scaled-int component sums instead of
+    the built-in ``corr`` (whose streaming accumulation is
+    order-dependent and would not hash-match the oracle). Per-row
+    products are identical IEEE doubles on both engines; the component
+    sums are order-independent int64; the closed-form combine + IEEE
+    sqrt/divide is then bit-deterministic, and the final 6-dp round is
+    safe because its input already agrees bit-for-bit.
+
+    Scale: the hour-aligned self-join shuffles on the hour key; component
+    aggregation is map-side combined per pair — O(pairs) output. Zero-
+    variance pairs are excluded on both sides (NaN vs NULL divergence).
+    """
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 8)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(unscale(F.sum(scaled(F.col("value")))).alias("hv"))
+    a = hourly.select(
+        F.col("user_id").alias("user_a"), "h", F.col("hv").alias("xv")
+    )
+    b = hourly.select(
+        F.col("user_id").alias("user_b"), "h", F.col("hv").alias("yv")
+    )
+    j = a.join(b, "h").filter(F.col("user_a") < F.col("user_b"))
+
+    def ssum(c):  # deterministic scaled component sum
+        return unscale(F.sum(scaled(c)))
+
+    comp = j.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        ssum(F.col("xv")).alias("sx"),
+        ssum(F.col("yv")).alias("sy"),
+        ssum(F.col("xv") * F.col("yv")).alias("sxy"),
+        ssum(F.col("xv") * F.col("xv")).alias("sxx"),
+        ssum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(varx) * F.sqrt(vary)
+    )
+    return (
+        comp.filter((varx > 0) & (vary > 0))
+        .select(
+            "user_a",
+            "user_b",
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.round(corr, 6).alias("corr_r"),
+        )
+    )
+
+
+@query(
     "q30_topk_per_group",
     oracle="""
     SELECT c_custkey, o_orderkey, o_totalprice, rn
