@@ -443,6 +443,46 @@ def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q38_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val
+    FROM (
+      SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+      UNION ALL
+      SELECT p_partkey, 'name_len', CAST(LENGTH(p_name) AS DOUBLE) FROM part
+    )
+    WHERE p_partkey <= 200
+    """,
+)
+def q38_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (wide → long reshape): three per-part metrics become
+    (key, metric, value) rows via ``DataFrame.unpivot`` — the built-in
+    Expand-based form, one scan and zero shuffles, versus the 3× scan a
+    UNION ALL rewrite (the oracle's formulation) costs.
+
+    Values pass through unaggregated, so no float accumulation concerns.
+    """
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").alias("retail"),
+            F.col("p_size").cast("double").alias("size"),
+            F.length("p_name").cast("double").alias("name_len"),
+        )
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["retail", "size", "name_len"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
     "q35_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
