@@ -85,6 +85,37 @@ def test_q1_single_shuffle(spark):
     assert shuffle_count(df) == 1
 
 
+def test_unpivot_is_shuffle_free(spark):
+    # Expand-based unpivot: one scan, zero exchanges
+    df = R["q38_unpivot"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) == 0
+    assert "Expand" in formatted_plan(df)
+
+
+def test_sampling_filter_is_shuffle_free(spark):
+    df = R["q55_stratified_sample"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) == 0
+
+
+def test_tfidf_topk_group_limits(spark):
+    plan = formatted_plan(R["q57_tfidf_topk"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+
+
+def test_ann_bucket_join_carries_no_vectors(spark):
+    # the exploded bucket/dedup phase must not shuffle the 64-dim arrays:
+    # every exchange below the candidate join moves only scalar columns
+    df = R["q61_ann_lsh"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    import re
+
+    # node details are "(N) Exchange\nInput [k]: [col#id, ...]"; the vector
+    # columns are named vec/qvec (vec_id is the scalar key and is fine)
+    for m in re.finditer(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        cols = m.group(1)
+        assert not re.search(r"\b(?:q?vec)#\d+", cols), cols
+
+
 def test_no_python_in_hot_path(spark):
     # relational operators must never cross the Python boundary — JVM
     # expressions only (formatted mode doesn't annotate codegen spans, so
