@@ -1,0 +1,86 @@
+"""Connected components over an edge list — the clustering step a real
+dedup pipeline needs between "near-dup pairs" and "keep one canonical doc
+per group" (pairs are not transitive: A~B and B~C must land A,B,C in one
+group even when A~C was never emitted).
+
+Algorithm: iterative min-label propagation. Every vertex starts labeled
+with itself; each round, every vertex takes the minimum label in its
+closed neighborhood; converges when no label changes — at most
+O(component diameter) rounds. Near-dup graphs are unions of small dense
+clusters (diameter 2-3 typically), so a handful of rounds suffices; the
+``max_iter`` guard turns a pathological chain into an explicit error
+instead of a runaway job.
+
+Scale notes:
+
+* each round is one groupBy shuffle on vertex id over the edge list —
+  O(E) rows; no vertex ever sees more than its neighborhood;
+* ``localCheckpoint`` truncates the lineage each round — without it,
+  the plan doubles per iteration and the driver OOMs planning round ~20
+  long before data size matters;
+* convergence check is a count of changed labels — one action per round
+  (the same aggregate Spark already computed for the join).
+
+Reference design: the "large-star/small-star" formulation (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) halves round
+count on high-diameter graphs; for dedup-shaped graphs plain min-label
+does fewer total shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Return (id, component) where component = min vertex id reachable.
+
+    ``edges`` is an undirected edge list (each pair once is enough);
+    isolated vertices don't appear (callers union them back if needed).
+    Raises RuntimeError if not converged within ``max_iter`` rounds.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetrize once; self-loops drop (they never change a min)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).filter(
+        F.col("a") != F.col("b")
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor minimum: for each vertex, the smallest label adjacent to it
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .select(F.col("a").alias("id"), F.col("label").alias("nbr_label"))
+            .groupBy("id")
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage every round
+        )
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("id", "label")
+        if n_changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "component diameter exceeds the bound; raise max_iter or switch to "
+        "the large-star/small-star variant"
+    )

@@ -230,6 +230,32 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q44_dedup_clusters", oracle=None)  # iterative; union-find-verified in pytest
+def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering (C17 final stage): near-dup pairs are
+    not transitive (A~B, B~C without A~C), so keep-one-per-group needs
+    connected components over the pair graph. Emits (doc_id, canonical)
+    for every clustered doc, canonical = min doc_id of its component —
+    the keep-list is ``canonical == doc_id``.
+
+    Pairs come from q40's exact lang-blocked Jaccard (the verified edge
+    set); components via iterative min-label propagation
+    (``operators/components.py`` — O(E) shuffle per round, lineage
+    truncated per round, diameter-bounded). Rows-only driver check; the
+    pytest twin verifies against a driver-side union-find.
+    """
+    from pyspark_streaming_base_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = q40_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canonical"),
+    )
+
+
 @query("q42_simhash_buckets", oracle=None)  # hash family is engine-specific
 def q42_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + bucket sizes (C17 SimHash variant).

@@ -13,9 +13,51 @@ from pyspark_streaming_base_spark.queries import load_all
 from pyspark_streaming_base_spark.queries._tables import t
 from pyspark_streaming_base_spark.queries.dedup import _shingles
 
-from tests.conftest import SF_SMALL
+from pyspark_streaming_base_spark.operators.components import connected_components
+
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 R = load_all()
+
+
+def test_connected_components_matches_union_find(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 31)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: find(v) for v in parent}
+    assert got == expect
+
+
+def test_dedup_clusters_are_consistent_with_pairs(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in R["q40_ngram_jaccard_pairs"].fn(spark, SF_MEDIUM).collect()
+    }
+    clusters = {
+        r["doc_id"]: r["canonical"]
+        for r in R["q44_dedup_clusters"].fn(spark, SF_MEDIUM).collect()
+    }
+    # every paired doc is clustered, pair members share a component, and
+    # the canonical is the component minimum (itself a clustered member)
+    for a, b in pairs:
+        assert clusters[a] == clusters[b]
+        assert clusters[a] <= min(a, b)
+    for doc, canon in clusters.items():
+        assert clusters[canon] == canon
 
 
 def _shingle_truth_pairs(spark, sf_dir, threshold=0.8):
