@@ -202,6 +202,87 @@ def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") <= _TOP_K).select("qid", "vec_id", "sim_r", "rnk")
 
 
+#: IVF parameters: K coarse cells, nprobe cells searched per query.
+_IVF_K = 16
+_IVF_NPROBE = 2
+
+
+@query("q63_ann_ivf", oracle=None)  # cell assignment is engine-side; pytest checks recall
+def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the cell-probe
+    alternative to q61's LSH: the corpus is partitioned into K coarse
+    cells by nearest centroid; a query scores only the ``nprobe`` cells
+    whose centroids it is closest to.
+
+    The coarse quantizer here is deterministic-by-construction (the K
+    lowest-vec_id vectors serve as centroids — a production system would
+    k-means a sample; the *index structure* is what this operator
+    demonstrates). Rows-only driver check; pytest measures recall against
+    q60's exact top-k.
+
+    Scale: centroids are a K-row broadcast; cell assignment is one
+    broadcast-join scan of the corpus (argmin over K cosines, no
+    shuffle); the probe join is an equi-join on cell id. Versus LSH:
+    IVF's cell count tunes partition granularity directly (K ~ √n), and
+    nprobe trades recall for scan fraction (nprobe/K of the corpus)
+    without re-indexing.
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+        )
+    )
+    # cell = argmin over centroids of (1 - cosine) — computed as argmax
+    # cosine via max_by; one broadcast join, no shuffle of the corpus
+    assigned = (
+        emb.join(cents)
+        .select(
+            "vec_id",
+            "vec",
+            F.col("cent_id"),
+            cosine(F.col("vec"), F.col("cvec")).alias("csim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("vec").alias("vec"),
+            F.max_by("cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("tb"))).alias("cell"),
+        )
+    )
+    # queries probe their nprobe nearest cells
+    q_cells = (
+        emb.filter(F.col("vec_id") < _N_QUERIES)
+        .join(cents)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec").alias("qvec"),
+            "cent_id",
+            cosine(F.col("vec"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn(
+            "prb",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("prb") <= _IVF_NPROBE)
+        .select("qid", "qvec", F.col("cent_id").alias("cell"))
+    )
+    cand = F.broadcast(q_cells).join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
+    ranked = cand.withColumn("sim_r", sim).withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.col("sim_r").desc(), F.col("vec_id")))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= _TOP_K).select("qid", "vec_id", "sim_r", "rnk")
+
+
 @query(
     "q62_centroid_by_label",
     oracle="""

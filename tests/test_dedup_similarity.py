@@ -123,6 +123,22 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.35, f"ANN recall {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    exact = {
+        (r.qid, r.vec_id)
+        for r in R["q60_knn_bruteforce"].fn(spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r.qid, r.vec_id) for r in R["q63_ann_ivf"].fn(spark, SF_SMALL).collect()
+    }
+    assert exact and approx
+    recall = len(approx & exact) / len(exact)
+    # nprobe/K = 2/16 of the corpus scanned; weakly-clustered synthetic
+    # vectors put true neighbors across many cells, so the floor is the
+    # scan fraction's regime, pinned with margin below the measured value.
+    assert recall >= 0.2, f"IVF recall {recall}"
+
+
 def test_exact_dedup_conserves_documents(spark):
     docs = t(spark, SF_SMALL, "documents")
     dedup = R["q22_exact_dedup"].fn(spark, SF_SMALL)
