@@ -1,0 +1,71 @@
+"""Scale-sanity harness: run core operator shapes on N×-replicated inputs.
+
+The sf0.1 fixtures are single-file/single-row-group parquet, so a 1×
+scan is one task no matter how many cores exist — steady-state bench
+numbers at 1× measure a *serial* scan. Replicating the input path N
+times gives Spark N splittable files and shows whether the plan itself
+scales: near-flat wall time up to core count means the operator is
+scan-parallel with O(groups) shuffles; linear growth means something is
+serializing.
+
+Usage: python tools/scale_smoke.py [replications ...]   (default: 1 4 16)
+Prints one line per (query, N): rows, wall seconds.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries._exact import dsum
+from pyspark_streaming_base_spark.session import SessionFactory
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def shapes(spark, n: int):
+    li = spark.read.parquet(*([f"{SF_DIR}/lineitem.parquet"] * n))
+    ords = spark.read.parquet(*([f"{SF_DIR}/orders.parquet"] * n))
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(F.col("l_quantity")).alias("sq"), dsum(disc).alias("sd"),
+             F.count(F.lit(1)).alias("c"))
+    )
+    join_agg = (
+        ords.join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(dsum(F.col("o_totalprice")).alias("rev"), F.count(F.lit(1)).alias("n"))
+    )
+    win = li.select(
+        "l_suppkey",
+        F.row_number()
+        .over(W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    return {"agg": agg, "broadcast_join_agg": join_agg, "window_topk": win}
+
+
+def main() -> None:
+    reps = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = SessionFactory.local(app_name="scale-smoke")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for n in reps:
+        for name, df in shapes(spark, n).items():
+            df.write.format("noop").mode("overwrite").save()  # warm codegen
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            print(f"{name:>20}  x{n:<3} {dt:7.3f}s")
+
+
+if __name__ == "__main__":
+    main()
