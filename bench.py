@@ -58,7 +58,6 @@ def main() -> None:
     # python-worker pool (pandas UDFs), and the shuffle subsystem.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
-    import pandas as pd
     from pyspark.sql import functions as F
 
     inc = F.pandas_udf(lambda s: s + 1, "long")
