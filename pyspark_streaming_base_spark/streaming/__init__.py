@@ -1,4 +1,4 @@
 from pyspark_streaming_base_spark.streaming.equivalence import stream_replay
-from pyspark_streaming_base_spark.streaming.stateful import running_aggregate
+from pyspark_streaming_base_spark.streaming.stateful import running_aggregate, sessionize
 
-__all__ = ["stream_replay", "running_aggregate"]
+__all__ = ["stream_replay", "running_aggregate", "sessionize"]

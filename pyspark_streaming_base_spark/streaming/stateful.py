@@ -54,3 +54,80 @@ def running_aggregate(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE = "start_us long, end_us long, n bigint"
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Timeout-driven sessionization: a user's session CLOSES (emits one
+    row) when the watermark passes ``last_event + gap`` — the
+    "emit when the key goes quiet" pattern that windowed aggregation
+    can't express when the session payload needs custom state.
+
+    Event-time timeout (not processing-time): firing is driven by the
+    data's own clock, so results are replay-deterministic and the state
+    store never outlives the watermark horizon — bounded state at 100 TB.
+    The input must already carry ``withWatermark('ts', …)``.
+
+    Batch twin: q72-style gaps-and-islands; sessions still open at drain
+    end stay in the state store (the twin test accounts for them).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def row(key, s):
+        return {
+            "user_id": key[0],
+            "session_start": pd.Timestamp(s[0], unit="us"),
+            "session_end": pd.Timestamp(s[1], unit="us"),
+            "n_events": s[2],
+        }
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            closed = state.get
+            state.remove()
+            yield pd.DataFrame([row(key, closed)])
+            return
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))  # ns → µs
+        ts.sort()
+        # split this batch (seeded with carried state) into gap-separated
+        # sessions: every session followed by a later event IN EVENT TIME is
+        # closed by that evidence alone, no watermark needed
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t_us in ts:
+            if cur is None:
+                cur = [t_us, t_us, 1]
+            elif t_us - cur[1] <= gap_us:
+                cur[1] = max(cur[1], t_us)
+                cur[2] += 1
+            else:
+                closed.append(cur)
+                cur = [t_us, t_us, 1]
+        close_ms = cur[1] // 1000 + gap_seconds * 1000
+        if close_ms <= state.getCurrentWatermarkMs():
+            # quiet gap already elapsed (a timeout in the past is illegal):
+            # the trailing session is closed as of this batch too
+            closed.append(cur)
+            if state.exists:
+                state.remove()
+        else:
+            state.update(tuple(cur))
+            # close when the watermark passes the quiet gap after the last event
+            state.setTimeoutTimestamp(close_ms)
+        if closed:
+            yield pd.DataFrame([row(key, s) for s in closed])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 from pyspark_streaming_base_spark.app import StreamingApp
 from pyspark_streaming_base_spark.queries._tables import t
 from pyspark_streaming_base_spark.sinks import IdempotentForeachBatchSink
-from pyspark_streaming_base_spark.streaming import stream_replay, running_aggregate
+from pyspark_streaming_base_spark.streaming import (
+    running_aggregate,
+    sessionize,
+    stream_replay,
+)
 
 from tests.conftest import SF_SMALL
 
@@ -184,6 +188,88 @@ def test_running_aggregate_state(spark, tmp_path):
         assert f[uid]["n_events"] == b[uid]["n_events"]
         assert abs(f[uid]["total_value"] - b[uid]["total_value"]) < 1e-6
         assert f[uid]["max_value"] == b[uid]["max_value"]
+
+
+def test_sessionize_event_time_timeout(spark, tmp_path):
+    """Timeout-driven sessions: stage chunks in time order so the watermark
+    advances across micro-batches and event-time timeouts actually fire;
+    every emitted session must exactly match a batch gaps-and-islands
+    session, and quiet gaps must have produced emissions."""
+    gap_s = 600
+    events = (
+        t(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") <= 5)
+        .select("user_id", "ts")
+    )
+    # time-ordered staging: the file source processes files in MODIFICATION
+    # TIME order (a single range-partitioned write gives its part files
+    # arbitrary mtimes → a later-range file first would fast-forward the
+    # watermark and force-close earlier sessions), so write the ts-quartile
+    # chunks sequentially with strictly increasing mtimes
+    import time as _time
+
+    staging = str(tmp_path / "stage")
+    with_s = events.withColumn("ts_s", F.col("ts").cast("long"))
+    bounds = with_s.approxQuantile("ts_s", [0.25, 0.5, 0.75], 0.0)
+    lo = None
+    for hi in [*bounds, None]:
+        chunk = with_s
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts_s") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts_s") <= hi)
+        chunk.drop("ts_s").coalesce(1).write.mode("append").parquet(staging)
+        _time.sleep(1.1)
+        lo = hi
+    reader = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    out = sessionize(reader.withWatermark("ts", "1 second"), gap_seconds=gap_s)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("sessions_test").collect()
+    assert emitted, "no sessions closed — event-time timeouts never fired"
+
+    # batch truth: gaps-and-islands with the same gap
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy("ts")
+    batch = (
+        events.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            (
+                F.col("prev").isNull()
+                | ((F.col("ts").cast("long") - F.col("prev").cast("long")) > gap_s)
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    truth = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    for r in emitted:
+        key = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert key in truth, f"emitted session not in batch truth: {key}"
+    # completeness: at most one session per user can still be open in state
+    n_users = events.select("user_id").distinct().count()
+    assert len(emitted) >= len(truth) - n_users
 
 
 # -- idempotent foreachBatch sink ------------------------------------------
