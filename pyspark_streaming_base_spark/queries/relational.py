@@ -483,6 +483,43 @@ def q38_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q39_histogram",
+    oracle="""
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max
+    FROM (
+      SELECT o_totalprice,
+             CAST(LEAST(FLOOR(o_totalprice / 25000.0), 19) AS BIGINT) AS bin
+      FROM orders
+    )
+    GROUP BY bin
+    """,
+)
+def q39_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 bins of 25k, top bin
+    clamped): ``floor(x/w)`` binning is engine-portable (no width_bucket
+    dialect differences) and exact — the division of a 2-decimal value by
+    a power-of-ten-scaled constant and the floor both agree bit-for-bit.
+
+    Scale: single scan, shuffle carries 20 groups — the degenerate-cheap
+    aggregation shape; per-bin min/max come free in the same pass.
+    """
+    o = t(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 25000.0), F.lit(19)).cast("bigint")
+    return (
+        o.select("o_totalprice", bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
+
+
+@query(
     "q35_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
