@@ -328,6 +328,61 @@ def q57_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-Min Sketch geometry: d hash rows × w buckets. Error ≤ 2N/w with
+#: probability 1 − (1/2)^d; w=1024 at N≈50k tokens → ≤ ~100 overcount.
+_CMS_D = 4
+_CMS_W = 1024
+
+
+@query("q58_countmin_freq", oracle=None)  # sketch is hash-defined; pytest pins bounds
+def q58_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch term frequencies (novel-sketch op): the sketch is
+    built distributively — each token occurrence lands in ``d`` (row,
+    bucket) cells via salted xxhash64, one groupBy — and point estimates
+    are the min over the ``d`` cells. Output compares the estimate to the
+    exact count for the 20 most frequent terms: CMS guarantees
+    ``est ≥ true`` always and bounds the overestimate by the sketch
+    width (pinned in pytest).
+
+    Scale: the sketch is ``d·w`` cells REGARDLESS of corpus size — the
+    point of a sketch; merging shards is cell-wise addition (the same
+    groupBy), so 1000 executors build one sketch with no coordination.
+    """
+    tok = t(spark, sf_dir, "documents").select(
+        F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    rows = tok.select(
+        "term",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_CMS_D)])
+        ).alias("row_i"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("term", "row_i"), F.lit(_CMS_W)))
+    sketch = rows.groupBy("row_i", "bucket").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "term")
+        .limit(20)
+    )
+    probes = F.broadcast(top).select(
+        "term",
+        "true_count",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("row_i"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("term", "row_i"), F.lit(_CMS_W)))
+    return (
+        probes.join(sketch, ["row_i", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("cell_count").cast("bigint").alias("est_count"))
+        .select(
+            "term",
+            F.col("true_count").cast("bigint").alias("true_count"),
+            "est_count",
+        )
+    )
+
+
 #: Per-language sampling rates for the stratified-sample operator, as
 #: 16-bit hex thresholds: keep a row iff the first 4 hex digits of
 #: md5(doc_id) sort below the threshold. int(rate · 65536) → hex.

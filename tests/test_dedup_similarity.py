@@ -147,3 +147,16 @@ def test_exact_dedup_conserves_documents(spark):
     ).collect()[0]
     assert stats["total"] == docs.count()
     assert stats["uniq"] <= docs.count()
+
+
+def test_countmin_overestimate_bounds(spark):
+    rows = R["q58_countmin_freq"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    total_err = 0
+    for r in rows:
+        assert r["est_count"] >= r["true_count"], r  # CMS never undercounts
+        total_err += r["est_count"] - r["true_count"]
+    # w=1024 at ~50k sf0.001 tokens → expected overcount per probe ≈ N/w ≈ 50;
+    # bound the MEAN overcount with generous margin (deterministic hashes →
+    # stable run-to-run)
+    assert total_err / len(rows) < 500, total_err
