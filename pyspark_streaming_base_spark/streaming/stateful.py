@@ -24,35 +24,51 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, max_value 
 STATE_SCHEMA = "n bigint, total double, mx double"
 
 
-def _update(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterable[pd.DataFrame]:
-    (n, total, mx) = state.get if state.exists else (0, 0.0, float("-inf"))
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        mx = max(mx, float(pdf["value"].max()))
-    state.update((n, total, mx))
-    yield pd.DataFrame(
-        [{"user_id": key[0], "n_events": n, "total_value": total, "max_value": mx}]
-    )
-
-
-def running_aggregate(events: DataFrame) -> DataFrame:
+def running_aggregate(events: DataFrame, idle_timeout_seconds: int = 0) -> DataFrame:
     """Per-user running (count, sum, max) over ``value`` with explicit state.
 
     Works on a streaming DataFrame (state persists across micro-batches,
     update mode) — the batch equivalent is a plain groupBy, which the tests
     use as the oracle.
+
+    ``idle_timeout_seconds > 0`` evicts a key's state after that much
+    processing-time silence — the knob that keeps keyed state bounded
+    under key churn (the classic streaming OOM). Eviction RESETS that
+    key's running totals if it ever reappears; leave at 0 only when the
+    key space itself is bounded.
     """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_seconds > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle key evicted; nothing to emit
+            return
+        (n, total, mx) = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        if idle_timeout_seconds > 0:
+            state.setTimeoutDuration(idle_timeout_seconds * 1000)
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total, "max_value": mx}]
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update,
+        update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -96,20 +112,31 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         for pdf in pdfs:
             ts.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))  # ns → µs
         ts.sort()
-        # split this batch (seeded with carried state) into gap-separated
-        # sessions: every session followed by a later event IN EVENT TIME is
-        # closed by that evidence alone, no watermark needed
-        cur = list(state.get) if state.exists else None
-        closed = []
+        # split this batch into gap-separated sessions, then MERGE the
+        # carried state in as an interval: late events (older than the
+        # carried session, admitted by watermark lateness) form or extend
+        # earlier sessions correctly instead of inflating the current one.
+        batch_sessions: list[list[int]] = []
         for t_us in ts:
-            if cur is None:
-                cur = [t_us, t_us, 1]
-            elif t_us - cur[1] <= gap_us:
-                cur[1] = max(cur[1], t_us)
-                cur[2] += 1
+            if batch_sessions and t_us - batch_sessions[-1][1] <= gap_us:
+                last = batch_sessions[-1]
+                last[1] = max(last[1], t_us)
+                last[2] += 1
             else:
-                closed.append(cur)
-                cur = [t_us, t_us, 1]
+                batch_sessions.append([t_us, t_us, 1])
+        if state.exists:
+            batch_sessions.append(list(state.get))
+            batch_sessions.sort(key=lambda s: s[0])
+        merged: list[list[int]] = []
+        for s in batch_sessions:
+            if merged and s[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
+            else:
+                merged.append(s)
+        # every session followed by a later one is closed by event-time
+        # evidence alone; only the trailing session can still be open
+        closed, cur = merged[:-1], merged[-1]
         close_ms = cur[1] // 1000 + gap_seconds * 1000
         if close_ms <= state.getCurrentWatermarkMs():
             # quiet gap already elapsed (a timeout in the past is illegal):

@@ -272,6 +272,52 @@ def test_sessionize_event_time_timeout(spark, tmp_path):
     assert len(emitted) >= len(truth) - n_users
 
 
+def test_sessionize_late_event_forms_own_session(spark, tmp_path):
+    """A late event (older than the carried session, admitted by watermark
+    lateness) must form its own earlier session — not silently inflate the
+    current one (the signed-gap bug)."""
+    import datetime as dt
+    import time as _time
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+
+    def mk(*ts):
+        return spark.createDataFrame([(1, t) for t in ts], "user_id long, ts timestamp")
+
+    staging = str(tmp_path / "stage")
+    mk(base).coalesce(1).write.mode("append").parquet(staging)  # 10:00
+    _time.sleep(1.1)
+    # batch 2: late 08:00 (within 3h lateness) + 10:05 continuation
+    mk(base - dt.timedelta(hours=2), base + dt.timedelta(minutes=5)).coalesce(
+        1
+    ).write.mode("append").parquet(staging)
+    _time.sleep(1.1)
+    # batch 3: far-future event closes everything via watermark
+    mk(base + dt.timedelta(days=2)).coalesce(1).write.mode("append").parquet(staging)
+
+    reader = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    out = sessionize(reader.withWatermark("ts", "3 hours"), gap_seconds=600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("late_sessions").collect()
+    }
+    assert (base - dt.timedelta(hours=2), base - dt.timedelta(hours=2), 1) in got
+    assert (base, base + dt.timedelta(minutes=5), 2) in got
+
+
 # -- idempotent foreachBatch sink ------------------------------------------
 
 

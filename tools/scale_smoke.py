@@ -14,10 +14,12 @@ Prints one line per (query, N): rows, wall seconds.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -25,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark_streaming_base_spark.queries._exact import dsum
 from pyspark_streaming_base_spark.session import SessionFactory
 
-SF_DIR = "/root/testdata/sf0.1"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def shapes(spark, n: int):
