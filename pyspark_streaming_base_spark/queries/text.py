@@ -383,6 +383,70 @@ def q58_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Token budget per training shard for the packing operator.
+_SHARD_BUDGET = 2000
+
+
+@query(
+    "q59_token_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(FLOOR(
+               (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+               / {_SHARD_BUDGET}.0) AS BIGINT) AS shard_id
+      FROM toks
+    )
+    SELECT lang, shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packed
+    GROUP BY lang, shard_id
+    """,
+)
+def q59_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-pipeline op): assign documents to
+    token-budget shards — contiguous greedy packing by running token
+    count within each language stream. A shard holds docs whose
+    *preceding* cumulative tokens fall in the same budget window, so
+    every shard except the last lands within one document of the budget.
+
+    Pure integer math (token counts, cumsum, floor division) → exact
+    oracle. Scale: the cumsum window partitions by ``lang`` (the shard
+    stream), never globally — one shuffle; shard stats are a second
+    narrow aggregation. At 100 TB the stream key would be
+    (lang, date-bucket) to bound partition size.
+    """
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens(F.col("text"))).cast("bigint")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = d.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(_SHARD_BUDGET)).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
+
+
 #: Per-language sampling rates for the stratified-sample operator, as
 #: 16-bit hex thresholds: keep a row iff the first 4 hex digits of
 #: md5(doc_id) sort below the threshold. int(rate · 65536) → hex.
