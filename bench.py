@@ -75,6 +75,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
+    try:
+        load1 = round(os.getloadavg()[0], 2)  # ambient-load context for
+    except OSError:  # pragma: no cover       # cross-run comparability
+        load1 = None
     print(
         json.dumps(
             {
@@ -83,6 +87,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "load_avg_1m": load1,
             }
         )
     )
