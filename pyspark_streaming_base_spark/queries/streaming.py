@@ -18,8 +18,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._exact import sql_dsum, dsum
+from pyspark_streaming_base_spark.queries._exact import dsum, scaled, sql_dsum, unscale
 from pyspark_streaming_base_spark.queries._tables import t
+
+
+@query(
+    "q76_hier_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS total_value,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def q76_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the DAILY aggregate is
+    computed FROM the hourly partials (sum-of-sums, count-of-counts,
+    max-of-maxes), never from raw rows — while the oracle aggregates raw
+    directly, so a PASS proves the re-aggregation is lossless. That
+    mergeability is what makes continuous aggregates maintainable at
+    100 TB: each arriving hour updates one hourly partial, and coarser
+    levels fold partials instead of rescanning history.
+
+    All three aggregates are mergeable by construction: scaled-int sums
+    are associative, counts add, max composes. AVG-style ratios must be
+    derived from (sum, count) partials — never averaged across levels.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(scaled(F.col("value"))).alias("sv"),  # keep the SCALED partial
+        F.max("value").alias("max_value"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "hour").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        unscale(F.sum("sv")).alias("total_value"),
+        F.round(F.max("max_value"), 6).alias("max_value"),
+    )
+    return daily
 
 
 @query(
