@@ -14,6 +14,7 @@ from pyspark_streaming_base_spark.functions.multimodal import (
     sample_frames,
 )
 from pyspark_streaming_base_spark.operators.asof import asof_backward_join
+from pyspark_streaming_base_spark.operators.rangejoin import banded_range_join
 from pyspark_streaming_base_spark.operators.salting import salted_join
 
 __all__ = [
@@ -26,4 +27,5 @@ __all__ = [
     "sample_frames",
     "asof_backward_join",
     "salted_join",
+    "banded_range_join",
 ]
