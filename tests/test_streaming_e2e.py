@@ -318,6 +318,63 @@ def test_sessionize_late_event_forms_own_session(spark, tmp_path):
     assert (base, base + dt.timedelta(minutes=5), 2) in got
 
 
+def test_continuous_rollup_maintenance(spark, tmp_path):
+    """Continuous-aggregate pattern (q76's mergeability, incrementally):
+    each micro-batch appends its own hourly PARTIALS (count + scaled sum)
+    via foreachBatch; partials from different batches for the same hour
+    coexist and the read-side fold re-aggregates them. The folded daily
+    result must equal the one-shot batch aggregate over all events."""
+    from pyspark_streaming_base_spark.queries._exact import scaled, unscale
+
+    events = t(spark, SF_SMALL, "events").select("ts", "event_type", "value")
+    staging, partials = str(tmp_path / "stage"), str(tmp_path / "partials")
+    events.repartition(3).write.mode("overwrite").parquet(staging)
+
+    def upsert_partials(batch_df, batch_id):
+        (
+            batch_df.groupBy(
+                F.date_trunc("hour", "ts").alias("hour"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(scaled(F.col("value"))).alias("sv"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials)
+        )
+
+    q = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(upsert_partials)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    folded = (
+        spark.read.parquet(partials)
+        .groupBy(F.date_trunc("day", "hour").cast("date").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            unscale(F.sum("sv")).alias("total_value"),
+        )
+    )
+    truth = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        unscale(F.sum(scaled(F.col("value")))).alias("total_value"),
+    )
+    cols = ["day", "event_type", "n_events", "total_value"]
+    assert _rows(folded, cols) == _rows(truth, cols)
+    # the partial table really is incremental: >1 batch contributed
+    assert spark.read.parquet(partials).select("batch_id").distinct().count() > 1
+
+
 # -- idempotent foreachBatch sink ------------------------------------------
 
 
