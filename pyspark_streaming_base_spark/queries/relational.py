@@ -483,6 +483,45 @@ def q38_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q65_null_funcs",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(nullif(c_acctbal, 0.0)) AS BIGINT) AS n_nonzero,
+           {s} AS adj_total,
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+    FROM (
+      SELECT c_mktsegment, c_acctbal,
+             COALESCE(nullif(c_acctbal, 0.0), -1.0) AS adj
+      FROM customer
+    )
+    GROUP BY c_mktsegment
+    """.format(s=sql_dsum("adj")),
+)
+def q65_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling function coverage (nullif / coalesce / conditional
+    count): zero balances become NULL, NULLs backfill to a sentinel, and
+    COUNT(expr) skips the NULLs — the exact semantics a cleaning pipeline
+    leans on. Single scan, one narrow aggregation."""
+    c = t(spark, sf_dir, "customer")
+    adj = F.coalesce(F.nullif(F.col("c_acctbal"), F.lit(0.0)), F.lit(-1.0))
+    return (
+        c.select("c_mktsegment", "c_acctbal", adj.alias("adj"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count(F.nullif(F.col("c_acctbal"), F.lit(0.0)))
+            .cast("bigint")
+            .alias("n_nonzero"),
+            dsum(F.col("adj")).alias("adj_total"),
+            F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+    )
+
+
+@query(
     "q39_histogram",
     oracle="""
     SELECT bin,

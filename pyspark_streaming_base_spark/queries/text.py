@@ -383,6 +383,51 @@ def q58_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q64_normalize_text",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS raw_distinct,
+           CAST(COUNT(DISTINCT norm) AS BIGINT) AS norm_distinct,
+           CAST(COUNT(DISTINCT md5(norm)) AS BIGINT) AS norm_fps
+    FROM (
+      SELECT lang, text,
+             TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def q64_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for dedup preprocessing (C19): lowercase, strip
+    non-alphanumerics, collapse runs of spaces, trim — then count how many
+    raw-distinct docs collapse to the same normal form per language (the
+    signal that exact dedup should run on ``norm``, not ``text``).
+
+    The regex subset (`[^a-z0-9 ]`, `' +'`) behaves identically in Java
+    regex and RE2; Spark's regexp_replace is global by default, DuckDB
+    takes the 'g' flag.
+    """
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("lang", "text", norm.alias("norm"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("text").cast("bigint").alias("raw_distinct"),
+            F.countDistinct("norm").cast("bigint").alias("norm_distinct"),
+            F.countDistinct(F.md5(F.col("norm"))).cast("bigint").alias("norm_fps"),
+        )
+    )
+
+
 #: Token budget per training shard for the packing operator.
 _SHARD_BUDGET = 2000
 
