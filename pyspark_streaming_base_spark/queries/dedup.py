@@ -137,11 +137,13 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.band_hash").alias("band_hash"))
-    # Self-join as a SHUFFLE_HASH join (not AQE's broadcast pick): both
-    # sides' exchanges on (band_idx, band_hash) are then canonically
-    # identical, so ReusedExchange computes the shingle→MinHash pipeline
-    # ONCE; a broadcast plan materializes it twice. This is also the only
-    # shape that exists at 100 TB, where neither side is broadcastable.
+    # SHUFFLE_HASH keeps AQE from picking a broadcast band join (measured
+    # ~1.6× slower here, and the only legal shape at 100 TB where neither
+    # side broadcasts). The signature pipeline computes once per join
+    # side; at scale the signature table would be PERSISTED as the index
+    # and both sides would read the materialization — locally, a
+    # localCheckpoint was measured cost-neutral (write+read ≈ recompute)
+    # so the query stays side-effect-free.
     stacked = stacked.hint("shuffle_hash")
     l, r = stacked.alias("l"), stacked.alias("r")
     cand = (
