@@ -522,6 +522,69 @@ def q65_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q66_interval_containment",
+    oracle="""
+    SELECT p.o_orderkey AS probe_key,
+           CAST(COUNT(i.o_orderkey) AS BIGINT) AS n_covering
+    FROM (SELECT * FROM orders WHERE o_orderkey % 100 = 0) p
+    LEFT JOIN orders i
+      ON i.o_orderpriority = p.o_orderpriority
+     AND i.o_orderkey <> p.o_orderkey
+     AND CAST(CAST(p.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           BETWEEN CAST(CAST(i.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AND CAST(CAST(i.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 30
+    GROUP BY p.o_orderkey
+    """,
+)
+def q66_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment count via the banded range join (C5's pure
+    range case): for each probe order, how many same-priority orders
+    opened a 30-day window covering its date. The band equi-join
+    (``operators/rangejoin.py``) replaces the nested loop the BETWEEN
+    would otherwise plan; the oracle states the naive inequality join.
+
+    LEFT-count semantics are reconstructed from the inner banded join by
+    re-attaching zero-match probes (banding is inner-only by design).
+    """
+    from pyspark_streaming_base_spark.operators.rangejoin import banded_range_join
+
+    o = t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    probes = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("probe_key"),
+        F.col("o_orderpriority").alias("p_prio"),
+        days.cast("bigint").cast("double").alias("v"),
+    )
+    intervals = o.select(
+        F.col("o_orderkey").alias("int_key"),
+        F.col("o_orderpriority").alias("i_prio"),
+        days.cast("bigint").cast("double").alias("lo"),
+        (days.cast("bigint") + 30).cast("double").alias("hi"),
+    )
+    joined = banded_range_join(
+        probes,
+        intervals,
+        value="v",
+        lo="lo",
+        hi="hi",
+        band_width=31.0,
+        extra_cond=(F.col("p_prio") == F.col("i_prio"))
+        & (F.col("probe_key") != F.col("int_key")),
+    )
+    counts = joined.groupBy("probe_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_covering")
+    )
+    return (
+        probes.select("probe_key")
+        .join(counts, "probe_key", "left")
+        .select(
+            "probe_key",
+            F.coalesce(F.col("n_covering"), F.lit(0)).cast("bigint").alias("n_covering"),
+        )
+    )
+
+
+@query(
     "q39_histogram",
     oracle="""
     SELECT bin,
