@@ -258,6 +258,119 @@ def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q45_dedup_pipeline", oracle=None)  # composes iterative clustering; rows-only
+def q45_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline composed end-to-end (capstone for C16+C17):
+
+    1. normalize text (lower/strip/collapse — q64's transform);
+    2. EXACT dedup on the normal form (keep min doc_id per norm-hash);
+    3. NEAR-dup candidates among survivors via MinHash+LSH banding with
+       exact-Jaccard verification (q41's machinery);
+    4. transitive closure of near-dup pairs (connected components);
+    5. emit the verdict per document: ``kept``, ``exact_dup`` (of its
+       norm-group keeper), or ``near_dup`` (of its cluster canonical).
+
+    Output: (doc_id, verdict, canonical). Rows-only driver check; every
+    stage is individually oracle- or property-checked by q22/q40/q41/q44.
+    Scale: each stage keeps its own shape (hash-groupBy / band join /
+    O(E)-per-round components) — composing them adds no new shuffle class.
+    """
+    from pyspark_streaming_base_spark.operators.components import (
+        connected_components,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    base = d.select("doc_id", "text", F.md5(norm).alias("norm_fp"))
+    keeper = base.groupBy("norm_fp").agg(F.min("doc_id").alias("keeper_id"))
+    tagged = base.join(keeper, "norm_fp")
+    survivors = tagged.filter(F.col("doc_id") == F.col("keeper_id")).select(
+        "doc_id", "text"
+    )
+
+    # near-dup pairs among survivors: same MinHash->band->verify pipeline
+    # as q41, applied to the deduped corpus
+    hb = survivors.select(
+        "doc_id", F.transform(_shingles(F.col("text")), lambda s: F.xxhash64(s)).alias("hb")
+    )
+    mins = hb.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("hb"), lambda x, i=i: F.xxhash64(x, F.lit(i)))
+            ).alias(f"h{i}")
+            for i in range(_N_PERM)
+        ],
+    )
+    stacked = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_N_PERM // _BAND_SIZE)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band_hash").hint("shuffle_hash")
+    l, r = stacked.alias("l"), stacked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = survivors.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    sb = survivors.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    pairs = (
+        sa.join(F.broadcast(cand), "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "j",
+            F.size(F.array_intersect(_shingles(F.col("ta")), _shingles(F.col("tb")))).cast(
+                "double"
+            )
+            / F.size(F.array_union(_shingles(F.col("ta")), _shingles(F.col("tb")))),
+        )
+        .filter(F.col("j") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+
+    verdict = (
+        tagged.select("doc_id", "keeper_id")
+        .join(comp.withColumnRenamed("id", "keeper_id"), "keeper_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keeper_id"), F.lit("exact_dup"))
+            .when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("keeper_id")),
+                F.lit("near_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+            F.coalesce(F.col("component"), F.col("keeper_id"))
+            .cast("bigint")
+            .alias("canonical"),
+        )
+    )
+    return verdict
+
+
 @query("q42_simhash_buckets", oracle=None)  # hash family is engine-specific
 def q42_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + bucket sizes (C17 SimHash variant).

@@ -160,3 +160,18 @@ def test_countmin_overestimate_bounds(spark):
     # bound the MEAN overcount with generous margin (deterministic hashes →
     # stable run-to-run)
     assert total_err / len(rows) < 500, total_err
+
+
+def test_dedup_pipeline_verdicts_consistent(spark):
+    docs = t(spark, SF_SMALL, "documents")
+    out = R["q45_dedup_pipeline"].fn(spark, SF_SMALL).collect()
+    assert len(out) == docs.count()  # one verdict per document
+    verdicts = {r["doc_id"]: (r["verdict"], r["canonical"]) for r in out}
+    n_kept = sum(1 for v, _ in verdicts.values() if v == "kept")
+    assert 0 < n_kept < len(verdicts)  # fixture contains dups
+    for doc, (v, canon) in verdicts.items():
+        if v == "kept":
+            assert canon == doc
+        else:
+            # every canonical must itself be a kept document
+            assert verdicts[canon][0] == "kept", (doc, v, canon)
