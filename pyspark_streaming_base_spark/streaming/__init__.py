@@ -1,4 +1,13 @@
 from pyspark_streaming_base_spark.streaming.equivalence import stream_replay
-from pyspark_streaming_base_spark.streaming.stateful import running_aggregate, sessionize
+from pyspark_streaming_base_spark.streaming.stateful import (
+    running_aggregate,
+    running_aggregate_tws,
+    sessionize,
+)
 
-__all__ = ["stream_replay", "running_aggregate", "sessionize"]
+__all__ = [
+    "stream_replay",
+    "running_aggregate",
+    "running_aggregate_tws",
+    "sessionize",
+]

@@ -72,6 +72,70 @@ def running_aggregate(events: DataFrame, idle_timeout_seconds: int = 0) -> DataF
     )
 
 
+def running_aggregate_tws(events: DataFrame, ttl_ms: int = 0) -> DataFrame:
+    """``running_aggregate`` on the transformWithState API (Spark 4's
+    successor to applyInPandasWithState): typed ValueState, optional
+    native state TTL (per-key eviction without hand-rolled timeout
+    plumbing), and a processor object that composes init/input/timer
+    hooks.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``) — the right store at scale anyway
+    (state spills off-heap instead of living on the JVM heap) — and the
+    ``protobuf`` package (Spark's TWS driver-worker protocol; not
+    installed in every environment, hence the explicit gate here instead
+    of a crashed executor later).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pip install protobuf); use running_aggregate() on "
+            "applyInPandasWithState otherwise"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", STATE_SCHEMA, ttlDurationMs=ttl_ms or None
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get() if self._state.exists() else None
+            (n, total, mx) = got if got is not None else (0, 0.0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "total_value": total,
+                        "max_value": mx,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningAgg(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )

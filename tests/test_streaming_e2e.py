@@ -375,6 +375,67 @@ def test_continuous_rollup_maintenance(spark, tmp_path):
     assert spark.read.parquet(partials).select("batch_id").distinct().count() > 1
 
 
+def test_running_aggregate_tws(spark, tmp_path):
+    """transformWithState twin of running_aggregate — auto-skips where the
+    protobuf package (TWS worker protocol) is unavailable."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark_streaming_base_spark.streaming.stateful import running_aggregate_tws
+
+    events = t(spark, SF_SMALL, "events").select("ts", "user_id", "value").filter(
+        "user_id <= 3"
+    )
+    staging = str(tmp_path / "stage")
+    events.repartition(3).write.parquet(staging)
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        reader = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        q = (
+            running_aggregate_tws(reader)
+            .writeStream.format("memory")
+            .queryName("tws_agg")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = {
+            r["user_id"]: r["n"]
+            for r in spark.table("tws_agg")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n"))
+            .collect()
+        }
+        truth = {r["user_id"]: r["count"] for r in events.groupBy("user_id").count().collect()}
+        assert final == truth
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_running_aggregate_tws_raises_without_protobuf(spark):
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from pyspark_streaming_base_spark.streaming.stateful import running_aggregate_tws
+
+    with pytest.raises(RuntimeError, match="protobuf"):
+        running_aggregate_tws(t(spark, SF_SMALL, "events"))
+
+
 # -- idempotent foreachBatch sink ------------------------------------------
 
 
