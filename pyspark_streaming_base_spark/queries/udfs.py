@@ -21,6 +21,63 @@ from pyspark_streaming_base_spark.queries._tables import t
 
 
 @query(
+    "q67_groupwise_zscore",
+    oracle="""
+    WITH comp AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sx,
+             CAST(SUM(CAST(ROUND(value * value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sxx
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id,
+           ROUND((e.value - comp.sx / comp.n)
+                 / SQRT(comp.sxx / comp.n - (comp.sx / comp.n) * (comp.sx / comp.n)),
+                 6) AS z
+    FROM events e JOIN comp ON e.user_id = comp.user_id
+    WHERE comp.n > 1 AND comp.sxx / comp.n > (comp.sx / comp.n) * (comp.sx / comp.n)
+    """,
+)
+def q67_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` (C25's remaining tier): per-user
+    z-score normalization, the canonical grouped-map example.
+
+    Determinism: mean and variance come from scaled-int64 component sums
+    computed with numpy inside the UDF — the SAME integers the oracle's
+    SQL computes — so the derived doubles agree bit-for-bit and the final
+    6-dp round is safe (a naive ``pdf.value.mean()/std()`` would sum in
+    numpy's pairwise order and drift from the oracle near the grid).
+
+    Scale: one shuffle on user_id; each group's columns cross to Python
+    once via Arrow; output is row-for-row with the input.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        n = float(len(v))
+        # floor(x+0.5) = round-half-away for the (all-positive) values,
+        # matching DuckDB ROUND exactly; np.rint would round half-EVEN
+        # and diverge on exact .5 ties
+        sx = float(np.floor(v * 1e6 + 0.5).astype(np.int64).sum()) / 1e6
+        sxx = float(np.floor(v * v * 1e6 + 0.5).astype(np.int64).sum()) / 1e6
+        mean = sx / n
+        var = sxx / n - mean * mean
+        if n <= 1 or var <= 0:
+            return pdf.iloc[0:0][["user_id", "event_id"]].assign(z=np.float64())
+        z = np.round((v - mean) / np.sqrt(var), 6)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "z": z}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="user_id bigint, event_id bigint, z double"
+    )
+
+
+@query(
     "q28_udaf_weighted_avg",
     oracle="""
     SELECT l_returnflag,
