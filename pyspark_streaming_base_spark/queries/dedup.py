@@ -34,11 +34,13 @@ from pyspark_streaming_base_spark.queries._tables import t
     FROM
       (SELECT doc_id, lang,
               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
-       FROM documents) a
+       FROM documents
+       WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0) a
       JOIN
       (SELECT doc_id, lang,
               list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
-       FROM documents) b
+       FROM documents
+       WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0) b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
@@ -52,11 +54,19 @@ def q40_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tests and for LSH candidates. Jaccard = |A∩B| / |A∪B| over distinct
     tokens; integer ratio → bit-exact double on both engines.
     """
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.array_distinct(_tokens(F.col("text"))).alias("toks"),
-        F.size(F.array_distinct(_tokens(F.col("text")))).alias("nt"),
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(_tokens(F.col("text"))).alias("toks"),
+            F.size(F.array_distinct(_tokens(F.col("text")))).alias("nt"),
+        )
+        # explicit empty-doc guard: nt = 0 would make jaccard 0/0 = NaN,
+        # and Spark's NaN >= 0.8 is TRUE (NaN sorts greatest) while DuckDB
+        # differs — a cross-engine divergence waiting for an empty fixture
+        # row. Mirrored in the oracle's WHERE len(...) > 0.
+        .filter(F.col("nt") > 0)
     )
     # spread the probe side: the fixture is a single row group, so without
     # this the broadcast pair join streams through ONE task and the whole

@@ -150,9 +150,9 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q72_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes'
+                       >= INTERVAL '30 minutes'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -160,7 +160,7 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbered AS (
       SELECT user_id, ts, value,
              SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_no
       FROM flagged
@@ -181,6 +181,12 @@ def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the classic gaps-and-islands rewrite (lag → new-session flag
     → running count → group), which defines identical sessions. Session end
     is last event + gap in both.
+
+    Boundary semantics: Spark sessions are half-open ``[start, last+gap)``
+    — an event at EXACTLY ``last + gap`` starts a new session — so the
+    oracle's new-session test is ``>=`` the gap, not ``>``. The running-sum
+    window orders by ``(ts, event_id)`` to match the LAG's tiebreak, so
+    duplicate timestamps at a session boundary number deterministically.
     """
     ev = t(spark, sf_dir, "events")
     sw = F.session_window("ts", "30 minutes")

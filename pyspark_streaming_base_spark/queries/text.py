@@ -112,13 +112,19 @@ def q54_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
           / len(list_filter(string_split(text, ' '), x -> x <> '')) AS distinct_ratio,
         LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS length_score
       FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
     )
     """,
 )
 def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality score (C19): lexical diversity + length
     saturation + minimum-length gate, combined linearly. Every term uses
-    exact double arithmetic so the score hash-matches the oracle."""
+    exact double arithmetic so the score hash-matches the oracle.
+
+    Empty/whitespace-only docs are filtered on BOTH sides (n_tokens > 0):
+    the distinct-token ratio would otherwise be 0/0 — NaN on Spark,
+    engine-dependent in DuckDB — so the guard is explicit rather than
+    fixture-dependent."""
     d = t(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
@@ -129,7 +135,7 @@ def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.cast("bigint").alias("n_tokens"),
         distinct_ratio.alias("distinct_ratio"),
         length_score.alias("length_score"),
-    )
+    ).filter(F.col("n_tokens") > 0)
     return base.select(
         "doc_id",
         "n_tokens",

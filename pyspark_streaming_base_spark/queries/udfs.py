@@ -80,11 +80,18 @@ def q67_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q28_udaf_weighted_avg",
     oracle="""
+    WITH comp AS (
+      SELECT l_returnflag,
+             SUM(CAST(ROUND(l_extendedprice * l_quantity * 1000000.0, 0) AS BIGINT))
+               AS sxq,
+             SUM(CAST(ROUND(l_quantity * 1000000.0, 0) AS BIGINT)) AS sq
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
-             AS w_avg_price
-    FROM lineitem
-    GROUP BY l_returnflag
+           ROUND((CAST(sxq AS DOUBLE) / 1000000.0)
+                 / (CAST(sq AS DOUBLE) / 1000000.0), 4) AS w_avg_price
+    FROM comp
     """,
 )
 def q28_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,8 +99,12 @@ def q28_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     price per return flag.
 
     Arrow moves each group's columns once; numpy does the arithmetic.
-    Rounded to 4 dp: numpy's pairwise summation and DuckDB's sequential
-    summation differ only at ~1e-9 relative, far inside the grid.
+    Determinism (CLAUDE.md invariant 1): the weighted average is derived
+    from scaled-int64 component sums — sum(round(price·qty·10⁶)) and
+    sum(round(qty·10⁶)) — computed identically by numpy here and by the
+    oracle SQL, so the division and final 4-dp round see bit-identical
+    doubles on both engines. A naive ``ROUND(SUM(double)/SUM(double))``
+    would be order-dependent and could flip the round near a grid boundary.
 
     Scale: grouped-agg UDFs buffer each group's values in one worker —
     group cardinality and size must be modest (here: 3 groups). For
@@ -104,7 +115,13 @@ def q28_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("double")
     def wavg(price: pd.Series, qty: pd.Series) -> float:
-        return float(np.round(np.sum(price.values * qty.values) / np.sum(qty.values), 4))
+        p = price.to_numpy(dtype=np.float64)
+        q = qty.to_numpy(dtype=np.float64)
+        # floor(x+0.5) = round-half-away for the all-positive products,
+        # matching DuckDB ROUND exactly (see q67)
+        sxq = int(np.floor(p * q * 1e6 + 0.5).astype(np.int64).sum())
+        sq = int(np.floor(q * 1e6 + 0.5).astype(np.int64).sum())
+        return float(np.round((sxq / 1e6) / (sq / 1e6), 4))
 
     return (
         t(spark, sf_dir, "lineitem")

@@ -11,7 +11,14 @@ This sink completes the design:
   (exactly-once on restart);
 * without Delta (this environment), a filesystem batch ledger
   (``_batch_ledger/<id>``) provides the same replay-skip semantics for the
-  built-in parquet-append writer — the pattern, testable end-to-end.
+  built-in parquet-append writer — the pattern, testable end-to-end. The
+  fallback stages each batch under ``_staging/<batch_id>`` and renames the
+  part files to deterministic batch-keyed names (``b<id>-p<i>``) before
+  marking the ledger, so a crash at ANY point — mid-write, mid-rename, or
+  between rename and mark — replays into the SAME file names and leaves no
+  duplicates (renames overwrite; stale files from a wider earlier attempt
+  are swept first). Delta's txnAppId path is atomic by construction; this
+  makes the emulation exactly-once too, not merely at-least-once.
 
 Scale notes: idempotency lives in the sink, not the checkpoint — a
 checkpoint rollback or a re-run of an ``availableNow`` drain must not
@@ -21,6 +28,7 @@ double-write 100 TB of output. The ledger/txn check is O(1) per batch.
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame
@@ -76,7 +84,18 @@ class IdempotentForeachBatchSink(StreamingSink):
     def _default_batch_fn(self) -> BatchFn:
         """Append each batch to ``path`` in the configured format, skipping
         batches already in the ledger (Delta's txnAppId/txnVersion check,
-        emulated on plain files)."""
+        emulated on plain files).
+
+        Exactly-once across crashes: a plain ``mode("append")`` before the
+        ledger mark would re-append the whole batch if the process died
+        between the two steps. Instead the batch is written to
+        ``_staging/<batch_id>`` (overwrite — a half-written earlier attempt
+        is discarded), any data files from a previous wider attempt are
+        swept, and the staged part files are renamed to deterministic
+        ``b<batch_id>-p<i>`` names. A replay after a crash at any point
+        redoes the same renames onto the same names — idempotent — and only
+        a fully-renamed batch ever gets its ledger mark.
+        """
         session = self._session(None)
         path = self.setting("path", session)
         fmt = self.setting("format", session) or "parquet"
@@ -84,7 +103,27 @@ class IdempotentForeachBatchSink(StreamingSink):
         def write_batch(df: DataFrame, batch_id: int) -> None:
             if self.is_committed(batch_id):
                 return  # replayed batch — exactly-once preserved
-            df.write.mode("append").format(fmt).save(path)
+            staging = os.path.join(path, "_staging", str(batch_id))
+            df.write.mode("overwrite").format(fmt).save(staging)
+            # sweep data files a crashed earlier attempt already moved, in
+            # case its partition split was wider than this replay's
+            prefix = f"b{batch_id}-"
+            if os.path.isdir(path):
+                for name in os.listdir(path):
+                    if name.startswith(prefix):
+                        os.remove(os.path.join(path, name))
+            parts = sorted(
+                name
+                for name in os.listdir(staging)
+                if name.startswith("part-") and not name.endswith(".crc")
+            )
+            for i, name in enumerate(parts):
+                suffix = name.split(".", 1)[1] if "." in name else fmt
+                os.replace(
+                    os.path.join(staging, name),
+                    os.path.join(path, f"{prefix}p{i:05d}.{suffix}"),
+                )
+            shutil.rmtree(staging, ignore_errors=True)
             self.mark_committed(batch_id)
 
         return write_batch

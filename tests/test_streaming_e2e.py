@@ -471,6 +471,38 @@ def test_foreach_batch_idempotency(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 100  # no duplicates
 
 
+def test_foreach_batch_crash_between_write_and_mark(spark, tmp_path):
+    """A crash AFTER the batch's files land but BEFORE the ledger mark must
+    not duplicate rows on replay: the staged-rename scheme rewrites the
+    same deterministic b<id>-p<i> names, so the replay overwrites rather
+    than appends (the at-least-once hole the plain append had)."""
+    import os
+
+    out_dir = str(tmp_path / "out")
+    sink = IdempotentForeachBatchSink(config={"path": out_dir})
+    fn = sink.batch_fn()
+    batch = spark.range(50).selectExpr("id", "id * 2.0 AS v").repartition(4)
+
+    fn(batch, 0)
+    assert spark.read.parquet(out_dir).count() == 50
+
+    # simulate the crash window: files are in place, mark never happened
+    os.remove(os.path.join(out_dir, "_batch_ledger", "0"))
+    fn(batch, 0)  # replay of the same batch id
+    assert spark.read.parquet(out_dir).count() == 50  # overwrote, not appended
+    assert sink.is_committed(0)
+
+    # and a wider earlier attempt (more part files) gets swept: fake a
+    # stale leftover file from a 5-partition first try
+    os.remove(os.path.join(out_dir, "_batch_ledger", "0"))
+    stale = os.path.join(out_dir, "b0-p00099.stale.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"not parquet")
+    fn(batch, 0)
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(out_dir).count() == 50
+
+
 # -- stream-stream join (C23) ----------------------------------------------
 
 
