@@ -437,6 +437,12 @@ def q64_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Token budget per training shard for the packing operator.
 _SHARD_BUDGET = 2000
 
+#: Contiguous doc_id ids per prefix-sum bucket (q59). Small here so the
+#: sf0.01 fixture (~500 docs) genuinely exercises multi-bucket carry-in;
+#: at 100 TB set ~10⁵–10⁶ so a (lang, bucket) sort partition stays
+#: executor-sized while the carry table stays broadcast-sized.
+_PACK_BUCKET_DOCS = 100
+
 
 @query(
     "q59_token_packing",
@@ -471,25 +477,78 @@ def q59_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     every shard except the last lands within one document of the budget.
 
     Pure integer math (token counts, cumsum, floor division) → exact
-    oracle. Scale: the cumsum window partitions by ``lang`` (the shard
-    stream), never globally — one shuffle; shard stats are a second
-    narrow aggregation. At 100 TB the stream key would be
-    (lang, date-bucket) to bound partition size.
+    oracle.
+
+    Scale — TWO-PASS PREFIX SUM, never a per-``lang`` window: ``lang``
+    has cardinality ~3, so a single ``partitionBy(lang)`` cumsum would
+    sort ~1/3 of a 100 TB corpus in ONE task. Instead:
+
+    1. cumsum within ``(lang, bucket)`` where ``bucket`` is a contiguous
+       ``doc_id`` range of :data:`_PACK_BUCKET_DOCS` ids — bounded sort
+       partitions, one shuffle;
+    2. per-bucket totals fall out of the SAME windowed output
+       (``max(local_cum)``);
+    3. carry-in offsets = exclusive prefix sum over the tiny
+       (langs × buckets) totals table, broadcast back.
+
+    ``global_cum_before = carry_in + local_cum − n_tokens`` is identical
+    to the one-window formulation the oracle expresses; only the physical
+    plan differs. Verified by the exact oracle and a plan-shape test
+    asserting no window partitions on bare ``lang``.
+
+    The pass-1 output is ``persist()``-ed: it feeds both the probe side
+    and the carry derivation, and AQE does NOT stage-cache the shared
+    subtree across the broadcast boundary (measured: both branches re-ran
+    the scan+tokenize+shuffle+window without it). ``persist`` keeps
+    lineage (executor loss recomputes, unlike ``localCheckpoint``) and the
+    cached projection is ~30 B/row — at 100 TB of text that is ~1 GB per
+    executor on 1000 executors. The spill-free alternative (recompute
+    bucket totals straight from the scan with map-side partial agg) trades
+    that memory for a second full tokenize pass.
     """
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir, "documents")
     n_tokens = F.size(_tokens(F.col("text"))).cast("bigint")
-    w = (
-        W.partitionBy("lang")
+    base = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.floor(F.col("doc_id") / _PACK_BUCKET_DOCS).cast("bigint").alias("bucket"),
+    )
+
+    w_local = (
+        W.partitionBy("lang", "bucket")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    packed = d.select("doc_id", "lang", n_tokens.alias("n_tokens")).withColumn(
+    local = base.withColumn("local_cum", F.sum("n_tokens").over(w_local)).persist()
+
+    # bucket totals: map-side partial max collapses each cached partition
+    # to its (lang, bucket) rows before the tiny exchange
+    totals = local.groupBy("lang", "bucket").agg(
+        F.max("local_cum").alias("bucket_tokens")
+    )
+    w_carry = (
+        W.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # per-lang window over the TOTALS table is fine: it has
+    # (#langs × #buckets) rows — corpus_size / _PACK_BUCKET_DOCS — tiny,
+    # and by-construction-small means legal to broadcast
+    carry = totals.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_carry), F.lit(0)).alias("carry_in"),
+    )
+
+    packed = local.join(F.broadcast(carry), ["lang", "bucket"]).withColumn(
         "shard_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(_SHARD_BUDGET)).cast(
-            "bigint"
-        ),
+        F.floor(
+            (F.col("carry_in") + F.col("local_cum") - F.col("n_tokens"))
+            / float(_SHARD_BUDGET)
+        ).cast("bigint"),
     )
     return packed.groupBy("lang", "shard_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -130,3 +130,30 @@ def test_no_python_in_hot_path(spark):
         plan = formatted_plan(R[name].fn(spark, SF_SMALL))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "HashAggregate" in plan or "Join" in plan, name
+
+
+def test_token_packing_two_pass_prefix_sum(spark):
+    """q59 must never run a cumsum window partitioned on bare ``lang``
+    (cardinality ~3 → one sort partition swallows 1/3 of the corpus).
+    The two-pass scheme windows per-doc data on (lang, bucket) and keeps
+    the per-lang window on the tiny bucket-totals table only."""
+    import re
+
+    df = R["q59_token_packing"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+
+    # every windowspec over doc-level rows (ordered by doc_id) must
+    # partition on (lang, bucket), not bare lang
+    doc_specs = [
+        m.group(0)
+        for m in re.finditer(r"windowspecdefinition\([^)]*doc_id[^)]*\)", plan)
+    ]
+    assert doc_specs, "expected a per-doc cumsum window in the plan"
+    for spec in doc_specs:
+        assert re.search(r"windowspecdefinition\(lang#\d+, bucket#\d+L?,", spec), spec
+
+    # pass-1 output is persisted: one tokenize+shuffle+window feeds both
+    # branches (formatted mode re-prints the cached relation's defining
+    # plan per occurrence, so count InMemory nodes, not raw scans — the
+    # runtime final plan has a single FileScan)
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
