@@ -18,6 +18,11 @@ from pyspark_streaming_base_spark.queries import query
 from pyspark_streaming_base_spark.queries._exact import scaled, unscale
 from pyspark_streaming_base_spark.queries._tables import t
 
+#: Pair-space bound for q37: correlate only the top-N most active users.
+#: N fixes the pair count at N(N−1)/2 regardless of corpus size — the
+#: blocking story the unbounded all-users self-join lacks.
+_CORR_TOP_USERS = 8
+
 
 @query(
     "q36_resample_ffill",
@@ -91,12 +96,20 @@ def q36_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q37_user_correlation",
-    oracle="""
-    WITH hourly AS (
+    oracle=f"""
+    WITH top_users AS (
+      SELECT user_id FROM events
+      GROUP BY user_id
+      ORDER BY COUNT(*) DESC, user_id
+      LIMIT {_CORR_TOP_USERS}
+    ),
+    hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
              CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
                / 1000000.0 AS hv
-      FROM events WHERE user_id <= 8 GROUP BY user_id, date_trunc('hour', ts)
+      FROM events
+      WHERE user_id IN (SELECT user_id FROM top_users)
+      GROUP BY user_id, date_trunc('hour', ts)
     ),
     pairs AS (
       SELECT a.user_id AS user_a, b.user_id AS user_b,
@@ -126,11 +139,27 @@ def q37_user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt/divide is then bit-deterministic, and the final 6-dp round is
     safe because its input already agrees bit-for-bit.
 
-    Scale: the hour-aligned self-join shuffles on the hour key; component
-    aggregation is map-side combined per pair — O(pairs) output. Zero-
-    variance pairs are excluded on both sides (NaN vs NULL divergence).
+    Scale — pairs bounded BY CONSTRUCTION, not by a demo cap: the pair
+    space is restricted to the top-:data:`_CORR_TOP_USERS` users by event
+    count, computed distributively (per-user counts → global top-N via
+    ``TakeOrderedAndProject``: each map task keeps N candidate rows, one
+    N-row merge — no full sort) and applied as a broadcast semi-join, so
+    the events scan never shuffles for the filter. The hour-aligned
+    self-join is then O(N²) per hour with N fixed, whatever the corpus
+    size; component aggregation is map-side combined per pair. The
+    selection is deterministic (count desc, user_id tiebreak) and
+    mirrored exactly in the oracle's top_users CTE. Zero-variance pairs
+    are excluded on both sides (NaN vs NULL divergence).
     """
-    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 8)
+    ev_all = t(spark, sf_dir, "events")
+    top_users = (
+        ev_all.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("user_id"))
+        .limit(_CORR_TOP_USERS)
+        .select("user_id")
+    )
+    ev = ev_all.join(F.broadcast(top_users), "user_id", "semi")
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(unscale(F.sum(scaled(F.col("value")))).alias("hv"))

@@ -157,3 +157,13 @@ def test_token_packing_two_pass_prefix_sum(spark):
     # plan per occurrence, so count InMemory nodes, not raw scans — the
     # runtime final plan has a single FileScan)
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+
+
+def test_user_correlation_pairs_bounded_by_construction(spark):
+    """q37's pair space must be capped by a distributed top-N-by-activity
+    selection, not an unbounded all-users self-join: global top-N plans as
+    TakeOrderedAndProject (per-task partial top-N, one N-row merge) and the
+    user filter applies as a broadcast semi-join — events never shuffle."""
+    plan = formatted_plan(R["q37_user_correlation"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi BuildRight" in plan
