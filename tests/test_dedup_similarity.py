@@ -175,3 +175,66 @@ def test_dedup_pipeline_verdicts_consistent(spark):
         else:
             # every canonical must itself be a kept document
             assert verdicts[canon][0] == "kept", (doc, v, canon)
+
+
+def test_simhash_pairs_complete_wrt_hamming(spark):
+    """The band join must have PERFECT recall at the hamming threshold:
+    by pigeonhole, two 64-bit fingerprints within hamming distance ≤ 3
+    agree exactly on at least one of the 4 16-bit bands. So q46's output
+    must EQUAL the brute-force all-pairs hamming filter — no pair missed
+    (banding complete), no extra pair (verification filter)."""
+    from pyspark_streaming_base_spark.queries.dedup import (
+        _SIMHASH_MAX_HAMMING,
+        _simhash_fingerprints,
+    )
+
+    fp = _simhash_fingerprints(spark, SF_MEDIUM)
+    a, b = fp.alias("a"), fp.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn(
+            "ham",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint"),
+        )
+        .filter(F.col("ham") <= _SIMHASH_MAX_HAMMING)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "ham")
+    )
+    expect = {(r.doc_a, r.doc_b): r.ham for r in brute.collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in R["q46_simhash_neardup_pairs"].fn(spark, SF_MEDIUM).collect()
+    }
+    assert expect, "fixture should contain near-identical documents"
+    assert got == expect
+
+
+def test_simhash_pairs_catch_exact_token_dups(spark):
+    """Identical token SETS produce identical fingerprints, so every
+    exact-token-dup pair (q40 jaccard = 1.0) must be emitted by q46 with
+    hamming 0 — recall 1.0 on the near-identical tier SimHash-d3 targets
+    (looser J≥0.8 near-dups are MinHash/q41's job, not SimHash's)."""
+    exact_dups = {
+        (r.doc_a, r.doc_b)
+        for r in R["q40_ngram_jaccard_pairs"].fn(spark, SF_MEDIUM).collect()
+        if r.jaccard == 1.0
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in R["q46_simhash_neardup_pairs"].fn(spark, SF_MEDIUM).collect()
+    }
+    assert exact_dups, "fixture should contain exact token dups"
+    for pair in exact_dups:
+        assert got.get(pair) == 0, pair
+
+
+def test_simhash_pairs_feed_connected_components(spark):
+    """q46's pair list is a drop-in edge set for the same transitive
+    clustering q44 runs on q40's pairs."""
+    pairs = R["q46_simhash_neardup_pairs"].fn(spark, SF_MEDIUM).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    edges = [(r.doc_a, r.doc_b) for r in R["q46_simhash_neardup_pairs"].fn(spark, SF_MEDIUM).collect()]
+    for a, b in edges:
+        assert comp[a] == comp[b]
+        assert comp[a] <= min(a, b)
