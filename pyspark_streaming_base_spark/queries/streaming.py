@@ -261,3 +261,64 @@ def q74_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.count(F.lit(1)).cast("bigint").alias("n_dupes"),
     )
+
+
+def click_purchase_interval_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Interval join: every (click, purchase) pair of the same user with
+    the purchase 0–30 minutes after the click. The SAME builder serves the
+    batch registry query (q77) and the watermarked stream-stream twin in
+    the equivalence harness — equi key ``user_id`` plus an event-time
+    range condition, exactly the form Structured Streaming's stream-stream
+    join supports (the range bound is what lets the state store evict).
+
+    Scale: one shuffle per side on ``user_id`` (sort-merge with the range
+    as a secondary condition); output is bounded by the time window, not
+    the cross product. Streaming, the 30-minute bound + watermark caps
+    state at one window of events per side.
+    """
+    return (
+        clicks.alias("c")
+        .join(
+            purchases.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            (F.col("p.ts").cast("long") - F.col("c.ts").cast("long"))
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "q77_stream_stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def q77_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-equivalent form (C23): clicks ⋈
+    purchases of the same user within 30 minutes. The streaming twin runs
+    this exact builder on two watermarked file streams in
+    ``tests/test_streaming_e2e.py::test_stream_stream_join`` and asserts
+    batch/stream equality; this registry entry gives the capability its
+    DuckDB oracle. Output rows are unique by (click_id, purchase_id) — no
+    tie-break needed.
+    """
+    ev = t(spark, sf_dir, "events").select("ts", "user_id", "event_type", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return click_purchase_interval_join(clicks, purchases)

@@ -508,22 +508,16 @@ def test_foreach_batch_crash_between_write_and_mark(spark, tmp_path):
 
 def test_stream_stream_join(spark, tmp_path):
     """Watermarked stream-stream inner join: clicks ⋈ purchases by the same
-    user within 30 minutes (event-time range condition both sides)."""
+    user within 30 minutes (event-time range condition both sides). Runs
+    the SAME builder as registry query q77, so the oracle-checked batch
+    form and this streaming twin are one logical plan."""
+    from pyspark_streaming_base_spark.queries.streaming import (
+        click_purchase_interval_join as batch_join,
+    )
+
     events = t(spark, SF_SMALL, "events").select("ts", "user_id", "event_type", "event_id")
     clicks = events.filter(F.col("event_type") == "click")
     purchases = events.filter(F.col("event_type") == "purchase")
-
-    def batch_join(c, p):
-        return c.alias("c").join(
-            p.alias("p"),
-            (F.col("c.user_id") == F.col("p.user_id"))
-            & (F.col("p.ts") >= F.col("c.ts"))
-            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
-        ).select(
-            F.col("c.user_id").alias("user_id"),
-            F.col("c.event_id").alias("click_id"),
-            F.col("p.event_id").alias("purchase_id"),
-        )
 
     expected = _rows(batch_join(clicks, purchases))
 
