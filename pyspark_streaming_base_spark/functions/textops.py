@@ -14,6 +14,17 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(col, " "), lambda x: x != "")
 
 
+def word_bigrams(col: Column) -> Column:
+    """Word bigrams as strings (``w1 w2``), duplicates KEPT — the
+    repetition-score operator needs the multiset. Same zipped-slice
+    construction as :func:`word_shingles`; <2 tokens yields an empty
+    array (no whole-text fallback: a 1-token doc has no bigrams)."""
+    toks = tokens(col)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(toks, 1, m), F.slice(toks, 2, m))
+    return F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+
+
 def word_shingles(col: Column) -> Column:
     """Distinct word 3-shingles as strings (``w1 w2 w3``).
 

@@ -636,3 +636,173 @@ def q53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+@query(
+    "q47_repetition_score",
+    oracle="""
+    SELECT doc_id, n_bigrams, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams AS rep_ratio
+    FROM (
+      SELECT doc_id,
+             CAST(len(bi) AS BIGINT) AS n_bigrams,
+             CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, greatest(len(toks), 1)),
+                 i -> toks[i] || ' ' || toks[i + 1]
+               ) AS bi
+        FROM (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents
+        )
+      )
+    )
+    WHERE n_bigrams > 0
+    """,
+)
+def q47_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram ratio per document (training-pipeline quality
+    signal: high repetition marks boilerplate/degenerate text — the
+    classic repetition filter in LLM corpus curation).
+
+    ``rep_ratio = 1 − distinct_bigrams / bigrams`` — an integer ratio, so
+    the double division is bit-identical cross-engine. Docs with no
+    bigrams (<2 tokens) are excluded on BOTH sides (0/0 guard, same rule
+    as q51).
+
+    Scale: embarrassingly parallel — per-row array expressions, zero
+    shuffles; the bigram arrays never leave the scan task.
+    """
+    from pyspark_streaming_base_spark.functions.textops import word_bigrams
+
+    bi = word_bigrams(F.col("text"))
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(bi).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bi)).cast("bigint").alias("n_distinct"),
+    )
+    return base.filter(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        (1.0 - F.col("n_distinct").cast("double") / F.col("n_bigrams")).alias(
+            "rep_ratio"
+        ),
+    )
+
+
+#: Stopword list for the stopword-ratio quality signal (distinct from the
+#: per-language _STOPWORDS lexicons q52 uses). Tiny and fixed: the
+#: operator's point is the ratio plumbing, not linguistics.
+_QUALITY_STOPWORDS = ("a", "the", "and", "of", "to")
+
+
+@query(
+    "q48_stopword_ratio",
+    oracle=f"""
+    SELECT doc_id, n_tokens, n_stop,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio
+    FROM (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN
+               ({", ".join("'" + w + "'" for w in _QUALITY_STOPWORDS)}))) AS BIGINT)
+               AS n_stop
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+      )
+    )
+    WHERE n_tokens > 0
+    """,
+)
+def q48_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword ratio per document (quality signal: natural prose has a
+    stable stopword fraction; token soup and boilerplate don't).
+
+    Integer counts → bit-identical double ratio; empty docs excluded on
+    both sides. Scale: per-row array filter against a 5-element literal
+    set, zero shuffles.
+    """
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    base = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        n_stop.cast("bigint").alias("n_stop"),
+    )
+    return base.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
+    )
+
+
+#: Deterministic 3-way split thresholds on the first 16 bits of
+#: md5(doc_id): [0, 0x0ccc) ≈ 5% val, [0x0ccc, 0x1999) ≈ 5% test,
+#: rest train. Same membership-is-a-pure-function-of-the-key rationale as
+#: q55: rows never flip split when the corpus grows.
+_SPLIT_VAL_HEX = "0ccc"
+_SPLIT_TEST_HEX = "1999"
+
+
+@query(
+    "q49_train_split",
+    oracle=f"""
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM (
+      SELECT lang,
+             CASE
+               WHEN hk < '{_SPLIT_VAL_HEX}' THEN 'val'
+               WHEN hk < '{_SPLIT_TEST_HEX}' THEN 'test'
+               ELSE 'train'
+             END AS split,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS n_tok
+      FROM (
+        SELECT lang, text,
+               SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+        FROM documents
+      )
+    )
+    GROUP BY lang, split
+    """,
+)
+def q49_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (training-pipeline op): split
+    membership is a pure function of ``md5(doc_id)`` — reproducible
+    across engines, runs, cluster sizes, and dataset growth (a doc never
+    changes split when neighbors arrive, unlike seeded ``randomSplit``).
+    Reports per-(lang, split) doc and token counts.
+
+    Scale: stateless hash + one map-side-combined aggregation; the split
+    column itself would be written alongside the data in a real pipeline
+    (zero-shuffle, embarrassingly parallel).
+    """
+    d = t(spark, sf_dir, "documents")
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(hk < _SPLIT_VAL_HEX, "val")
+        .when(hk < _SPLIT_TEST_HEX, "test")
+        .otherwise("train")
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
