@@ -1152,3 +1152,33 @@ def q27_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", F.slice(F.sort_array(F.array_distinct(toks)), 1, 3)).alias("alpha3"),
         F.size(toks).cast("bigint").alias("n_toks"),
     )
+
+
+@query("q78_approx_percentile", oracle=None)  # sketch is engine-specific
+def q78_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (C7 sketch tier — the 100 TB twin
+    of q26's exact percentile): ``percentile_approx`` keeps O(accuracy)
+    state per group instead of buffering every value, mergeable across
+    partitions like HLL (q11) and Count-Min (q58).
+
+    Rows-only driver check (the sketch algorithm is engine-specific);
+    the pytest pins the published guarantee instead: with accuracy A the
+    RANK error is ≤ n/A, asserted against q26's exact values.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("approx"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("approx")[0].alias("p50_approx"),
+            F.col("approx")[1].alias("p90_approx"),
+            F.col("approx")[2].alias("p99_approx"),
+            "n_rows",
+        )
+    )

@@ -317,3 +317,53 @@ def q62_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("emb_norm")).alias("sum_norm"),
         )
     )
+
+
+@query(
+    "q68_label_centroids",
+    oracle="""
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+             AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid_val
+    FROM (
+      SELECT label,
+             unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def q68_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors (the aggregate every
+    IVF/k-means-style index build and class-prototype computation needs),
+    with EXACT cross-engine math: a naive per-dimension ``avg(double)``
+    sums in engine-specific order and drifts in the last bits, so each
+    dimension goes through the scaled-int64 path (`_exact.py`) — posexplode
+    to (label, dim, value), int sums, divide once.
+
+    Long output grain (label, dim) keeps the whole query in built-in
+    hash aggregation; re-assembling array centroids is a single
+    ``array_agg`` over 64 rows per label downstream.
+
+    Scale: the explode multiplies rows ×64, but map-side partial
+    aggregation collapses the shuffle to O(labels × dims × tasks) rows of
+    ~24 B — the corpus's vectors never cross the wire. ``dim`` is 1-based
+    to match DuckDB's ``generate_subscripts``.
+    """
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        e.select(
+            "label",
+            (F.col("pos") + 1).cast("bigint").alias("dim"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (dsum(F.col("val")) / F.count(F.lit(1))).alias("centroid_val"),
+        )
+    )

@@ -238,3 +238,31 @@ def test_simhash_pairs_feed_connected_components(spark):
     for a, b in edges:
         assert comp[a] == comp[b]
         assert comp[a] <= min(a, b)
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """percentile_approx's published guarantee: with accuracy A, the
+    returned value's RANK differs from the target rank by at most n/A.
+    Checked against the exact sorted data per group."""
+    approx = {r.l_returnflag: r for r in R["q78_approx_percentile"].fn(spark, SF_MEDIUM).collect()}
+    li = t(spark, SF_MEDIUM, "lineitem").select("l_returnflag", "l_extendedprice")
+    by_flag: dict[str, list[float]] = {}
+    for r in li.collect():
+        by_flag.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    assert set(approx) == set(by_flag)
+    accuracy = 10000
+    for flag, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        tol = max(1.0, n / accuracy)
+        for q, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
+            got = approx[flag][col]
+            # rank of the returned value in the exact ordering
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * (n - 1)
+            # the value's occupied rank range must cover the target
+            # within the sketch's rank tolerance
+            assert lo - tol <= target <= hi + tol, (flag, q, got, lo, hi, target)
