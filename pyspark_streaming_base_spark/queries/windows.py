@@ -357,3 +357,34 @@ def q34_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         unscale(F.sum(scaled(F.col("value"))).over(w)).alias("moving_sum3"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("frame_n"),
     )
+
+
+@query(
+    "q69_rank_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume_d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q69_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (C9: percent_rank + cume_dist):
+    where each order sits in its customer's price distribution.
+
+    Both functions are integer-ratio valued ((rank−1)/(n−1), rank/n) so
+    the doubles are bit-identical cross-engine; the ORDER BY carries the
+    unique o_orderkey tiebreak (determinism invariant 5).
+
+    Scale: one shuffle on the HIGH-cardinality o_custkey — never a
+    handful-of-values key (the q59 lesson); frames are whole-partition,
+    computed in one pass per group.
+    """
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_d"),
+    )
