@@ -40,6 +40,10 @@ class StreamingSink:
         "partitionBy": "",
         "clusterBy": "",
         "path": "",
+        # pre-flight output-mode × watermark legality check (SURVEY §7
+        # watch list); "false" disables, "strict" also rejects
+        # legal-but-unbounded-state shapes (streaming/legality.py)
+        "validate": "true",
     }
 
     def __init__(
@@ -100,6 +104,7 @@ class StreamingSink:
         spark = df.sparkSession
         writer = df.writeStream.options(**self.resolved_options(spark)).format(self.FORMAT)
         mode = self.setting("outputMode", spark) or "append"
+        self._validate(df, mode)
         writer = writer.outputMode(mode)
         qname = self.setting("queryName", spark)
         if qname:
@@ -111,6 +116,17 @@ class StreamingSink:
         if cby:
             writer = writer.clusterBy(*[c.strip() for c in cby.split(",") if c.strip()])
         return writer
+
+    def _validate(self, df: DataFrame, mode: str) -> None:
+        """Pre-flight legality check (good errors at wiring time instead of
+        Spark's start-time AnalysisException). Gated by the ``validate``
+        setting: "true" (default), "false", or "strict"."""
+        setting = (self.setting("validate", df.sparkSession) or "true").lower()
+        if setting == "false":
+            return
+        from pyspark_streaming_base_spark.streaming.legality import check_output_mode
+
+        check_output_mode(df, mode, strict=setting == "strict")
 
     # reference alias (``sinks/delta_sink.py:91``)
     fromDF = from_df

@@ -142,6 +142,7 @@ class IdempotentForeachBatchSink(StreamingSink):
         spark = df.sparkSession
         writer = df.writeStream.foreachBatch(self.batch_fn())
         mode = self.setting("outputMode", spark) or "append"
+        self._validate(df, mode)
         writer = writer.outputMode(mode)
         qname = self.setting("queryName", spark)
         if qname:
