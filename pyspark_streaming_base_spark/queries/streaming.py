@@ -322,3 +322,57 @@ def q77_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return click_purchase_interval_join(clicks, purchases)
+
+
+@query(
+    "q79_late_data_audit",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts < MAX(ts) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) - INTERVAL '1 hour'
+                  THEN 1 ELSE 0 END AS is_late
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def q79_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data audit (C22 companion): how many events WOULD a 1-hour
+    watermark drop? An event is late when its event time sits more than
+    the watermark delay behind the maximum event time already seen in its
+    user's stream — ``event_id`` is the arrival-order proxy the batch
+    fixture provides. This is the sizing query you run BEFORE picking a
+    watermark: the late count is the data you'd lose at each delay.
+
+    Scale: one window + one aggregation, both keyed on high-cardinality
+    ``user_id``; the running max uses an UNBOUNDED-to-1-PRECEDING frame
+    (first event is never late — empty frame → NULL → not late on both
+    engines, no COALESCE divergence).
+    """
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "is_late",
+        F.when(
+            F.col("ts")
+            < F.max("ts").over(w) - F.expr("INTERVAL 1 HOUR"),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+    )

@@ -5,6 +5,7 @@ The UDF tiers, demonstrated in ascending cost order:
 * built-in expressions (everything else in this package) — JVM, codegen;
 * scalar/grouped-agg Pandas UDFs (here) — Arrow-batched, vectorized numpy;
 * ``applyInPandas`` grouped-map (as-of join here, decode in multimodal);
+* cogrouped ``applyInPandas`` (q83) — both sides of a key in one batch;
 * row-at-a-time Python UDFs — deliberately ABSENT: never the right tool.
 """
 
@@ -210,4 +211,74 @@ def q75_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts").cast("long") - F.col("r_ts").cast("long"))
         .cast("bigint")
         .alias("gap_s"),
+    )
+
+
+@query(
+    "q83_cogroup_funnel",
+    oracle="""
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, MIN(ts) AS first_p, CAST(COUNT(*) AS BIGINT) AS n_p
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ca AS (
+      SELECT c.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_c,
+             CAST(COUNT(*) FILTER (
+               WHERE p.first_p IS NULL OR c.ts < p.first_p
+             ) AS BIGINT) AS n_before
+      FROM c LEFT JOIN p USING (user_id)
+      GROUP BY c.user_id
+    )
+    SELECT COALESCE(ca.user_id, p.user_id) AS user_id,
+           COALESCE(ca.n_c, 0) AS n_clicks,
+           COALESCE(p.n_p, 0) AS n_purchases,
+           p.first_p AS first_purchase_ts,
+           COALESCE(ca.n_before, 0) AS clicks_before_first_purchase
+    FROM ca FULL JOIN p ON ca.user_id = p.user_id
+    """,
+)
+def q83_cogroup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` (the 4th and last Pandas API tier after
+    scalar/grouped-agg/grouped-map — C25 complete): per-user click→purchase
+    funnel joining BOTH groups of a cogroup in one Python function —
+    clicks before the first purchase, purchase counts, first purchase
+    time. Cogroup is the tool when per-key logic needs both sides at once
+    and isn't expressible as a join (here it IS expressible, which is what
+    makes the exact SQL oracle possible).
+
+    Determinism: counts are integers; the only timestamp is a MIN —
+    order-independent on both engines.
+
+    Scale: one shuffle per side on ``user_id``, each key's two groups meet
+    in one Arrow batch; the funnel math is O(group) numpy. Same caveat as
+    all grouped Pandas ops: a single key's groups must fit one worker —
+    guaranteed here by per-user cardinality, not assumed.
+    """
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def funnel(key: tuple, cdf: pd.DataFrame, pdf_: pd.DataFrame) -> pd.DataFrame:
+        first_p = pdf_["ts"].min() if len(pdf_) else pd.NaT
+        n_before = (
+            int((cdf["ts"] < first_p).sum()) if pd.notna(first_p) else len(cdf)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(cdf)],
+                "n_purchases": [len(pdf_)],
+                "first_purchase_ts": [first_p],
+                "clicks_before_first_purchase": [n_before],
+            }
+        )
+
+    return clicks.groupBy("user_id").cogroup(purchases.groupBy("user_id")).applyInPandas(
+        funnel,
+        schema=(
+            "user_id bigint, n_clicks bigint, n_purchases bigint, "
+            "first_purchase_ts timestamp, clicks_before_first_purchase bigint"
+        ),
     )
