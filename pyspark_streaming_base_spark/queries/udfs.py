@@ -261,15 +261,25 @@ def q83_cogroup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
 
     def funnel(key: tuple, cdf: pd.DataFrame, pdf_: pd.DataFrame) -> pd.DataFrame:
-        first_p = pdf_["ts"].min() if len(pdf_) else pd.NaT
+        # When the query's OUTPUT columns go unused (e.g. a bare count()),
+        # Catalyst prunes the cogroup INPUTS down to the grouping key, so
+        # 'ts' may be absent. In exactly those plans the values computed
+        # from it are unobservable, so guarding keeps the row count right
+        # without changing any observable value.
+        n_c, n_p = len(cdf.index), len(pdf_.index)
+        p_ts = pdf_["ts"] if "ts" in pdf_.columns else None
+        c_ts = cdf["ts"] if "ts" in cdf.columns else None
+        first_p = p_ts.min() if (p_ts is not None and n_p) else pd.NaT
         n_before = (
-            int((cdf["ts"] < first_p).sum()) if pd.notna(first_p) else len(cdf)
+            int((c_ts < first_p).sum())
+            if (c_ts is not None and n_c and pd.notna(first_p))
+            else n_c
         )
         return pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "n_clicks": [len(cdf)],
-                "n_purchases": [len(pdf_)],
+                "n_clicks": [n_c],
+                "n_purchases": [n_p],
                 "first_purchase_ts": [first_p],
                 "clicks_before_first_purchase": [n_before],
             }
