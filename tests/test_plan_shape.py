@@ -167,3 +167,16 @@ def test_user_correlation_pairs_bounded_by_construction(spark):
     plan = formatted_plan(R["q37_user_correlation"].fn(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan
     assert "LeftSemi BuildRight" in plan
+
+
+def test_simhash_self_join_reuses_fingerprint_pipeline(spark):
+    """q46's band self-join must compute the (expensive) fingerprint
+    pipeline ONCE: shuffle_hash hints on both sides keep AQE's broadcast
+    conversion from defeating exchange reuse, so the runtime plan shows a
+    ReusedExchange and a single file scan."""
+    df = R["q46_simhash_neardup_pairs"].fn(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1, final
+    assert final.count("FileScan") == 1, final
