@@ -53,7 +53,42 @@ def shapes(spark, n: int):
         .over(W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
         .alias("rn"),
     ).filter(F.col("rn") <= 3)
-    return {"agg": agg, "broadcast_join_agg": join_agg, "window_topk": win}
+
+    # two-pass prefix sum (q59's shape): bounded (key, bucket) cumsum +
+    # broadcast carry-in — the pattern that replaces low-cardinality-key
+    # windows. Uses orders so the stream has real volume; bucket width
+    # keeps partitions bounded as N grows. (Dedup/SimHash shapes are NOT
+    # smoked here: replicating identical rows multiplies candidate pairs
+    # quadratically — a different workload, not a scale-up.)
+    o = ords.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        F.floor(F.col("o_orderkey") / 4096).cast("bigint").alias("bucket"),
+    )
+    w_local = (
+        W.partitionBy("o_orderpriority", "bucket")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = o.withColumn("cum", F.sum("v").over(w_local)).persist()
+    totals = local.groupBy("o_orderpriority", "bucket").agg(F.max("cum").alias("bt"))
+    w_carry = (
+        W.partitionBy("o_orderpriority").orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = totals.select(
+        "o_orderpriority", "bucket",
+        F.coalesce(F.sum("bt").over(w_carry), F.lit(0.0)).alias("carry"),
+    )
+    prefix = local.join(F.broadcast(carry), ["o_orderpriority", "bucket"]).select(
+        "o_orderkey", (F.col("carry") + F.col("cum")).alias("running")
+    )
+    return {
+        "agg": agg,
+        "broadcast_join_agg": join_agg,
+        "window_topk": win,
+        "two_pass_prefix_sum": prefix,
+    }
 
 
 def main() -> None:
@@ -63,10 +98,13 @@ def main() -> None:
     for n in reps:
         for name, df in shapes(spark, n).items():
             df.write.format("noop").mode("overwrite").save()  # warm codegen
+            spark.catalog.clearCache()  # re-materialize persisted stages cold
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             print(f"{name:>20}  x{n:<3} {dt:7.3f}s")
+            # drop cached pass-1 data so replications don't stack heap
+            spark.catalog.clearCache()
 
 
 if __name__ == "__main__":
