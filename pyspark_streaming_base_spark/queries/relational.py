@@ -1182,3 +1182,59 @@ def q78_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@query(
+    "q84_outer_join_audit",
+    oracle="""
+    WITH oa AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 1000000.0, 0) AS BIGINT)) AS sp
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(c.c_custkey, oa.o_custkey) AS custkey,
+           CASE
+             WHEN c.c_custkey IS NULL THEN 'order_only'
+             WHEN oa.o_custkey IS NULL THEN 'customer_only'
+             ELSE 'both'
+           END AS presence,
+           COALESCE(oa.n_orders, 0) AS n_orders,
+           CAST(COALESCE(oa.sp, 0) AS DOUBLE) / 1000000.0 AS total_spend
+    FROM customer c FULL JOIN oa ON c.c_custkey = oa.o_custkey
+    """,
+)
+def q84_outer_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join reconciliation (C3's outer tier — the audit join
+    every referential-integrity check runs): customers vs per-customer
+    order aggregates, categorized into both / customer_only / order_only
+    with null-safe key coalescing. TPC-H has no orphan orders, so
+    ``order_only`` is structurally empty here — the category exists to
+    prove the join side, not the fixture.
+
+    Scale: the order aggregation is map-side combined to one row per
+    customer BEFORE the join (never full-outer-join raw orders against
+    customers — pre-reduce, then reconcile); both sides then shuffle once
+    on the key. Exact money math via scaled-int sums.
+    """
+    oa = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(scaled(F.col("o_totalprice"))).alias("sp"),
+        )
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    j = c.join(oa, c.c_custkey == oa.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "order_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("presence"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+        (F.coalesce(F.col("sp"), F.lit(0)).cast("double") / 1000000.0).alias(
+            "total_spend"
+        ),
+    )
