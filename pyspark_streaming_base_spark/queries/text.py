@@ -806,3 +806,63 @@ def q49_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+#: Vocabulary size for the vocab-build operator.
+_VOCAB_SIZE = 64
+
+
+@query(
+    "q85_vocab_build",
+    oracle=f"""
+    SELECT token, n_docs, n_occurrences,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY n_occurrences DESC, token
+           ) AS BIGINT) AS token_id
+    FROM (
+      SELECT tok AS token,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents
+      )
+      GROUP BY tok
+      ORDER BY n_occurrences DESC, tok
+      LIMIT {_VOCAB_SIZE}
+    )
+    """,
+)
+def q85_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction (training-pipeline artifact): the top-V
+    terms by corpus frequency with STABLE integer ids — id assignment is
+    (count desc, token) so the mapping is reproducible across runs and
+    engines (determinism invariant 5; a hash-based id would collide, a
+    nondeterministic zip would renumber).
+
+    Scale: token counts are one explode + map-side-combined groupBy; the
+    top-V cut is ``TakeOrderedAndProject`` (per-task partial top-V, one
+    V-row merge); only THEN does the global row_number window run — over
+    exactly V rows, so the single-partition window is bounded by
+    construction, not by the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    )
+    counts = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token")
+    ).limit(_VOCAB_SIZE)
+    w = W.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return top.select(
+        "token",
+        "n_docs",
+        "n_occurrences",
+        F.row_number().over(w).cast("bigint").alias("token_id"),
+    )
