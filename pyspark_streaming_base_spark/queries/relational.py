@@ -1238,3 +1238,46 @@ def q84_outer_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_spend"
         ),
     )
+
+
+@query(
+    "q88_salted_skew_join",
+    oracle=f"""
+    SELECT s.s_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q88_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via explicit salting (`operators/salting.py`):
+    lineitem ⋈ supplier through ``salted_join`` — the big side gets a
+    deterministic ``xxhash64(l_orderkey) mod 16`` salt, the supplier side
+    is replicated 16×, so one hot supplier key spreads over 16 shuffle
+    partitions. The oracle is the PLAIN join: salting must be
+    row-multiset-invisible in the result (also property-tested in
+    ``tests/test_salted_join.py``).
+
+    Scale: this is the pre-shuffle skew defense for the cases AQE's
+    runtime skew-split can't reach (stream-static joins, known hot keys);
+    replication cost is 16×|supplier| — chosen because supplier is
+    small-but-growing, the side you'd neither broadcast nor leave as the
+    probe at a 100 TB lineitem. The post-join aggregation is map-side
+    combined before its single key shuffle.
+    """
+    from pyspark_streaming_base_spark.operators.salting import salted_join
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(l, s, on=["l_suppkey"], salt_on="l_orderkey")
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    ).select(
+        F.col("s_nationkey").alias("nationkey"), "n_items", "total_price"
+    )

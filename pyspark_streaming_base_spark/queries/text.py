@@ -866,3 +866,149 @@ def q85_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occurrences",
         F.row_number().over(w).cast("bigint").alias("token_id"),
     )
+
+
+#: Chunking parameters: window of 32 tokens advancing by 24 (8-token overlap).
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "q86_doc_chunking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, s + 1, s + {_CHUNK_SIZE})) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, s + 1, s + {_CHUNK_SIZE}), ' '))
+             AS chunk_md5
+    FROM sized, unnest(generate_series(0, n - 1, {_CHUNK_STRIDE})) AS u(s)
+    """,
+)
+def q86_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (training-pipeline op): every
+    document becomes ceil(n/stride) chunks of ≤32 tokens starting every 24
+    tokens, the standard long-document → context-window preprocessing step.
+    Chunk content is verified cross-engine by its md5, so the oracle checks
+    the actual text split, not just counts.
+
+    Scale: a purely narrow pipeline — tokenize, generate chunk starts with
+    ``sequence``, ``explode``, ``slice`` — no shuffle at all, and the fan-out
+    factor is bounded by document length. At 100 TB this is the
+    embarrassingly-parallel shape you want: each input split chunks
+    independently and writes straight out.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") > 0)
+    )
+    ch = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    # s is always a multiple of the stride, so the double division below is
+    # exact and the bigint cast cannot truncate a .999.. artifact
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, F.lit(_CHUNK_SIZE))
+    return ch.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "q87_decontamination",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, hk,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                      for i in generate_series(1, len(toks) - 2)])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM base
+    ), ev AS (
+      SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE hk < '{_SPLIT_VAL_HEX}'
+    ), tr AS (
+      SELECT doc_id, lang, unnest(shingles) AS sh
+      FROM sh WHERE hk >= '{_SPLIT_TEST_HEX}'
+    ), hits AS (
+      SELECT DISTINCT doc_id, lang FROM tr WHERE sh IN (SELECT sh FROM ev)
+    ), tr_docs AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_train
+      FROM sh WHERE hk >= '{_SPLIT_TEST_HEX}' GROUP BY lang
+    ), c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+      FROM hits GROUP BY lang
+    )
+    SELECT tr_docs.lang AS lang, n_train,
+           COALESCE(n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated
+    FROM tr_docs LEFT JOIN c ON tr_docs.lang = c.lang
+    """,
+)
+def q87_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline op): flag train-split
+    documents sharing any word 3-shingle with the held-out val split — the
+    n-gram-overlap check every serious pretraining pipeline runs before
+    training. Splits reuse q49's md5-threshold rule (val = hk < val_hex,
+    train = hk ≥ test_hex) so membership is deterministic cross-engine;
+    shingles are the canonical ``word_shingles`` (distinct 3-grams,
+    whole-text fallback for <3-token docs).
+
+    Scale: the eval side reduces to a DISTINCT shingle set joined with a
+    LEFT SEMI — contaminated docs are found by one equi-join on the shingle,
+    never a pairwise doc comparison. In a real pipeline the eval side is a
+    fixed benchmark suite (tiny → broadcast the shingle index); here it is
+    a corpus-proportional split, so the semi join shuffles on the shingle —
+    at 100 TB you would join on ``xxhash64(shingle)`` (8-byte keys instead
+    of strings) and persist the eval index once. The final step would be a
+    LEFT ANTI to drop flagged docs; this query reports the per-lang audit
+    counts instead so the result is oracle-checkable.
+    """
+    from pyspark_streaming_base_spark.functions.textops import word_shingles
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        word_shingles(F.col("text")).alias("shingles"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("hk"),
+    )
+    ev = (
+        d.where(F.col("hk") < _SPLIT_VAL_HEX)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    tr = d.where(F.col("hk") >= _SPLIT_TEST_HEX)
+    hits = (
+        tr.select("doc_id", "lang", F.explode("shingles").alias("sh"))
+        .join(ev, "sh", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    n_train = tr.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    )
+    n_cont = hits.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated")
+    )
+    return n_train.join(n_cont, "lang", "left").select(
+        "lang",
+        "n_train",
+        F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+    )
