@@ -376,3 +376,69 @@ def q79_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.sum("is_late").cast("bigint").alias("n_late"),
     )
+
+
+def click_purchase_interval_join_outer(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """LEFT OUTER interval join: every click, null-extended when no
+    purchase by the same user follows within 30 minutes. Same shape as
+    :func:`click_purchase_interval_join` but preserving unmatched clicks —
+    streaming, this is the form whose null rows can only be emitted once
+    the watermark passes ``click.ts + 30min`` (state-store eviction proves
+    the match can never arrive). The streaming twin
+    (``tests/test_streaming_e2e.py::test_stream_stream_left_outer_join``)
+    asserts exactly that emission rule against this batch builder.
+
+    Scale: identical to the inner form — one shuffle per side on
+    ``user_id``, state bounded by the 30-minute range + watermark; the
+    outer tier adds no extra shuffle, only deferred null emission.
+    """
+    return (
+        clicks.alias("c")
+        .join(
+            purchases.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.col("c.ts").alias("click_ts"),
+            F.col("p.event_id").cast("bigint").alias("purchase_id"),
+            (F.col("p.ts").cast("long") - F.col("c.ts").cast("long"))
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "q89_stream_stream_left_outer",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q89_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, batch-equivalent form
+    (C23's outer tier): clicks with their purchases within 30 minutes,
+    unmatched clicks kept with null purchase columns. Unique by
+    (click_id, purchase_id) — no tie-break needed. The watermarked
+    streaming twin runs the same builder and additionally asserts the
+    null-emission-after-watermark rule streaming adds.
+    """
+    ev = t(spark, sf_dir, "events").select("ts", "user_id", "event_type", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return click_purchase_interval_join_outer(clicks, purchases)

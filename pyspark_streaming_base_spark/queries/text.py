@@ -1012,3 +1012,76 @@ def q87_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train",
         F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
     )
+
+
+@query(
+    "q90_tokenize_corpus",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok AS token, COUNT(*) AS n_occ
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents
+      )
+      GROUP BY tok ORDER BY n_occ DESC, tok LIMIT {_VOCAB_SIZE}
+    ), vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, token) AS BIGINT)
+               AS token_id
+      FROM counts
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+      )
+    ), j AS (
+      SELECT doc_id, pos, COALESCE(v.token_id, 0) AS tid
+      FROM tok LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def q90_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary APPLICATION (the step after q85's vocab build): map every
+    document to its token-id sequence — in-vocab tokens get their stable
+    q85 id, OOV tokens get 0 — and report per-doc length, OOV count, and
+    the md5 of the comma-joined id sequence, so the oracle verifies the
+    exact ids in the exact order, not just counts.
+
+    Scale: the vocab is by-construction-small (V rows, V=64 here, ≤ a few
+    hundred thousand for real BPE vocabs) → ``broadcast`` join against the
+    exploded corpus, which therefore never shuffles for the lookup; the
+    only wide exchange is the per-doc regroup, keyed on ``doc_id``
+    (unskewed by construction). Position order is reconstructed with
+    ``array_sort`` over (pos, id) structs — no window function, no
+    single-partition sort.
+    """
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "token")
+    )
+    counts = d.groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+    top = counts.orderBy(F.col("n_occ").desc(), F.col("token")).limit(_VOCAB_SIZE)
+    vocab = top.select(
+        "token",
+        F.row_number()
+        .over(W.orderBy(F.col("n_occ").desc(), F.col("token")))
+        .cast("bigint")
+        .alias("token_id"),
+    )
+    j = d.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("token_id", F.lit(0)).alias("tid")
+    )
+    seq = F.array_sort(F.collect_list(F.struct("pos", "tid")))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+        F.sum((F.col("tid") == 0).cast("int")).cast("bigint").alias("n_oov"),
+        F.md5(
+            F.concat_ws(",", F.transform(seq, lambda x: x["tid"].cast("string")))
+        ).alias("ids_md5"),
+    )

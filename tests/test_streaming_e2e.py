@@ -542,3 +542,99 @@ def test_stream_stream_join(spark, tmp_path):
     q.awaitTermination()
     got = _rows(spark.table("ssj_out"))
     assert got == expected
+
+
+def test_stream_stream_left_outer_join(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join (q89's builder): matched
+    rows stream out as matches arrive; null-extended rows are emitted ONLY
+    once the watermark passes click.ts + 30min (state eviction proves no
+    match can arrive). Run 1 processes the real events; run 2 restarts
+    from the same checkpoint with a far-future sentinel purchase that
+    drags the watermark past every click window, so run1 ∪ run2 must
+    equal the batch left-outer result exactly — each null emitted exactly
+    once, none lost."""
+    from pyspark_streaming_base_spark.queries.streaming import (
+        click_purchase_interval_join_outer as batch_outer,
+    )
+
+    events = t(spark, SF_SMALL, "events").select(
+        "ts", "user_id", "event_type", "event_id"
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    expected = _rows(batch_outer(clicks, purchases))
+
+    # stage THREE time-ordered files written oldest-first: the file source
+    # processes by modification time, so arrival order respects event time
+    # (a purchase never precedes its click by more than one batch). A
+    # random repartition would replay events out of order far beyond the
+    # 1-minute watermark, and streaming would — correctly — drop matches
+    # whose other side was already evicted.
+    import time
+
+    stage = str(tmp_path / "stage")
+    ranked = events.withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                "ts", "event_id"
+            )
+        ),
+    )
+    n_ev = events.count()
+    for i in range(3):
+        lo, hi = i * n_ev // 3, (i + 1) * n_ev // 3
+        chunk = ranked.where((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn")
+        chunk.coalesce(1).write.mode("append").parquet(stage)
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # file sink, not memory: the memory sink cannot recover from a
+        # checkpoint, and run 2 must resume run 1's join state
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        # watermark at INGEST, before the event_type filters: each side's
+        # watermark node must see every event, or a batch containing only
+        # purchases leaves the click-side watermark (and the global
+        # min-of-both) stuck — exactly what a sentinel row must advance
+        wm = stream.withWatermark("ts", "1 minute")
+        sc = wm.filter(F.col("event_type") == "click")
+        sp = wm.filter(F.col("event_type") == "purchase")
+        q = (
+            batch_outer(sc, sp)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _rows(spark.read.parquet(out_dir))
+
+    got1 = run()
+
+    # the outer join may not have emitted every null yet: availableNow
+    # stops once the files are consumed, and eviction needs a LATER batch
+    # whose watermark clears the window. Append a sentinel purchase for a
+    # user that matches nothing, 2 hours past the end of the data.
+    sentinel_ts = events.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [(sentinel_ts, -1, "purchase", -1)], schema=events.schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS")).write.mode(
+        "append"
+    ).parquet(stage)
+    got = run()  # cumulative: the file sink appends to run 1's output
+
+    # every matched row must already be in run 1 (matches never wait for
+    # the watermark); the sentinel itself is a purchase, so it emits nothing
+    matched = Counter({k: v for k, v in expected.items() if k[3] is not None})
+    assert Counter({k: v for k, v in got1.items() if k[3] is not None}) == matched
+    # and the cumulative output is the exact batch result: every null
+    # emitted exactly once after its window closed, none duplicated or lost
+    assert got == expected
