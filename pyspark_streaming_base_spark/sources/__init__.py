@@ -2,10 +2,12 @@ from pyspark_streaming_base_spark.sources.base import StreamingSource
 from pyspark_streaming_base_spark.sources.delta import DeltaStreamingSource
 from pyspark_streaming_base_spark.sources.file import FileStreamingSource
 from pyspark_streaming_base_spark.sources.kafka import KafkaStreamingSource
+from pyspark_streaming_base_spark.sources.synthetic import SyntheticEventsDataSource
 
 __all__ = [
     "StreamingSource",
     "KafkaStreamingSource",
     "DeltaStreamingSource",
     "FileStreamingSource",
+    "SyntheticEventsDataSource",
 ]
