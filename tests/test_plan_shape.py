@@ -180,3 +180,36 @@ def test_simhash_self_join_reuses_fingerprint_pipeline(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("ReusedExchange") >= 1, final
     assert final.count("FileScan") == 1, final
+
+
+def test_chunking_is_shuffle_free(spark):
+    """q86: tokenize → sequence → explode → slice is a purely narrow
+    pipeline — chunking 100 TB must not move a single byte between
+    executors."""
+    df = R["q86_doc_chunking"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) == 0
+
+
+def test_decontamination_joins_on_shingles_not_pairs(spark):
+    """q87: contamination is ONE semi join on the shingle key — never a
+    doc×doc comparison. The plan must contain a LeftSemi and no
+    cartesian/broadcast-nested-loop."""
+    plan = formatted_plan(R["q87_decontamination"].fn(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tokenize_broadcasts_vocab(spark):
+    """q90: the V-row vocab must broadcast — a shuffle join keyed on
+    `token` would move the whole exploded corpus for a 64-row lookup."""
+    df = R["q90_tokenize_corpus"].fn(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    import re
+
+    plan = formatted_plan(df)
+    # position order comes from array_sort inside the aggregate, not a
+    # corpus-wide window sort: the only Window node is the V-row id
+    # assignment (formatted output repeats each node in the details
+    # section, so count tree nodes, not substring hits)
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 1
