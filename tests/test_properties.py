@@ -92,3 +92,70 @@ def test_asof_backward_matches_pandas_merge_asof(spark, lefts, rights):
             assert pd.isna(g)
         else:
             assert g == e
+
+
+#: Words that can appear in a document, including tokens that stress the
+#: tokenizer (no empty strings here — emptiness comes from the joins).
+_word = st.text(
+    alphabet="abcXYZ012_.,!", min_size=1, max_size=6
+).filter(lambda w: " " not in w)
+
+
+def _naive_tokens(text: str):
+    return [t for t in text.split(" ") if t != ""]
+
+
+def _naive_shingles(text: str):
+    toks = _naive_tokens(text)
+    if len(toks) < 3:
+        return [" ".join(toks)]
+    seen, out = set(), []
+    for i in range(len(toks) - 2):
+        s = " ".join(toks[i : i + 3])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _naive_bigrams(text: str):
+    toks = _naive_tokens(text)
+    return [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+
+@given(
+    texts=st.lists(
+        st.lists(_word, min_size=0, max_size=12).map(" ".join)
+        # inject irregular spacing: the tokenizer must drop empty tokens
+        .flatmap(lambda t: st.sampled_from([t, "  " + t, t + " ", t.replace(" ", "   ", 1)])),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_textops_match_naive_python_oracle(spark, texts):
+    """The canonical tokenizer/shingler (`functions/textops.py`) — the
+    single definition every dedup/text query trusts — must agree with a
+    direct Python implementation on arbitrary messy input, including
+    multi-space runs, <3-token docs (whole-text shingle fallback), and
+    duplicate-keeping bigrams."""
+    from pyspark_streaming_base_spark.functions.textops import (
+        tokens,
+        word_bigrams,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: (r["toks"], r["sh"], r["bi"])
+        for r in df.select(
+            "i",
+            tokens(F.col("text")).alias("toks"),
+            word_shingles(F.col("text")).alias("sh"),
+            word_bigrams(F.col("text")).alias("bi"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i][0] == _naive_tokens(t), f"tokens({t!r})"
+        assert got[i][1] == _naive_shingles(t), f"shingles({t!r})"
+        assert got[i][2] == _naive_bigrams(t), f"bigrams({t!r})"
