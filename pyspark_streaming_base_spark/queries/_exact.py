@@ -64,6 +64,24 @@ def davg(col: Column) -> Column:
     return (dsum(col) / F.count(col)).alias("avg")
 
 
+def epoch_seconds(col: Column) -> Column:
+    """Whole-second epoch (floor) of a timestamp, NTZ-safe.
+
+    ``events.ts`` surfaces as TIMESTAMP or TIMESTAMP_NTZ depending on how
+    the parquet physical type was written (nanos vs NTZ micros), and Spark
+    forbids a direct NTZ→BIGINT cast. Casting through TIMESTAMP first works
+    for both; the session-timezone offset an NTZ reinterpretation may add is
+    whole minutes, so *differences* of two epoch_seconds are timezone-free
+    and match DuckDB's ``date_diff('second', a, b)`` boundary-crossing count
+    exactly (both are floor(epoch) arithmetic).
+
+    Only use this in differences or modular bucketing with minute-aligned
+    grids — never compare a lone epoch_seconds value against an oracle
+    constant, since the absolute value is timezone-dependent on NTZ input.
+    """
+    return col.cast("timestamp").cast("long")
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` for an SQL expression string."""
     return (

@@ -50,8 +50,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Generator encoding drifts round-to-round (nanos vs NTZ micros).
+            # Normalize to TIMESTAMP (LTZ): watermarks/event-time ops require
+            # it, and the wall-clock value round-trips unchanged because
+            # Spark renders LTZ in the same session timezone the NTZ cast
+            # interpreted it in — so oracle value parity is tz-independent.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._exact import dsum, scaled, sql_dsum, unscale
+from pyspark_streaming_base_spark.queries._exact import (
+    dsum,
+    epoch_seconds,
+    scaled,
+    sql_dsum,
+    unscale,
+)
 from pyspark_streaming_base_spark.queries._tables import t
 
 
@@ -288,7 +294,7 @@ def click_purchase_interval_join(clicks: DataFrame, purchases: DataFrame) -> Dat
             F.col("c.user_id").alias("user_id"),
             F.col("c.event_id").alias("click_id"),
             F.col("p.event_id").alias("purchase_id"),
-            (F.col("p.ts").cast("long") - F.col("c.ts").cast("long"))
+            (epoch_seconds(F.col("p.ts")) - epoch_seconds(F.col("c.ts")))
             .cast("bigint")
             .alias("gap_s"),
         )
@@ -408,7 +414,7 @@ def click_purchase_interval_join_outer(
             F.col("c.event_id").alias("click_id"),
             F.col("c.ts").alias("click_ts"),
             F.col("p.event_id").cast("bigint").alias("purchase_id"),
-            (F.col("p.ts").cast("long") - F.col("c.ts").cast("long"))
+            (epoch_seconds(F.col("p.ts")) - epoch_seconds(F.col("c.ts")))
             .cast("bigint")
             .alias("gap_s"),
         )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._exact import epoch_seconds
 from pyspark_streaming_base_spark.queries._tables import t
 
 
@@ -208,7 +209,7 @@ def q75_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id").alias("purchase_id"),
         F.col("r_event_id").cast("bigint").alias("click_id"),
-        (F.col("ts").cast("long") - F.col("r_ts").cast("long"))
+        (epoch_seconds(F.col("ts")) - epoch_seconds(F.col("r_ts")))
         .cast("bigint")
         .alias("gap_s"),
     )

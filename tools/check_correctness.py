@@ -32,6 +32,8 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
     return v
 
 
