@@ -44,3 +44,26 @@ def word_shingles(col: Column) -> Column:
             F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+#: PII-style redaction patterns, applied in order (most specific first so a
+#: digit-run inside an already-redacted email is not re-matched). Kept to
+#: the regex subset with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB oracle): char classes, bounded repetition, \b word boundaries.
+PII_PATTERNS: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("digits", r"[0-9]+"),
+)
+
+
+def redact(col: Column, token: str = "#") -> Column:
+    """Chained redaction of every PII pattern, each match → ``token``.
+
+    Spark's ``regexp_replace`` is replace-all by default, matching DuckDB's
+    ``regexp_replace(..., 'g')``; one pass per pattern, all JVM-side.
+    """
+    out = col
+    for _, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -1,0 +1,279 @@
+"""Training-data-pipeline extras beyond SURVEY §2C: PII redaction,
+embedding quantization, unigram-LM document scoring, distributed k-means.
+
+These are the governance / compression / quality-filter / clustering
+stages a 100 TB pretraining pipeline runs between dedup and packing.
+Design rules as everywhere else: built-in expressions in the hot path,
+shuffles only on high-cardinality keys, broadcast only by-construction-
+small sides (quantization params: 1 row; k-means centroids: k rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.functions.textops import redact, tokens
+from pyspark_streaming_base_spark.functions.vectorops import dvec
+from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._tables import t
+
+_DIGIT_RUN = r"[0-9]+"
+
+
+@query(
+    "q91_pii_redaction",
+    oracle=r"""
+    SELECT event_id,
+           event_type,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '#', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '#', 'g'),
+             '[0-9]+', '#', 'g') AS props_redacted,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+             AS n_digit_runs
+    FROM events
+    """,
+)
+def q91_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction over free text (``events.props`` JSON strings):
+    emails, IPv4s, then digit runs, each match collapsed to ``#`` — the
+    scrub stage every externally-sourced corpus passes through before
+    training. Patterns live in ``functions/textops.py:PII_PATTERNS`` (one
+    definition; the email/IPv4 tiers are exercised by the pytest property
+    test since the synthetic corpus has only numeric PII).
+
+    Scale: pure per-row ``regexp_replace`` chain — no shuffle at all, no
+    Python; a scan-transform-write pipeline at any data size.
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        redact(F.col("props")).alias("props_redacted"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit(_DIGIT_RUN), 0))
+        .cast("bigint")
+        .alias("n_digit_runs"),
+    )
+
+
+@query(
+    "q92_int8_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    x AS (
+      SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e
+    ),
+    d AS (SELECT pos, MIN(val) AS vmin, MAX(val) AS vmax FROM x GROUP BY pos),
+    p AS (
+      SELECT list(vmin ORDER BY pos) AS mins,
+             list(vmax - vmin ORDER BY pos) AS rngs
+      FROM d
+    ),
+    q AS (
+      SELECT vec_id, v, mins, rngs,
+             list_transform(range(1, len(v) + 1),
+               i -> CASE WHEN rngs[i] > 0
+                         THEN CAST(LEAST(FLOOR((v[i] - mins[i]) * 255.0
+                                               / rngs[i]), 255) AS BIGINT)
+                         ELSE 0 END) AS qvec
+      FROM e, p
+    )
+    SELECT vec_id,
+           CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+           md5(array_to_string(qvec, '-')) AS q_digest,
+           ROUND(list_max(list_transform(range(1, len(v) + 1),
+             i -> ABS((v[i] - mins[i])
+                      - CAST(qvec[i] AS DOUBLE) * rngs[i] / 255.0))),
+             6) AS max_abs_err_r
+    FROM q
+    """,
+)
+def q92_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus (the compression
+    step before an ANN index ships to serving): global per-dimension
+    min/max, then each component → ``floor((v-min)·255/range)`` ∈ [0,255];
+    emitted per vector as code-sum + md5 digest (scalar cells for the
+    oracle hash) plus the max reconstruction error.
+
+    Plan shape (100 TB): pass 1 posexplodes to (pos, val) and reduces to
+    64 rows with map-side-combined min/max — vectors never shuffle; the
+    64-dim param table is folded to ONE row of two arrays and broadcast
+    cross-joined, so pass 2 is a scan with per-row ``zip_with`` arithmetic
+    (no join shuffle, no Python). Both engines run identical IEEE-double
+    expressions, so the integer codes match exactly and the error rounds
+    identically.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", dvec("embedding").alias("v"))
+    dims = (
+        emb.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("vmin"), (F.max("val") - F.min("val")).alias("rng"))
+    )
+    params = dims.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "vmin"))).alias("mn"),
+        F.array_sort(F.collect_list(F.struct("pos", "rng"))).alias("rg"),
+    ).select(
+        F.transform("mn", lambda s: s["vmin"]).alias("mins"),
+        F.transform("rg", lambda s: s["rng"]).alias("rngs"),
+    )
+    centered = F.zip_with("v", "mins", lambda x, m: x - m)
+    with_q = (
+        emb.crossJoin(F.broadcast(params))
+        .withColumn("c", centered)
+        .withColumn(
+            "qvec",
+            F.zip_with(
+                "c",
+                "rngs",
+                lambda c, r: F.when(
+                    r > 0, F.least(F.floor(c * 255.0 / r), F.lit(255))
+                ).otherwise(F.lit(0).cast("bigint")),
+            ),
+        )
+    )
+    recon = F.zip_with("qvec", "rngs", lambda q, r: q * r / 255.0)
+    err = F.zip_with("c", recon, lambda c, d: F.abs(c - d))
+    # Downstream consumers keep the qvec array; the registry projection
+    # digests it (sum + md5 of the joined codes) because the oracle
+    # compare hashes scalar cells, not arrays.
+    return with_q.withColumn("err", err).select(
+        "vec_id",
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.md5(
+            F.concat_ws("-", F.transform("qvec", lambda x: x.cast("string")))
+        ).alias("q_digest"),
+        F.round(F.array_max("err"), 6).alias("max_abs_err_r"),
+    )
+
+
+@query(
+    "q93_unigram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c.c) AS BIGINT) AS sum_freq,
+           ROUND(CAST(SUM(c.c) AS DOUBLE) / COUNT(*), 6) AS avg_tok_freq_r
+    FROM tok t JOIN cnt c USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q93_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (quality filtering): each document's
+    mean corpus frequency of its tokens — the cheap LM-likeness proxy used
+    to rank documents before expensive model-based scoring (low score =
+    rare-token-heavy = boilerplate/garbled candidates).
+
+    All-integer aggregation (token counts are bigints) with ONE rounded
+    quotient at the end, so the oracle matches exactly. Scale: token
+    explode → count groupBy (map-side combined), then a token-keyed join
+    back; stopword-grade hot tokens are exactly the AQE skew-join case,
+    and the count side can be broadcast when the vocabulary is bounded.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        tok.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("sum_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            F.round(F.col("sum_freq").cast("double") / F.col("n_tokens"), 6).alias(
+                "avg_tok_freq_r"
+            ),
+        )
+    )
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, fully distributed:
+    (vec_id, cid, d2) after ``iters`` refinement rounds.
+
+    * init: the vectors with ``vec_id < k`` (deterministic, no RNG);
+    * assign: broadcast the k-row centroid table, per-row squared-distance
+      fold, ``min_by`` argmin with a (d2, cid) tie-break;
+    * update: per-dimension means via posexplode + map-side-combined agg —
+      the corpus never shuffles, only (cid, pos) partials do;
+    * each new centroid table is ``localCheckpoint``-ed (k rows) to
+      truncate lineage — no driver ``collect``, same pattern as
+      ``operators/components.py``.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", dvec("embedding").alias("v"))
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("bigint").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def d2() -> F.Column:
+        return F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    for _ in range(iters):
+        assigned = (
+            emb.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2())
+            .groupBy("vec_id")
+            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+            .join(emb, "vec_id")
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
+            .select("cid", F.transform("s", lambda st: st["m"]).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2())
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+            F.min("d2").alias("d2"),
+        )
+    )
+
+
+@query("q94_kmeans_clusters")  # iterative float refinement — rows-only by design
+def q94_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster summary (k=8, 3 Lloyd iterations): size and inertia
+    per cluster. Iterative refinement of float centroids is inherently
+    engine-specific, so this is rows-only for the driver; the pytest twin
+    (``tests/test_pipeline_ops.py``) checks the assignment against a numpy
+    Lloyd oracle run with identical init and tie-breaks.
+    """
+    a = kmeans_assign(spark, sf_dir)
+    return a.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.sum("d2"), 6).alias("inertia_r"),
+    )

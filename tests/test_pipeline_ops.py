@@ -1,0 +1,112 @@
+"""Tests for the training-pipeline extras (q91–q94): PII redaction
+patterns against a Python ``re`` oracle, int8 quantization against a
+numpy mirror, and k-means against a numpy Lloyd oracle with identical
+init and tie-breaks."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.functions.textops import PII_PATTERNS, redact
+from pyspark_streaming_base_spark.queries.pipeline import kmeans_assign
+from pyspark_streaming_base_spark.queries import load_all
+
+from tests.conftest import SF_SMALL
+
+REGISTRY = load_all()
+
+
+def _py_redact(s: str) -> str:
+    for _, pat in PII_PATTERNS:
+        s = re.sub(pat, "#", s)
+    return s
+
+
+def test_redact_matches_python_re(spark):
+    samples = [
+        "contact bob.smith+spam@example-mail.co.uk for details",
+        "server at 192.168.0.1 and 10.0.0.255, port 8080",
+        "no pii here at all",
+        "mixed a@b.io then 1.2.3.4 then plain 123456 end",
+        "edge 999.999.999.999 still matches the lax ipv4 tier",
+        "digits42inside0words7",
+        "",
+        "trailing dot ip 1.2.3.4. and double 1.2.3.4 5.6.7.8",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["text"])
+    got = [r["red"] for r in df.select(redact(F.col("text")).alias("red")).collect()]
+    assert got == [_py_redact(s) for s in samples]
+
+
+def test_int8_quantize_matches_numpy(spark):
+    pdf = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mins = mat.min(axis=0)
+    rngs = mat.max(axis=0) - mins
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor((mat - mins) * 255.0 / rngs)
+    q = np.where(rngs > 0, np.minimum(q, 255), 0).astype(np.int64)
+    expect = {
+        int(v): (
+            int(q[i].sum()),
+            hashlib.md5("-".join(map(str, q[i])).encode()).hexdigest(),
+        )
+        for i, v in enumerate(pdf["vec_id"])
+    }
+
+    rows = REGISTRY["q92_int8_quantize"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        es, ed = expect[r["vec_id"]]
+        assert r["q_sum"] == es
+        assert r["q_digest"] == ed
+        assert 0.0 <= r["max_abs_err_r"] <= float(rngs.max()) / 255.0 + 1e-9
+
+
+def _numpy_lloyd(mat, k, iters):
+    cent = mat[:k].copy()
+    for _ in range(iters + 1):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the lowest index on ties
+        if _ == iters:
+            return assign, d2[np.arange(len(mat)), assign]
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    raise AssertionError("unreachable")
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    k, iters = 8, 3
+    pdf = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").sort_values("vec_id")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    expect_assign, expect_d2 = _numpy_lloyd(mat, k, iters)
+    expect_by_vec = dict(zip(pdf["vec_id"].astype(int), zip(expect_assign, expect_d2)))
+
+    rows = kmeans_assign(spark, SF_SMALL, k=k, iters=iters).collect()
+    assert len(rows) == len(mat)
+    mismatches = 0
+    for r in rows:
+        ea, ed = expect_by_vec[r["vec_id"]]
+        if r["cid"] != ea:
+            # tolerate only genuine near-ties (numpy sums in a different
+            # order than the sequential Spark fold)
+            assert abs(r["d2"] - ed) < 1e-9
+            mismatches += 1
+        else:
+            assert r["d2"] == pytest.approx(ed, rel=1e-9, abs=1e-12)
+    assert mismatches <= len(mat) // 100
+
+    # inertia is non-increasing in the iteration count
+    i1 = sum(
+        r["d2"] for r in kmeans_assign(spark, SF_SMALL, k=k, iters=1).collect()
+    )
+    i3 = sum(r["d2"] for r in rows)
+    assert i3 <= i1 + 1e-9
