@@ -277,3 +277,55 @@ def q94_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.round(F.sum("d2"), 6).alias("inertia_r"),
     )
+
+
+@query(
+    "q95_dq_violations",
+    oracle="""
+    WITH c AS (
+      SELECT
+        CAST(SUM(CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS low_discount,
+        CAST(SUM(CASE WHEN NOT COALESCE(l_quantity < 45, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS qty_bounded,
+        CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS positive_price,
+        CAST(SUM(CASE WHEN NOT COALESCE(l_tax IS NOT NULL, FALSE)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tax_nonnull
+      FROM lineitem
+    )
+    SELECT rule, n_violations FROM (
+      SELECT 'low_discount' AS rule, low_discount AS n_violations FROM c
+      UNION ALL SELECT 'qty_bounded', qty_bounded FROM c
+      UNION ALL SELECT 'positive_price', positive_price FROM c
+      UNION ALL SELECT 'tax_nonnull', tax_nonnull FROM c
+    ) WHERE n_violations > 0
+    """,
+)
+def q95_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (DLT-style) over lineitem: declarative
+    named rules → pass/quarantine split + per-rule violation metrics, via
+    ``operators/expectations.py``. Rules with zero violations are absent
+    (the metrics come from exploding each row's failed-rule tags); the
+    ``tax_nonnull`` rule is deliberately clean to exercise that path.
+
+    Scale: rule tagging is one shuffle-free projection over the scan; the
+    metrics explode emits only failed tags, so the groupBy shuffle carries
+    O(rules × tasks) partial counts.
+    """
+    from pyspark_streaming_base_spark.operators.expectations import (
+        apply_expectations,
+        violation_counts,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    tagged = apply_expectations(
+        li,
+        {
+            "low_discount": F.col("l_discount") <= 0.05,
+            "qty_bounded": F.col("l_quantity") < 45,
+            "positive_price": F.col("l_extendedprice") > 0,
+            "tax_nonnull": F.col("l_tax").isNotNull(),
+        },
+    )
+    return violation_counts(tagged)

@@ -1,4 +1,5 @@
 from pyspark_streaming_base_spark.streaming.equivalence import stream_replay
+from pyspark_streaming_base_spark.streaming.metrics import ProgressCapture
 from pyspark_streaming_base_spark.streaming.stateful import (
     running_aggregate,
     running_aggregate_tws,
@@ -7,6 +8,7 @@ from pyspark_streaming_base_spark.streaming.stateful import (
 
 __all__ = [
     "stream_replay",
+    "ProgressCapture",
     "running_aggregate",
     "running_aggregate_tws",
     "sessionize",
