@@ -213,3 +213,23 @@ def test_tokenize_broadcasts_vocab(spark):
     # assignment (formatted output repeats each node in the details
     # section, so count tree nodes, not substring hits)
     assert len(re.findall(r"\(\d+\) Window", plan)) <= 1
+
+
+def test_pii_redaction_shuffle_free(spark):
+    df = R["q91_pii_redaction"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) == 0
+
+
+def test_quantize_corpus_never_shuffles_vectors(spark):
+    df = R["q92_int8_quantize"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    # pass 1 reduces the posexplode to 64 partials (1 shuffle + the 1-row
+    # param fold); pass 2 must join via broadcast, not exchange the corpus
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert shuffle_count(df) <= 2
+
+
+def test_dq_tagging_fuses_into_scan(spark):
+    df = R["q95_dq_violations"].fn(spark, SF_SMALL)
+    # tag + explode are narrow; only the per-rule count aggregation shuffles
+    assert shuffle_count(df) == 1
