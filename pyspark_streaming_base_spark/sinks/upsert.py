@@ -1,0 +1,172 @@
+"""Keyed upsert table ("apply changes" / CDC merge) — Delta-MERGE
+semantics without Delta, on the manifest commit protocol.
+
+The reference's idempotent-write knobs (A12) stop at *replay protection*;
+real CDC ingestion also needs *merge* semantics: each arriving batch of
+(key, sequence, payload[, delete flag]) rows must upsert into a queryable
+table keeping only the latest version of every key. This module
+implements the copy-on-write flavor the way a table format would:
+
+* the table is laid out as ``N`` hash buckets of the key
+  (``pmod(xxhash64(keys), N)``); each bucket directory carries its own
+  snapshot manifests (``_manifests/<batch_id>.json`` listing the
+  bucket's current parquet files, written atomically via tmp +
+  ``os.replace``);
+* ``apply(batch_df, batch_id)`` rewrites ONLY the buckets containing the
+  batch's keys: read the bucket's latest snapshot, union the batch slice,
+  keep the max-sequence row per key, write the merged bucket, commit its
+  manifest. Untouched buckets are untouched — the 100 TB property: write
+  amplification is (touched buckets / N) of the table, not the table;
+* readers (``read``) take each bucket's HIGHEST-numbered manifest — a
+  consistent per-bucket snapshot; concurrent readers never see a
+  half-merged bucket (old manifest stays valid until the new one lands);
+* replay-idempotent by algebra AND by protocol: a replayed batch merges
+  its own earlier output (keep-latest of an idempotent union) and
+  overwrites the SAME manifest id, so crash-rerun converges to the same
+  snapshot — the same guarantee the ledger gives plain appends in
+  ``foreach_batch.py``;
+* deletes: an optional boolean column marks tombstones. Tombstones are
+  RETAINED in the stored snapshot (they compete on sequence like any
+  version, so a late-arriving row older than the delete cannot resurrect
+  the key) and filtered out at read time; a genuinely later re-insert
+  wins by sequence, CDC-style. Physically dropping old tombstones is a
+  maintenance compaction once the watermark passes their sequence.
+
+The driver only ever touches bucket ids and file names (O(metadata));
+all data movement is Spark parquet read/write of the touched buckets.
+
+Scale tuning: ``n_buckets`` trades write amplification against small
+files — size it so one bucket ≈ a few target files. At real scale the
+same layout upgrades to partition+bucket (date/bucket) without changing
+the protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+class UpsertTable:
+    """Bucketed copy-on-write keyed table with snapshot manifests."""
+
+    def __init__(
+        self,
+        root: str,
+        key_cols: Sequence[str],
+        seq_col: str,
+        n_buckets: int = 16,
+        delete_col: Optional[str] = None,
+    ) -> None:
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        self.root = root
+        self.key_cols = list(key_cols)
+        self.seq_col = seq_col
+        self.n_buckets = int(n_buckets)
+        self.delete_col = delete_col
+        os.makedirs(root, exist_ok=True)
+
+    # -- layout helpers ------------------------------------------------------
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(F.xxhash64(*self.key_cols), F.lit(self.n_buckets))
+
+    def _bucket_dir(self, b: int) -> str:
+        return os.path.join(self.root, f"bucket={b:05d}")
+
+    def _manifest_dir(self, b: int) -> str:
+        return os.path.join(self._bucket_dir(b), "_manifests")
+
+    def _latest_manifest(self, b: int) -> Optional[str]:
+        mdir = self._manifest_dir(b)
+        if not os.path.isdir(mdir):
+            return None
+        names = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+        return os.path.join(mdir, names[-1]) if names else None
+
+    def _bucket_files(self, b: int) -> List[str]:
+        m = self._latest_manifest(b)
+        if m is None:
+            return []
+        with open(m) as f:
+            return json.load(f)["files"]
+
+    def _commit_bucket(self, b: int, batch_id: int, files: List[str]) -> None:
+        mdir = self._manifest_dir(b)
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "files": sorted(files)}, f)
+        os.replace(tmp, os.path.join(mdir, f"{batch_id:020d}.json"))
+
+    def _schema_path(self) -> str:
+        return os.path.join(self.root, "_schema.json")
+
+    # -- write path ----------------------------------------------------------
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Merge one batch of change rows; rewrites only touched buckets."""
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("_bucket", self._bucket_expr())
+        # driver sees only bucket IDS (≤ n_buckets ints) — never data
+        touched = sorted(
+            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+        )
+        if not touched:
+            return
+        if not os.path.exists(self._schema_path()):
+            tmp = self._schema_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(batch_df.schema.json())
+            os.replace(tmp, self._schema_path())
+
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col(self.seq_col).desc())
+        for b in touched:
+            current_files = self._bucket_files(b)
+            slice_df = batch.filter(F.col("_bucket") == b).drop("_bucket")
+            if current_files:
+                current = spark.read.parquet(*current_files)
+                merged = current.unionByName(slice_df)
+            else:
+                merged = slice_df
+            latest = (
+                merged.dropDuplicates(self.key_cols + [self.seq_col])
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            out = os.path.join(self._bucket_dir(b), "data", uuid.uuid4().hex)
+            latest.write.mode("overwrite").parquet(out)
+            files = [
+                os.path.join(out, n)
+                for n in os.listdir(out)
+                if n.endswith(".parquet")
+            ]
+            self._commit_bucket(b, batch_id, files)
+
+    def foreach_batch(self):
+        """Adapter for ``writeStream.foreachBatch`` (CDC apply-changes)."""
+        return lambda df, batch_id: self.apply(df, batch_id)
+
+    # -- read path -----------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current snapshot: union of every bucket's latest manifest."""
+        files: List[str] = []
+        for b in range(self.n_buckets):
+            files.extend(self._bucket_files(b))
+        if files:
+            df = spark.read.parquet(*files)
+            if self.delete_col:
+                df = df.filter(~F.coalesce(F.col(self.delete_col), F.lit(False)))
+            return df
+        if os.path.exists(self._schema_path()):
+            from pyspark.sql.types import StructType
+
+            with open(self._schema_path()) as f:
+                schema = StructType.fromJson(json.load(f))
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(f"no snapshot or schema at {self.root}")

@@ -1,0 +1,124 @@
+"""UpsertTable (CDC apply-changes) semantics: keyed merge, deletes,
+replay idempotence, bucket-scoped rewrites, streaming foreachBatch e2e."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.sinks.upsert import UpsertTable
+
+
+def snap(tbl, spark):
+    return {
+        (r["k"]): (r["seq"], r["v"])
+        for r in tbl.read(spark).select("k", "seq", "v").collect()
+    }
+
+
+def test_upsert_latest_per_key(spark, tmp_path):
+    tbl = UpsertTable(str(tmp_path / "t"), key_cols=["k"], seq_col="seq")
+    b0 = spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], ["k", "seq", "v"])
+    b1 = spark.createDataFrame([(1, 2, "a2"), (3, 1, "c")], ["k", "seq", "v"])
+    tbl.apply(b0, 0)
+    tbl.apply(b1, 1)
+    assert snap(tbl, spark) == {1: (2, "a2"), 2: (1, "b"), 3: (1, "c")}
+
+
+def test_out_of_order_rows_lose_to_newer(spark, tmp_path):
+    tbl = UpsertTable(str(tmp_path / "t"), key_cols=["k"], seq_col="seq")
+    tbl.apply(spark.createDataFrame([(1, 5, "new")], ["k", "seq", "v"]), 0)
+    tbl.apply(spark.createDataFrame([(1, 3, "stale")], ["k", "seq", "v"]), 1)
+    assert snap(tbl, spark) == {1: (5, "new")}
+
+
+def test_deletes_tombstone_and_resurrect(spark, tmp_path):
+    tbl = UpsertTable(
+        str(tmp_path / "t"), key_cols=["k"], seq_col="seq", delete_col="del"
+    )
+    cols = "k BIGINT, seq BIGINT, v STRING, del BOOLEAN"
+    tbl.apply(spark.createDataFrame([(1, 1, "a", False), (2, 1, "b", False)], cols), 0)
+    tbl.apply(spark.createDataFrame([(1, 2, None, True)], cols), 1)
+    got = {r["k"] for r in tbl.read(spark).collect()}
+    assert got == {2}
+    # a LATE row older than the delete must not resurrect the key
+    tbl.apply(spark.createDataFrame([(1, 1, "late", False)], cols), 2)
+    assert {r["k"] for r in tbl.read(spark).collect()} == {2}
+    # a genuinely newer insert does resurrect it
+    tbl.apply(spark.createDataFrame([(1, 3, "back", False)], cols), 3)
+    rows = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert rows == {1: "back", 2: "b"}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    tbl = UpsertTable(str(tmp_path / "t"), key_cols=["k"], seq_col="seq")
+    b0 = spark.createDataFrame([(i, 1, f"v{i}") for i in range(20)], ["k", "seq", "v"])
+    b1 = spark.createDataFrame([(5, 2, "v5b"), (21, 1, "v21")], ["k", "seq", "v"])
+    tbl.apply(b0, 0)
+    tbl.apply(b1, 1)
+    before = snap(tbl, spark)
+    tbl.apply(b1, 1)  # crash-replay of the same batch
+    assert snap(tbl, spark) == before
+    assert tbl.read(spark).count() == 21
+
+
+def test_only_touched_buckets_rewritten(spark, tmp_path):
+    tbl = UpsertTable(str(tmp_path / "t"), key_cols=["k"], seq_col="seq", n_buckets=8)
+    tbl.apply(
+        spark.createDataFrame([(i, 1, "x") for i in range(50)], ["k", "seq", "v"]), 0
+    )
+    manifests_before = {
+        b: sorted(os.listdir(tbl._manifest_dir(b)))
+        for b in range(8)
+        if os.path.isdir(tbl._manifest_dir(b))
+    }
+    tbl.apply(spark.createDataFrame([(7, 2, "y")], ["k", "seq", "v"]), 1)
+    changed = []
+    for b in range(8):
+        after = (
+            sorted(os.listdir(tbl._manifest_dir(b)))
+            if os.path.isdir(tbl._manifest_dir(b))
+            else []
+        )
+        if after != manifests_before.get(b, []):
+            changed.append(b)
+    assert len(changed) == 1  # exactly key 7's bucket
+
+
+def test_empty_table_read_raises_without_schema(spark, tmp_path):
+    tbl = UpsertTable(str(tmp_path / "t"), key_cols=["k"], seq_col="seq")
+    with pytest.raises(FileNotFoundError):
+        tbl.read(spark)
+
+
+def test_streaming_apply_changes_e2e(spark, tmp_path):
+    """CDC stream → foreachBatch upsert equals the batch latest-per-key."""
+    src = str(tmp_path / "cdc_src")
+    changes = [(i % 30, i, f"v{i}") for i in range(200)]  # 30 keys, 200 versions
+    cdf = spark.createDataFrame(changes, ["k", "seq", "v"])
+    cdf.repartition(4).write.parquet(src)
+
+    tbl = UpsertTable(str(tmp_path / "t"), key_cols=["k"], seq_col="seq")
+    stream = (
+        spark.readStream.schema("k BIGINT, seq BIGINT, v STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(tbl.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    expect = {
+        r["k"]: (r["seq"], r["v"])
+        for r in cdf.groupBy("k")
+        .agg(F.max_by(F.struct("seq", "v"), "seq").alias("s"))
+        .select("k", "s.seq", "s.v")
+        .collect()
+    }
+    assert snap(tbl, spark) == expect
