@@ -152,6 +152,38 @@ class UpsertTable:
         """Adapter for ``writeStream.foreachBatch`` (CDC apply-changes)."""
         return lambda df, batch_id: self.apply(df, batch_id)
 
+    def compact(self, spark: SparkSession, drop_tombstones_before: int) -> None:
+        """Maintenance job: garbage-collect tombstones whose sequence is
+        below ``drop_tombstones_before`` (i.e. no straggler older than the
+        delete can still arrive — the caller's retention watermark) and
+        rewrite each non-empty bucket as one snapshot. Commits under the
+        bucket's next manifest id, so readers flip atomically per bucket.
+        """
+        if not self.delete_col:
+            raise ValueError("compact without delete_col has nothing to GC")
+        for b in range(self.n_buckets):
+            files = self._bucket_files(b)
+            if not files:
+                continue
+            m = self._latest_manifest(b)
+            with open(m) as f:  # type: ignore[arg-type]
+                last_id = json.load(f)["batch_id"]
+            cur = spark.read.parquet(*files)
+            kept = cur.filter(
+                ~(
+                    F.coalesce(F.col(self.delete_col), F.lit(False))
+                    & (F.col(self.seq_col) < drop_tombstones_before)
+                )
+            )
+            out = os.path.join(self._bucket_dir(b), "data", uuid.uuid4().hex)
+            kept.write.mode("overwrite").parquet(out)
+            new_files = [
+                os.path.join(out, n)
+                for n in os.listdir(out)
+                if n.endswith(".parquet")
+            ]
+            self._commit_bucket(b, last_id + 1, new_files)
+
     # -- read path -----------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
         """Current snapshot: union of every bucket's latest manifest."""

@@ -122,3 +122,34 @@ def test_streaming_apply_changes_e2e(spark, tmp_path):
         .collect()
     }
     assert snap(tbl, spark) == expect
+
+
+def test_compact_gc_tombstones(spark, tmp_path):
+    tbl = UpsertTable(
+        str(tmp_path / "t"), key_cols=["k"], seq_col="seq", delete_col="del",
+        n_buckets=4,
+    )
+    cols = "k BIGINT, seq BIGINT, v STRING, del BOOLEAN"
+    tbl.apply(
+        spark.createDataFrame(
+            [(1, 1, "a", False), (2, 1, "b", False), (3, 1, "c", False)], cols
+        ),
+        0,
+    )
+    tbl.apply(
+        spark.createDataFrame([(1, 2, None, True), (3, 5, None, True)], cols), 1
+    )
+    assert {r["k"] for r in tbl.read(spark).collect()} == {2}
+
+    # GC tombstones older than seq 4: key 1's tombstone (seq 2) goes,
+    # key 3's (seq 5) survives the retention watermark
+    tbl.compact(spark, drop_tombstones_before=4)
+    assert {r["k"] for r in tbl.read(spark).collect()} == {2}
+    stored = spark.read.parquet(
+        *[f for b in range(4) for f in tbl._bucket_files(b)]
+    )
+    tomb = {r["k"] for r in stored.filter("del").collect()}
+    assert tomb == {3}
+    # table still merges correctly after compaction
+    tbl.apply(spark.createDataFrame([(1, 3, "back", False)], cols), 2)
+    assert {r["k"] for r in tbl.read(spark).collect()} == {1, 2}
