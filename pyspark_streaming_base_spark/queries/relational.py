@@ -1281,3 +1281,129 @@ def q88_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("s_nationkey").alias("nationkey"), "n_items", "total_price"
     )
+
+
+@query(
+    "q96_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             ROUND(
+               ({sql_dsum("l_extendedprice")})
+               / (CAST(SUM(CAST(ROUND(l_quantity * 1000000.0, 0) AS BIGINT))
+                    AS DOUBLE) / 1000000.0),
+               6) AS unit_price_r
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT partkey, suppkey, unit_price_r,
+             ROW_NUMBER() OVER (
+               PARTITION BY partkey ORDER BY unit_price_r, suppkey
+             ) AS rn
+      FROM ps
+    )
+    SELECT p.p_partkey AS partkey, p.p_brand AS brand,
+           s.s_name AS supplier_name, n.n_name AS nation,
+           b.unit_price_r
+    FROM best b
+    JOIN part p ON p.p_partkey = b.partkey
+    JOIN supplier s ON s.s_suppkey = b.suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE b.rn = 1 AND p.p_size >= 30
+    """,
+)
+def q96_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-style correlated minimum (adapted: no partsupp table, so
+    the part↔supplier relation is derived from lineitem sales): for each
+    large part, the supplier with the lowest observed unit price.
+
+    The correlated ``price = (SELECT MIN ...)`` subquery is decorrelated
+    into ONE window rank over the (part, supplier) aggregate — the shape
+    Catalyst itself rewrites correlated scalar subqueries into, but stated
+    directly so the plan is one aggregation + one rank instead of a
+    self-join against a re-aggregation. Unit price ranks on the ROUNDED
+    value with a suppkey tie-break (cross-engine-deterministic ordering,
+    q60 pattern); sums go through the scaled-int path so the rounded
+    quotient is identical on both engines.
+
+    Scale: the (part, supplier) aggregate shuffles once on a compound
+    high-cardinality key; the rank window re-shuffles only the aggregate
+    (≪ lineitem); part/supplier/nation are broadcast dims.
+    """
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.round(
+            dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity")), 6
+        ).alias("unit_price_r")
+    )
+    w = W.partitionBy("partkey").orderBy("unit_price_r", "suppkey")
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = dim(spark, sf_dir, "part").filter(F.col("p_size") >= 30)
+    s = dim(spark, sf_dir, "supplier")
+    n = dim(spark, sf_dir, "nation")
+    return (
+        best.join(p, best["partkey"] == p["p_partkey"])
+        .join(s, best["suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            "unit_price_r",
+        )
+    )
+
+
+@query(
+    "q97_profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {sql_dsum("l_extendedprice * (1 - l_discount)"
+                     " - l_quantity * p_retailprice * 0.1")} AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+    """,
+)
+def q97_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-style profit rollup (adapted: no partsupp, so supply cost
+    is modeled as 10% of the part's retail price): revenue minus cost per
+    supplier nation per order year, across a 5-way join.
+
+    The 4-decimal revenue term and 3-decimal cost term both sit exactly
+    on the 10⁻⁶ grid, so the whole expression goes through one scaled-int
+    sum — exact across engines at any parallelism.
+
+    Scale: ONE fact-fact shuffle (lineitem⋈orders on orderkey); supplier,
+    nation, and part are broadcast, so the expression is evaluated
+    map-side and partial-aggregated before the final (nation, year)
+    shuffle of a few hundred groups.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = dim(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = dim(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = dim(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * F.col("p_retailprice") * 0.1
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("profit"))
+    )

@@ -233,3 +233,18 @@ def test_dq_tagging_fuses_into_scan(spark):
     df = R["q95_dq_violations"].fn(spark, SF_SMALL)
     # tag + explode are narrow; only the per-rule count aggregation shuffles
     assert shuffle_count(df) == 1
+
+
+def test_profit_rollup_broadcasts_all_dims(spark):
+    df = R["q97_profit_by_nation_year"].fn(spark, SF_SMALL)
+    assert has_broadcast_join(df)
+    # lineitem⋈orders + final (nation, year) agg: 3 shuffles max
+    # (fact-fact join exchanges both sides), dims all broadcast
+    assert shuffle_count(df) <= 3
+
+
+def test_min_cost_supplier_ranks_aggregate_not_fact(spark):
+    df = R["q96_min_cost_supplier"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan or "Window" in plan
+    assert has_broadcast_join(df)
