@@ -1,0 +1,89 @@
+"""Plan linter: each rule fires on a contrived offender and stays quiet
+on the tuned registry queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from pyspark_streaming_base_spark.plans.lint import errors, lint
+from pyspark_streaming_base_spark.queries import load_all
+
+from tests.conftest import SF_SMALL
+
+R = load_all()
+
+
+def rules_of(findings):
+    return {f.rule for f in findings}
+
+
+def test_cartesian_product_flagged(spark):
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(100).alias("a")
+        b = spark.range(100).alias("b")
+        j = a.crossJoin(b).filter(F.col("a.id") + F.col("b.id") > 50)
+        assert "cartesian-product" in rules_of(lint(j))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_broadcast_nested_loop_warned_not_errored(spark):
+    a = spark.range(100).alias("a")
+    b = spark.range(100).alias("b")
+    j = a.crossJoin(b).filter(F.col("a.id") + F.col("b.id") > 50)
+    found = lint(j)
+    assert "nested-loop-join" in rules_of(found)
+    assert not errors(found)  # warn tier: 1-row broadcasts are idiomatic
+
+
+def test_python_row_udf_flagged(spark):
+    shout = F.udf(lambda s: (s or "").upper(), StringType())
+    df = spark.range(10).select(shout(F.col("id").cast("string")).alias("s"))
+    found = lint(df)
+    assert "python-row-udf" in rules_of(found)
+    assert errors(found)
+
+
+def test_single_partition_exchange_flagged(spark):
+    from pyspark.sql import Window as W
+
+    # window with ORDER BY but no PARTITION BY: the one-task serializer
+    df = spark.range(10_000).withColumn(
+        "rn", F.row_number().over(W.orderBy("id"))
+    )
+    assert "single-partition-exchange" in rules_of(lint(df))
+
+
+def test_global_orderby_not_flagged(spark):
+    # a global orderBy range-partitions in parallel — must NOT be flagged
+    df = (
+        spark.range(10_000)
+        .groupBy((F.col("id") % 100).alias("k"))
+        .count()
+        .orderBy("count", "k")
+    )
+    assert "single-partition-exchange" not in rules_of(lint(df))
+
+
+def test_catalyst_collapses_adjacent_repartitions(spark):
+    from pyspark_streaming_base_spark.plans import shuffle_count
+
+    df = (
+        spark.range(10_000)
+        .repartition(8, F.col("id"))
+        .repartition(16, (F.col("id") % 7))
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+    )
+    # the first repartition is dead work and Catalyst removes it — which
+    # is why the linter has no chained-exchange rule
+    assert shuffle_count(df) == 1
+
+
+def test_registry_flagships_are_clean(spark):
+    for name in ("q01_pricing_summary", "q04_revenue_by_nation", "q30_topk_per_group"):
+        findings = errors(lint(R[name].fn(spark, SF_SMALL)))
+        assert not findings, f"{name}: {findings}"

@@ -43,9 +43,24 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = SessionFactory.local(shuffle_partitions=16)
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        # Mirror the DRIVER's environment: a bare session with none of our
+        # SessionFactory conf — catches any query that silently relies on
+        # session settings it didn't set itself (invariant #4).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = SessionFactory.local(shuffle_partitions=16)
     con = duckdb.connect()
     for tbl in TABLES:
         con.sql(
