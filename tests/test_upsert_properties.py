@@ -1,0 +1,71 @@
+"""Property test: UpsertTable equals a sequential dict-replay oracle for
+arbitrary CDC histories (inserts, updates, deletes, duplicate replays,
+out-of-order sequences) split across arbitrary batch boundaries."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark_streaming_base_spark.sinks.upsert import UpsertTable
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# op = (key, seq, payload, is_delete); seqs drawn small so keys collide
+ops = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=20),
+        st.text(alphabet="abc", max_size=3),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def oracle_replay(history):
+    """Max-sequence-wins per key, tombstones filtered at read."""
+    best = {}
+    for k, seq, v, dele in history:
+        if k not in best or seq > best[k][0]:
+            best[k] = (seq, v, dele)
+    return {k: (s, v) for k, (s, v, dele) in best.items() if not dele}
+
+
+@SETTINGS
+@given(history=ops, n_batches=st.integers(min_value=1, max_value=4))
+def test_upsert_matches_dict_replay(spark, history, n_batches):
+    # (key, seq) must determine the payload for determinism — dedupe the
+    # generated history to its last occurrence per (key, seq)
+    seen = {}
+    for op in history:
+        seen[(op[0], op[1])] = op
+    history = list(seen.values())
+
+    root = tempfile.mkdtemp(prefix="upsert_prop_")
+    try:
+        tbl = UpsertTable(
+            root, key_cols=["k"], seq_col="seq", delete_col="del", n_buckets=4
+        )
+        size = max(1, len(history) // n_batches)
+        for i in range(0, len(history), size):
+            batch = history[i : i + size]
+            df = spark.createDataFrame(
+                batch, "k BIGINT, seq BIGINT, v STRING, del BOOLEAN"
+            )
+            tbl.apply(df, i // size)
+        got = {
+            r["k"]: (r["seq"], r["v"])
+            for r in tbl.read(spark).select("k", "seq", "v").collect()
+        }
+        assert got == oracle_replay(history)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
