@@ -329,3 +329,47 @@ def q95_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return violation_counts(tagged)
+
+
+@query(
+    "q98_arrow_digest",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q98_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch processing (``mapInArrow``): per-document md5 +
+    byte length computed in Python directly over Arrow RecordBatches — no
+    pandas materialization, zero-copy from the JVM. This is the API tier
+    for payload-level work (hashing, codec probes, feature extraction)
+    where the data is opaque bytes and vectorized numpy/pandas offers
+    nothing over a straight loop; the Arrow columnar buffers keep the
+    transfer cost at serialization-free.
+
+    md5 is bit-identical everywhere, so unlike most Python paths this one
+    carries a full value oracle. Scale: embarrassingly parallel map, no
+    shuffle; batch size follows spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    def digest(batches):
+        for batch in batches:
+            d = batch.to_pydict()
+            texts = [s or "" for s in d["text"]]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": d["doc_id"],
+                    "text_md5": [
+                        hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts
+                    ],
+                    "n_bytes": [len(s.encode("utf-8")) for s in texts],
+                }
+            )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(digest, "doc_id bigint, text_md5 string, n_bytes bigint")
