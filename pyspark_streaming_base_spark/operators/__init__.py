@@ -13,9 +13,21 @@ from pyspark_streaming_base_spark.functions.multimodal import (
     decode_features,
     sample_frames,
 )
+from pyspark_streaming_base_spark.functions.textops import redact
 from pyspark_streaming_base_spark.operators.asof import asof_backward_join
+from pyspark_streaming_base_spark.operators.components import connected_components
+from pyspark_streaming_base_spark.operators.expectations import (
+    apply_expectations,
+    split,
+    violation_counts,
+)
 from pyspark_streaming_base_spark.operators.rangejoin import banded_range_join
 from pyspark_streaming_base_spark.operators.salting import salted_join
+from pyspark_streaming_base_spark.operators.schema_align import (
+    align_schema,
+    diff_schema,
+    union_aligned,
+)
 
 __all__ = [
     "tokens",
@@ -28,4 +40,12 @@ __all__ = [
     "asof_backward_join",
     "salted_join",
     "banded_range_join",
+    "connected_components",
+    "redact",
+    "apply_expectations",
+    "split",
+    "violation_counts",
+    "align_schema",
+    "union_aligned",
+    "diff_schema",
 ]

@@ -388,3 +388,116 @@ def q69_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_d"),
     )
+
+
+@query(
+    "q99_resample_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS hv
+      FROM events WHERE user_id <= 10 GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h
+      FROM bounds
+    ),
+    ctx AS (
+      SELECT g.user_id, g.h, hourly.hv,
+             LAST_VALUE(hourly.hv IGNORE NULLS) OVER wp AS pv,
+             LAST_VALUE(CASE WHEN hourly.hv IS NOT NULL THEN g.h END IGNORE NULLS)
+               OVER wp AS ph,
+             FIRST_VALUE(hourly.hv IGNORE NULLS) OVER wf AS nv,
+             FIRST_VALUE(CASE WHEN hourly.hv IS NOT NULL THEN g.h END IGNORE NULLS)
+               OVER wf AS nh
+      FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h
+      WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY g.user_id ORDER BY g.h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h,
+           CAST(hv IS NOT NULL AS BIGINT) AS observed,
+           ROUND(CASE WHEN hv IS NOT NULL THEN hv
+                      ELSE pv + (nv - pv)
+                           * (CAST(date_diff('second', ph, h) AS DOUBLE)
+                              / CAST(date_diff('second', ph, nh) AS DOUBLE))
+                 END, 6) AS v_interp_r
+    FROM ctx
+    """,
+)
+def q99_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + LINEAR interpolation across gaps (the companion
+    to q36's forward-fill — the other standard gap policy). Each missing
+    grid hour takes ``prev + (next-prev)·frac`` between its nearest
+    observed neighbors; grid bounds are each key's own min/max observed
+    hour, so interior gaps always have both neighbors and the expression
+    is total.
+
+    Determinism: neighbor values are exact hourly sums; the single
+    interpolation expression evaluates the same IEEE doubles on both
+    engines and rounds once at the end. The time fraction uses
+    whole-second epoch differences (`epoch_seconds` — tz-free because
+    they're differences).
+
+    Scale: identical shape to q36 — grid fan-out is per-key-bounded, one
+    user_id shuffle shared by the join and both fill windows (forward and
+    backward frames over the same partitioning — Spark plans ONE sort).
+    """
+    from pyspark_streaming_base_spark.queries._exact import epoch_seconds
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        unscale(F.sum(scaled(F.col("value")))).alias("hv")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("hv").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "user_id",
+        "h",
+        "hv",
+        F.last("hv", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("hv", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    frac = (
+        (epoch_seconds(F.col("h")) - epoch_seconds(F.col("ph"))).cast("double")
+        / (epoch_seconds(F.col("nh")) - epoch_seconds(F.col("ph"))).cast("double")
+    )
+    return ctx.select(
+        "user_id",
+        "h",
+        F.col("hv").isNotNull().cast("bigint").alias("observed"),
+        F.round(
+            F.when(F.col("hv").isNotNull(), F.col("hv")).otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+            ),
+            6,
+        ).alias("v_interp_r"),
+    )
