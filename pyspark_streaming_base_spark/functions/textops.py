@@ -67,3 +67,20 @@ def redact(col: Column, token: str = "#") -> Column:
     for _, pat in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+def normalize(col: Column) -> Column:
+    """Canonical dedup-preprocessing normal form: lowercase, strip
+    non-alphanumerics, collapse space runs, trim. The regex subset
+    behaves identically in Java regex and RE2; ``SQL_NORMALIZE`` is the
+    DuckDB twin for oracles."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " ")
+    )
+
+
+#: DuckDB fragment mirroring :func:`normalize`; format with the column name.
+SQL_NORMALIZE = (
+    "TRIM(regexp_replace(regexp_replace(LOWER({c}), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)

@@ -304,13 +304,10 @@ def q45_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
+    from pyspark_streaming_base_spark.functions.textops import normalize
+
     d = t(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
-    base = d.select("doc_id", "text", F.md5(norm).alias("norm_fp"))
+    base = d.select("doc_id", "text", F.md5(normalize(F.col("text"))).alias("norm_fp"))
     keeper = base.groupBy("norm_fp").agg(F.min("doc_id").alias("keeper_id"))
     tagged = base.join(keeper, "norm_fp")
     survivors = tagged.filter(F.col("doc_id") == F.col("keeper_id")).select(

@@ -373,3 +373,93 @@ def q98_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(digest, "doc_id bigint, text_md5 string, n_bytes bigint")
+
+
+@query(
+    "q100_training_pipeline",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    dedup AS (
+      SELECT doc_id, lang, norm,
+             ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+      FROM norm
+    ),
+    toks AS (
+      SELECT doc_id, lang, norm,
+             list_filter(string_split(norm, ' '), x -> x <> '') AS tk
+      FROM dedup WHERE rn = 1
+    ),
+    quality AS (
+      SELECT doc_id, lang,
+             len(tk) AS n_tokens,
+             len(list_filter(tk, x -> list_contains(['a','the','and','of','to'], x)))
+               AS n_stop
+      FROM toks
+    ),
+    kept AS (
+      SELECT doc_id, lang, n_tokens,
+             SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      FROM quality
+      WHERE n_tokens >= 10
+        AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.6
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM kept
+    GROUP BY shard
+    """,
+)
+def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full training-data preprocessing pipeline as ONE
+    Catalyst plan — normalize → exact near-dup collapse (md5 of normal
+    form, keep lowest doc_id) → quality gate (≥10 tokens, stopword ratio
+    ≤0.6) → deterministic md5 sharding → per-shard manifest stats. Every
+    stage reuses the registry's single-definition helpers
+    (``textops.normalize``/``tokens``, q22/q48/q55 semantics), and the
+    whole chain carries a full DuckDB oracle.
+
+    Scale: one shuffle for the dedup window (fingerprint key), one for
+    the final 16-shard aggregate; the quality gate is a narrow projection
+    between them. This is the plan a 100 TB corpus actually runs — the
+    oracle proves the composition, not just the stages.
+    """
+    from pyspark.sql import Window as W
+
+    from pyspark_streaming_base_spark.functions.textops import normalize, tokens
+
+    stop_arr = F.array(*[F.lit(w) for w in ("a", "the", "and", "of", "to")])
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", normalize(F.col("text")).alias("norm")
+    )
+    w = W.partitionBy(F.md5(F.col("norm"))).orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("tk", tokens(F.col("norm")))
+        .withColumn("n_tokens", F.size("tk").cast("bigint"))
+        .withColumn(
+            "n_stop",
+            F.size(F.filter(F.col("tk"), lambda x: F.array_contains(stop_arr, x))),
+        )
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") <= 0.6)
+        )
+        .withColumn("shard", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+    )
+    return kept.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

@@ -415,16 +415,11 @@ def q64_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex and RE2; Spark's regexp_replace is global by default, DuckDB
     takes the 'g' flag.
     """
+    from pyspark_streaming_base_spark.functions.textops import normalize
+
     d = t(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-            " +",
-            " ",
-        )
-    )
     return (
-        d.select("lang", "text", norm.alias("norm"))
+        d.select("lang", "text", normalize(F.col("text")).alias("norm"))
         .groupBy("lang")
         .agg(
             F.countDistinct("text").cast("bigint").alias("raw_distinct"),
