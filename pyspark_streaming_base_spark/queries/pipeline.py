@@ -458,7 +458,9 @@ def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        # size(collect_set) = exact distinct count in ONE aggregate pass;
+        # countDistinct would plan a second (shard, lang) shuffle
+        F.size(F.collect_set("lang")).cast("bigint").alias("n_langs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),

@@ -248,3 +248,10 @@ def test_min_cost_supplier_ranks_aggregate_not_fact(spark):
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan or "Window" in plan
     assert has_broadcast_join(df)
+
+
+def test_training_pipeline_two_shuffles(spark):
+    df = R["q100_training_pipeline"].fn(spark, SF_SMALL)
+    # dedup window on the fingerprint + final shard aggregate; the quality
+    # gate must stay a narrow projection between them
+    assert shuffle_count(df) <= 2
