@@ -465,3 +465,43 @@ def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+def _q52_oracle() -> str:
+    from pyspark_streaming_base_spark.queries import REGISTRY
+    from pyspark_streaming_base_spark.queries import text  # noqa: F401 (registers q52)
+
+    return REGISTRY["q52_language_id"].oracle
+
+
+@query(
+    "q101_langid_eval",
+    oracle="""
+    SELECT lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM ({q52})
+    GROUP BY lang, pred_lang
+    """.format(q52=_q52_oracle()),
+)
+def q101_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation harness: the confusion matrix of q52's
+    stopword-overlap language ID against the labeled ``lang`` column —
+    the quality-measurement loop every heuristic filter in a training
+    pipeline needs. Reuses q52's REGISTERED function and oracle verbatim
+    (one definition each side), adding only the (label, prediction)
+    aggregation.
+
+    Scale: q52 is a narrow projection; the confusion matrix is one
+    map-side-combined aggregate over ≤ langs² groups.
+    """
+    from pyspark_streaming_base_spark.queries.text import q52_language_id
+
+    scored = q52_language_id(spark, sf_dir)
+    return scored.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("lang") == F.col("pred_lang")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
