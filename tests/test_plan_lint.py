@@ -87,3 +87,25 @@ def test_registry_flagships_are_clean(spark):
     for name in ("q01_pricing_summary", "q04_revenue_by_nation", "q30_topk_per_group"):
         findings = errors(lint(R[name].fn(spark, SF_SMALL)))
         assert not findings, f"{name}: {findings}"
+
+
+def test_no_registry_query_has_lint_errors(spark):
+    """Engine-wide invariant: no registered query plans a cartesian
+    product or a row-at-a-time Python UDF. Warnings are allowed but
+    pinned, so a NEW warning (or a fixed one) surfaces here."""
+    known_warns = {
+        # 1-row / k-row broadcast folds — documented idiomatic shapes
+        "q57_tfidf_topk",
+        "q60_knn_bruteforce",
+        "q63_ann_ivf",
+        "q92_int8_quantize",
+        "q94_kmeans_clusters",
+    }
+    got_warns = set()
+    for name, spec in R.items():
+        findings = lint(spec.fn(spark, SF_SMALL))
+        errs = errors(findings)
+        assert not errs, f"{name}: {[f.rule for f in errs]}"
+        if any(f.severity == "warn" for f in findings):
+            got_warns.add(name)
+    assert got_warns == known_warns, got_warns ^ known_warns
