@@ -505,3 +505,74 @@ def q101_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_correct"),
     )
+
+
+_MG_COUNTERS = 64
+_HH_TOP_K = 10
+
+
+@query(
+    "q102_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok)
+    SELECT tok, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk
+    FROM cnt
+    ORDER BY n DESC, tok
+    LIMIT {_HH_TOP_K}
+    """,
+)
+def q102_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accelerated EXACT top-k heavy hitters: per-partition
+    Misra-Gries (64 counters) finds a small candidate superset, a second
+    pass computes exact counts for candidates only, and the top-10 (ties
+    on token) is provably the true top-10 whenever the k-th frequency
+    exceeds N/64 — the pigeonhole guarantee: any token above that global
+    share beats the per-partition decrement floor somewhere, so it
+    survives at least one partition's sketch.
+
+    This is the two-phase pattern that replaces a full-vocabulary shuffle
+    with O(counters × partitions) candidate rows at 100 TB; size
+    ``_MG_COUNTERS > N / freq_k`` for the workload. mapInPandas is the
+    right tier here: the decrement-based counter state is inherently
+    sequential per partition and has no expression-tree form.
+    """
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_COUNTERS:
+                    counters[tok] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = docs.mapInPandas(mg, "tok string").distinct()
+    exact = (
+        docs.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = exact.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("tok"))).cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= _HH_TOP_K).orderBy("rnk")
