@@ -576,3 +576,40 @@ def q102_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy(F.col("n").desc(), F.col("tok"))).cast("bigint"),
     )
     return ranked.filter(F.col("rnk") <= _HH_TOP_K).orderBy("rnk")
+
+
+@query("q103_pagerank_top20")  # iterative float refinement — rows-only by design
+def q103_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier transaction graph (edges from
+    lineitem⋈orders, symmetrized so there are no dangling nodes), 3
+    message-passing rounds, top-20 nodes by rounded rank with id
+    tie-break. Float iteration is engine-specific → rows-only; the
+    pytest twin checks against a numpy power-iteration oracle.
+
+    Scale: per round, ONE edge-shuffle (join ranks on src, aggregate on
+    dst); ranks are localCheckpoint-ed so round i+1 never replays round
+    i. Supplier ids are offset by 10^6 to keep the two id spaces
+    disjoint.
+    """
+    from pyspark.sql import Window as W
+
+    from pyspark_streaming_base_spark.operators.pagerank import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.unionByName(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, damping=0.85, iters=3)
+    w = W.orderBy(F.round("r", 9).desc(), "node")
+    return (
+        ranks.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .select("node", F.round("r", 9).alias("rank_r"), "rnk")
+    )

@@ -110,3 +110,36 @@ def test_kmeans_matches_numpy_lloyd(spark):
     )
     i3 = sum(r["d2"] for r in rows)
     assert i3 <= i1 + 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from pyspark_streaming_base_spark.operators.pagerank import pagerank
+    from pyspark.sql import functions as F
+
+    # small deterministic graph: ring + chords
+    raw = [(i, (i + 1) % 20) for i in range(20)] + [(i, (i * 7) % 20) for i in range(20)]
+    raw = [(a, b) for a, b in raw if a != b]
+    edges_sym = list({(a, b) for a, b in raw} | {(b, a) for a, b in raw})
+    edges = spark.createDataFrame(edges_sym, ["src", "dst"])
+
+    got = {r["node"]: r["r"] for r in pagerank(edges, 0.85, iters=4).collect()}
+
+    n = 20
+    out = np.zeros(n)
+    adj = np.zeros((n, n))
+    for a, b in edges_sym:
+        adj[a][b] = 1.0
+        out[a] += 1.0
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        contrib = np.zeros(n)
+        for a in range(n):
+            if out[a]:
+                contrib += adj[a] * (r[a] / out[a])
+        r = (1 - 0.85) / n + 0.85 * contrib
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], rel=1e-9, abs=1e-12)
+    # ranks form a probability distribution (no dangling loss)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
