@@ -202,3 +202,72 @@ class UpsertTable:
                 schema = StructType.fromJson(json.load(f))
             return spark.createDataFrame([], schema)
         raise FileNotFoundError(f"no snapshot or schema at {self.root}")
+
+
+class PartitionedUpsertTable:
+    """Partition-nested :class:`UpsertTable` (e.g. by event date): layout
+    ``root/part=<value>/bucket=NNNNN/...`` where each partition value owns
+    an independent bucketed child table.
+
+    This is the layout promise made concrete: a batch only ever touches
+    (its partitions) × (its key buckets), so steady-state CDC against a
+    date-partitioned 100 TB table rewrites a few buckets of a few recent
+    dates. Partition values must be stringable and filesystem-safe
+    (dates, hours, small enums). The driver handles partition VALUES and
+    file names only — bounded by the batch's own partition spread.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        partition_col: str,
+        key_cols: Sequence[str],
+        seq_col: str,
+        n_buckets: int = 16,
+        delete_col: Optional[str] = None,
+    ) -> None:
+        self.root = root
+        self.partition_col = partition_col
+        self._child_args = dict(
+            key_cols=list(key_cols),
+            seq_col=seq_col,
+            n_buckets=n_buckets,
+            delete_col=delete_col,
+        )
+        os.makedirs(root, exist_ok=True)
+
+    def _child(self, value: str) -> UpsertTable:
+        return UpsertTable(
+            os.path.join(self.root, f"part={value}"), **self._child_args
+        )
+
+    def _partition_values(self) -> List[str]:
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(self.root)
+            if d.startswith("part=")
+        )
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        pc = self.partition_col
+        values = [
+            str(r[pc])
+            for r in batch_df.select(pc).distinct().collect()  # partition VALUES only
+        ]
+        for v in sorted(values):
+            self._child(v).apply(
+                batch_df.filter(F.col(pc).cast("string") == v), batch_id
+            )
+
+    def foreach_batch(self):
+        return lambda df, batch_id: self.apply(df, batch_id)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        values = self._partition_values()
+        if not values:
+            raise FileNotFoundError(f"no partitions at {self.root}")
+        out = None
+        for v in values:
+            df = self._child(v).read(spark)
+            out = df if out is None else out.unionByName(df)
+        return out

@@ -153,3 +153,44 @@ def test_compact_gc_tombstones(spark, tmp_path):
     # table still merges correctly after compaction
     tbl.apply(spark.createDataFrame([(1, 3, "back", False)], cols), 2)
     assert {r["k"] for r in tbl.read(spark).collect()} == {1, 2}
+
+
+def test_partitioned_upsert_scopes_rewrites(spark, tmp_path):
+    from pyspark_streaming_base_spark.sinks.upsert import PartitionedUpsertTable
+
+    tbl = PartitionedUpsertTable(
+        str(tmp_path / "pt"),
+        partition_col="day",
+        key_cols=["k"],
+        seq_col="seq",
+        n_buckets=4,
+    )
+    cols = "day STRING, k BIGINT, seq BIGINT, v STRING"
+    tbl.apply(
+        spark.createDataFrame(
+            [("2026-01-01", 1, 1, "a"), ("2026-01-01", 2, 1, "b"),
+             ("2026-01-02", 1, 1, "c")],
+            cols,
+        ),
+        0,
+    )
+    # second batch touches ONLY day 2
+    import os as _os
+
+    day1 = str(tmp_path / "pt" / "part=2026-01-01")
+    before = {
+        r: sorted(f) for r, _, f in _os.walk(day1) if "_manifests" in r
+    }
+    tbl.apply(spark.createDataFrame([("2026-01-02", 1, 2, "c2")], cols), 1)
+    after = {r: sorted(f) for r, _, f in _os.walk(day1) if "_manifests" in r}
+    assert before == after  # day 1 untouched
+
+    got = {
+        (r["day"], r["k"]): (r["seq"], r["v"])
+        for r in tbl.read(spark).collect()
+    }
+    assert got == {
+        ("2026-01-01", 1): (1, "a"),
+        ("2026-01-01", 2): (1, "b"),
+        ("2026-01-02", 1): (2, "c2"),
+    }
