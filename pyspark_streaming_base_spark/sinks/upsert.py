@@ -82,15 +82,20 @@ class UpsertTable:
     def _manifest_dir(self, b: int) -> str:
         return os.path.join(self._bucket_dir(b), "_manifests")
 
-    def _latest_manifest(self, b: int) -> Optional[str]:
+    def _latest_manifest(self, b: int, as_of: Optional[int] = None) -> Optional[str]:
+        """Highest-numbered manifest, optionally capped at ``as_of``
+        (zero-padded names sort numerically)."""
         mdir = self._manifest_dir(b)
         if not os.path.isdir(mdir):
             return None
         names = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+        if as_of is not None:
+            cap = f"{as_of:020d}.json"
+            names = [n for n in names if n <= cap]
         return os.path.join(mdir, names[-1]) if names else None
 
-    def _bucket_files(self, b: int) -> List[str]:
-        m = self._latest_manifest(b)
+    def _bucket_files(self, b: int, as_of: Optional[int] = None) -> List[str]:
+        m = self._latest_manifest(b, as_of)
         if m is None:
             return []
         with open(m) as f:
@@ -184,12 +189,49 @@ class UpsertTable:
             ]
             self._commit_bucket(b, last_id + 1, new_files)
 
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Orphan GC: delete data files not referenced by any of each
+        bucket's last ``retain_last`` manifests, and drop the older
+        manifests themselves. Returns the number of files removed.
+        Time travel (``read(as_of=...)``) only works back to the oldest
+        retained manifest — the Delta/Iceberg VACUUM tradeoff.
+        """
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        removed = 0
+        for b in range(self.n_buckets):
+            mdir = self._manifest_dir(b)
+            if not os.path.isdir(mdir):
+                continue
+            names = sorted(n for n in os.listdir(mdir) if n.endswith(".json"))
+            keep_names = names[-retain_last:]
+            referenced = set()
+            for n in keep_names:
+                with open(os.path.join(mdir, n)) as f:
+                    referenced.update(json.load(f)["files"])
+            data_root = os.path.join(self._bucket_dir(b), "data")
+            if os.path.isdir(data_root):
+                for sub in os.listdir(data_root):
+                    subdir = os.path.join(data_root, sub)
+                    for fn in os.listdir(subdir):
+                        p = os.path.join(subdir, fn)
+                        if fn.endswith(".parquet") and p not in referenced:
+                            os.remove(p)
+                            removed += 1
+                    if not os.listdir(subdir):
+                        os.rmdir(subdir)
+            for n in names[:-retain_last]:
+                os.remove(os.path.join(mdir, n))
+        return removed
+
     # -- read path -----------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Current snapshot: union of every bucket's latest manifest."""
+    def read(self, spark: SparkSession, as_of: Optional[int] = None) -> DataFrame:
+        """Snapshot read: each bucket's latest manifest, or — with
+        ``as_of`` — its latest manifest numbered <= that batch id
+        (time travel across the numbered snapshot history)."""
         files: List[str] = []
         for b in range(self.n_buckets):
-            files.extend(self._bucket_files(b))
+            files.extend(self._bucket_files(b, as_of))
         if files:
             df = spark.read.parquet(*files)
             if self.delete_col:

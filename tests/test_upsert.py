@@ -194,3 +194,21 @@ def test_partitioned_upsert_scopes_rewrites(spark, tmp_path):
         ("2026-01-01", 2): (1, "b"),
         ("2026-01-02", 1): (2, "c2"),
     }
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    tbl = UpsertTable(str(tmp_path / "t"), key_cols=["k"], seq_col="seq", n_buckets=2)
+    tbl.apply(spark.createDataFrame([(1, 1, "v1"), (2, 1, "w1")], ["k", "seq", "v"]), 0)
+    tbl.apply(spark.createDataFrame([(1, 2, "v2")], ["k", "seq", "v"]), 1)
+    tbl.apply(spark.createDataFrame([(1, 3, "v3")], ["k", "seq", "v"]), 2)
+
+    # time travel: as_of batch 1 sees v2, as_of 0 sees v1
+    assert {r["v"] for r in tbl.read(spark, as_of=1).filter("k = 1").collect()} == {"v2"}
+    assert {r["v"] for r in tbl.read(spark, as_of=0).filter("k = 1").collect()} == {"v1"}
+    assert {r["v"] for r in tbl.read(spark).filter("k = 1").collect()} == {"v3"}
+
+    # vacuum to the latest snapshot only: history gone, current intact
+    removed = tbl.vacuum(retain_last=1)
+    assert removed > 0
+    assert {r["v"] for r in tbl.read(spark).filter("k = 1").collect()} == {"v3"}
+    assert {r["v"] for r in tbl.read(spark, as_of=0).filter("k = 1").collect()} != {"v1"}
