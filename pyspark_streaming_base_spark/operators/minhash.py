@@ -1,0 +1,105 @@
+"""MinHash banding — THE single definition of the signature pipeline
+(q41, the q45 pipeline stage, and the persisted index all import this),
+plus the index materialization the banding enables at scale.
+
+Signature: per-row array expressions — shingle strings hashed once
+(``xxhash64``), 16 permutations as salted rehashes of the 64-bit values,
+4 bands of 4 minima hashed to one bucket id per band, stacked by ONE
+explode. No explode-shuffle, no per-doc groupBy; the first exchange a
+consumer pays is its own band join.
+
+Index: at 100 TB you do not recompute signatures of the full corpus per
+incremental batch — ``build_minhash_index`` materializes the stacked
+(doc_id, band_idx, band_hash) table once (parquet), and
+``query_minhash_index`` joins only the NEW documents' signatures against
+it: the classic write-once/probe-many inverted-index shape, with the
+shuffle proportional to the batch, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.functions.textops import word_shingles
+
+#: Signature geometry shared by every consumer (16 = 4 bands × 4 rows).
+N_PERM = 16
+BAND_SIZE = 4
+N_BANDS = N_PERM // BAND_SIZE
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band_idx, band_hash) — one row per document per band."""
+    hb = df.select(
+        id_col,
+        F.transform(word_shingles(F.col(text_col)), lambda s: F.xxhash64(s)).alias(
+            "hb"
+        ),
+    )
+    mins = hb.select(
+        id_col,
+        *[
+            F.array_min(
+                F.transform(F.col("hb"), lambda x, i=i: F.xxhash64(x, F.lit(i)))
+            ).alias(f"h{i}")
+            for i in range(N_PERM)
+        ],
+    )
+    return mins.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        id_col,
+        F.col("bb.band_idx").alias("band_idx"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Materialize the signature table as the persisted near-dup index."""
+    minhash_bands(docs, id_col, text_col).write.mode("overwrite").parquet(path)
+
+
+def query_minhash_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate (query_id, index_id) pairs for a batch of new documents
+    against the persisted index — signatures computed for the BATCH only;
+    the corpus contributes its materialized table. Self-matches (same id)
+    are excluded; downstream verifies candidates with exact Jaccard.
+    """
+    index = spark.read.parquet(path).select(
+        F.col(id_col).alias("index_id"), "band_idx", "band_hash"
+    )
+    probe = minhash_bands(new_docs, id_col, text_col).select(
+        F.col(id_col).alias("query_id"), "band_idx", "band_hash"
+    )
+    return (
+        probe.hint("shuffle_hash")
+        .join(
+            index,
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("query_id") != F.col("index_id"))
+        .select("query_id", "index_id")
+        .distinct()
+    )

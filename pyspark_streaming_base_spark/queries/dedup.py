@@ -125,43 +125,14 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n · bands) shuffle rows; hot buckets (boilerplate docs) are the skew
     case AQE splits.
     """
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", _shingles(F.col("text")).alias("sh")
+    # Signature pipeline: one definition in operators/minhash.py (shared
+    # with the q45 pipeline stage and the persisted index) — per-row array
+    # expressions, no explode-shuffle; the first exchange is the band join.
+    from pyspark_streaming_base_spark.operators.minhash import minhash_bands
+
+    stacked = minhash_bands(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    # Per-row signature via array expressions — no explode, no
-    # groupBy(doc_id) shuffle; the first exchange in the whole pipeline is
-    # the band-bucket join. Each shingle STRING is hashed once; the 16
-    # permutations rehash the resulting 64-bit value with a salt
-    # (fixed-width input → ~10× cheaper than 16 salted string hashes).
-    hb = d.select("doc_id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hb"))
-    mins = hb.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(F.col("hb"), lambda x, i=i: F.xxhash64(x, F.lit(i)))
-            ).alias(f"h{i}")
-            for i in range(_N_PERM)
-        ],
-    )
-    # 4 bands of 4 signature slots each, hashed to one bucket id per band;
-    # stacked via ONE explode instead of a 4-way union (a union would replan
-    # the signature aggregation once per band — 4× the work at 100 TB).
-    stacked = mins.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(_N_PERM // _BAND_SIZE)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band_idx").alias("band_idx"), F.col("bb.band_hash").alias("band_hash"))
     # SHUFFLE_HASH keeps AQE from picking a broadcast band join (measured
     # ~1.6× slower here, and the only legal shape at 100 TB where neither
     # side broadcasts). The signature pipeline computes once per join
@@ -314,36 +285,11 @@ def q45_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
 
-    # near-dup pairs among survivors: same MinHash->band->verify pipeline
-    # as q41, applied to the deduped corpus
-    hb = survivors.select(
-        "doc_id", F.transform(_shingles(F.col("text")), lambda s: F.xxhash64(s)).alias("hb")
-    )
-    mins = hb.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(F.col("hb"), lambda x, i=i: F.xxhash64(x, F.lit(i)))
-            ).alias(f"h{i}")
-            for i in range(_N_PERM)
-        ],
-    )
-    stacked = mins.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.col(f"h{b * _BAND_SIZE + r}") for r in range(_BAND_SIZE)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(_N_PERM // _BAND_SIZE)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band_idx", "bb.band_hash").hint("shuffle_hash")
+    # near-dup pairs among survivors: the SAME signature definition as q41
+    # (operators/minhash.py), applied to the deduped corpus
+    from pyspark_streaming_base_spark.operators.minhash import minhash_bands
+
+    stacked = minhash_bands(survivors.select("doc_id", "text")).hint("shuffle_hash")
     l, r = stacked.alias("l"), stacked.alias("r")
     cand = (
         l.join(
