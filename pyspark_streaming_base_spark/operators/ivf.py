@@ -1,0 +1,110 @@
+"""IVF (inverted-file) ANN index — the persisted form of q63's cell
+structure, mirroring ``operators/minhash.py``'s write-once/probe-many
+shape for the vector path.
+
+``build_ivf_index`` materializes the two tables an IVF search needs:
+
+* ``<path>/centroids``   — (cent_id, cvec): the K-row coarse quantizer;
+* ``<path>/assignments`` — (vec_id, cell, vec): every corpus vector with
+  its nearest-centroid cell (vectors stored alongside so probes never
+  re-read the corpus).
+
+``query_ivf_index`` scores a query batch against its ``nprobe`` nearest
+cells only: centroids broadcast, probe pairs broadcast into the
+assignments equi-join — the corpus-side work is ``nprobe/K`` of a scan,
+and ONLY the batch computes fresh similarities.
+
+Same deterministic tie-breaks as q63 (rounded cosine desc, vec_id asc),
+so index-backed search returns exactly what the inline query computes —
+asserted in ``tests/test_ivf_index.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.functions.vectorops import cosine, dvec
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, vec, cell): nearest-centroid cell per vector — one
+    broadcast join + argmax, the corpus never shuffles."""
+    return (
+        emb.join(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "vec",
+            "cent_id",
+            cosine(F.col("vec"), F.col("cvec")).alias("csim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("vec").alias("vec"),
+            F.max_by(
+                "cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("tb"))
+            ).alias("cell"),
+        )
+    )
+
+
+def build_ivf_index(emb: DataFrame, path: str, k: int) -> None:
+    """Materialize centroids (deterministic: the k lowest vec_ids) and
+    cell assignments. ``emb`` needs (vec_id, vec: array<double>)."""
+    centroids = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    ivf_assign(emb, centroids).write.mode("overwrite").parquet(f"{path}/assignments")
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int,
+    top_k: int,
+) -> DataFrame:
+    """(qid, vec_id, sim_r, rnk ≤ top_k) for a query batch (qid, qvec)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.parquet(f"{path}/assignments")
+    return ivf_search(queries, centroids, assigned, nprobe, top_k)
+
+
+def ivf_search(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    nprobe: int,
+    top_k: int,
+) -> DataFrame:
+    """Cell-probe search over any (centroids, assignments) pair — the one
+    definition q63 and the persisted index share."""
+    q_cells = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "qid",
+            "qvec",
+            "cent_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn(
+            "prb",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("prb") <= nprobe)
+        .select("qid", "qvec", F.col("cent_id").alias("cell"))
+    )
+    cand = F.broadcast(q_cells).join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
+    ranked = cand.withColumn("sim_r", sim).withColumn(
+        "rnk",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.col("sim_r").desc(), F.col("vec_id")))
+        .cast("bigint"),
+    )
+    return ranked.filter(F.col("rnk") <= top_k).select("qid", "vec_id", "sim_r", "rnk")

@@ -227,60 +227,21 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe trades recall for scan fraction (nprobe/K of the corpus)
     without re-indexing.
     """
+    # assignment + cell-probe search: one definition in operators/ivf.py
+    # (shared with the persisted index build/probe path)
+    from pyspark_streaming_base_spark.operators.ivf import ivf_assign, ivf_search
+
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", _dvec("embedding").alias("vec")
     )
-    cents = F.broadcast(
-        emb.filter(F.col("vec_id") < _IVF_K).select(
-            F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
-        )
+    cents = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
     )
-    # cell = argmin over centroids of (1 - cosine) — computed as argmax
-    # cosine via max_by; one broadcast join, no shuffle of the corpus
-    assigned = (
-        emb.join(cents)
-        .select(
-            "vec_id",
-            "vec",
-            F.col("cent_id"),
-            cosine(F.col("vec"), F.col("cvec")).alias("csim"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("vec").alias("vec"),
-            F.max_by("cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("tb"))).alias("cell"),
-        )
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
     )
-    # queries probe their nprobe nearest cells
-    q_cells = (
-        emb.filter(F.col("vec_id") < _N_QUERIES)
-        .join(cents)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("vec").alias("qvec"),
-            "cent_id",
-            cosine(F.col("vec"), F.col("cvec")).alias("csim"),
-        )
-        .withColumn(
-            "prb",
-            F.row_number().over(
-                W.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cent_id"))
-            ),
-        )
-        .filter(F.col("prb") <= _IVF_NPROBE)
-        .select("qid", "qvec", F.col("cent_id").alias("cell"))
-    )
-    cand = F.broadcast(q_cells).join(assigned, "cell").filter(
-        F.col("vec_id") != F.col("qid")
-    )
-    sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
-    ranked = cand.withColumn("sim_r", sim).withColumn(
-        "rnk",
-        F.row_number()
-        .over(W.partitionBy("qid").orderBy(F.col("sim_r").desc(), F.col("vec_id")))
-        .cast("bigint"),
-    )
-    return ranked.filter(F.col("rnk") <= _TOP_K).select("qid", "vec_id", "sim_r", "rnk")
+    return ivf_search(queries, cents, assigned, _IVF_NPROBE, _TOP_K)
 
 
 @query(

@@ -1,0 +1,65 @@
+"""Persisted IVF index: index-backed search equals the inline q63 query,
+and the probe plan touches the index — not the raw corpus — for the
+corpus side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.functions.vectorops import dvec
+from pyspark_streaming_base_spark.operators.ivf import (
+    build_ivf_index,
+    query_ivf_index,
+)
+from pyspark_streaming_base_spark.queries import load_all
+from pyspark_streaming_base_spark.queries._tables import t
+from pyspark_streaming_base_spark.queries.similarity import (
+    _IVF_K,
+    _IVF_NPROBE,
+    _N_QUERIES,
+    _TOP_K,
+)
+
+from tests.conftest import SF_SMALL
+
+R = load_all()
+
+
+def test_index_backed_search_equals_inline_query(spark, tmp_path):
+    emb = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, k=_IVF_K)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = {
+        (r["qid"], r["rnk"]): (r["vec_id"], r["sim_r"])
+        for r in query_ivf_index(
+            spark, path, queries, nprobe=_IVF_NPROBE, top_k=_TOP_K
+        ).collect()
+    }
+    want = {
+        (r["qid"], r["rnk"]): (r["vec_id"], r["sim_r"])
+        for r in R["q63_ann_ivf"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_probe_reads_index_not_corpus_for_assignments(spark, tmp_path):
+    from pyspark_streaming_base_spark.plans import formatted_plan
+
+    emb = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, k=_IVF_K)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    plan = formatted_plan(query_ivf_index(spark, path, queries, 2, 5))
+    # embeddings.parquet appears once (the query batch); centroids and
+    # assignments come from the materialized index
+    assert plan.count("embeddings.parquet") == 1
