@@ -16,6 +16,18 @@ from pyspark_streaming_base_spark.functions.multimodal import (
 from pyspark_streaming_base_spark.functions.textops import redact
 from pyspark_streaming_base_spark.operators.asof import asof_backward_join
 from pyspark_streaming_base_spark.operators.components import connected_components
+from pyspark_streaming_base_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_assign,
+    ivf_search,
+    query_ivf_index,
+)
+from pyspark_streaming_base_spark.operators.minhash import (
+    build_minhash_index,
+    minhash_bands,
+    query_minhash_index,
+)
+from pyspark_streaming_base_spark.operators.pagerank import pagerank
 from pyspark_streaming_base_spark.operators.expectations import (
     apply_expectations,
     split,
@@ -48,4 +60,12 @@ __all__ = [
     "align_schema",
     "union_aligned",
     "diff_schema",
+    "minhash_bands",
+    "build_minhash_index",
+    "query_minhash_index",
+    "ivf_assign",
+    "ivf_search",
+    "build_ivf_index",
+    "query_ivf_index",
+    "pagerank",
 ]
