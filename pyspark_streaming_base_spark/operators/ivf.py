@@ -48,12 +48,26 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def build_ivf_index(emb: DataFrame, path: str, k: int) -> None:
-    """Materialize centroids (deterministic: the k lowest vec_ids) and
-    cell assignments. ``emb`` needs (vec_id, vec: array<double>)."""
-    centroids = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
-    )
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 0,
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize centroids and cell assignments. ``emb`` needs
+    (vec_id, vec: array<double>).
+
+    Centroid source, in production-quality order: pass ``centroids``
+    (cent_id, cvec) — e.g. the k-means-refined table from
+    ``queries/pipeline.py::kmeans_centroids`` renamed (cid→cent_id,
+    cv→cvec); or give ``k`` for the deterministic lowest-vec_id quantizer
+    (the structural default the inline q63 demo uses)."""
+    if centroids is None:
+        if k <= 0:
+            raise ValueError("need centroids or k > 0")
+        centroids = emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+        )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     ivf_assign(emb, centroids).write.mode("overwrite").parquet(f"{path}/assignments")
 

@@ -209,21 +209,13 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-def kmeans_assign(
+def kmeans_centroids(
     spark: SparkSession, sf_dir: str, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
 ) -> DataFrame:
-    """Lloyd's k-means over the embedding corpus, fully distributed:
-    (vec_id, cid, d2) after ``iters`` refinement rounds.
-
-    * init: the vectors with ``vec_id < k`` (deterministic, no RNG);
-    * assign: broadcast the k-row centroid table, per-row squared-distance
-      fold, ``min_by`` argmin with a (d2, cid) tie-break;
-    * update: per-dimension means via posexplode + map-side-combined agg —
-      the corpus never shuffles, only (cid, pos) partials do;
-    * each new centroid table is ``localCheckpoint``-ed (k rows) to
-      truncate lineage — no driver ``collect``, same pattern as
-      ``operators/components.py``.
-    """
+    """The refined (cid, cv) centroid table after ``iters`` Lloyd rounds —
+    the production coarse quantizer for ``operators/ivf.py``'s index
+    (``build_ivf_index(..., centroids=...)``). Same loop as
+    :func:`kmeans_assign` (which consumes this and assigns)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", dvec("embedding").alias("v"))
     cent = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("bigint").alias("cid"), F.col("v").alias("cv")
@@ -253,9 +245,34 @@ def kmeans_assign(
             .select("cid", F.transform("s", lambda st: st["m"]).alias("cv"))
             .localCheckpoint(eager=True)
         )
+    return cent
+
+
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, fully distributed:
+    (vec_id, cid, d2) after ``iters`` refinement rounds.
+
+    * init: the vectors with ``vec_id < k`` (deterministic, no RNG);
+    * assign: broadcast the k-row centroid table, per-row squared-distance
+      fold, ``min_by`` argmin with a (d2, cid) tie-break;
+    * update: per-dimension means via posexplode + map-side-combined agg —
+      the corpus never shuffles, only (cid, pos) partials do;
+    * each new centroid table is ``localCheckpoint``-ed (k rows) to
+      truncate lineage — no driver ``collect``, same pattern as
+      ``operators/components.py``.
+    """
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", dvec("embedding").alias("v"))
+    cent = kmeans_centroids(spark, sf_dir, k=k, iters=iters)
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         emb.crossJoin(F.broadcast(cent))
-        .withColumn("d2", d2())
+        .withColumn("d2", d2)
         .groupBy("vec_id")
         .agg(
             F.min_by("cid", F.struct("d2", "cid")).alias("cid"),

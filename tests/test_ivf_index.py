@@ -63,3 +63,30 @@ def test_probe_reads_index_not_corpus_for_assignments(spark, tmp_path):
     # embeddings.parquet appears once (the query batch); centroids and
     # assignments come from the materialized index
     assert plan.count("embeddings.parquet") == 1
+
+
+def test_kmeans_refined_centroids_index(spark, tmp_path):
+    """Production path: k-means-refined centroids feed the IVF index; the
+    index answers with recall comparable to (typically above) the naive
+    lowest-id quantizer, measured against q60's exact top-k."""
+    from pyspark_streaming_base_spark.queries.pipeline import kmeans_centroids
+
+    emb = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    refined = kmeans_centroids(spark, SF_SMALL, k=_IVF_K, iters=3).select(
+        F.col("cid").alias("cent_id"), F.col("cv").alias("cvec")
+    )
+    path = str(tmp_path / "ivf_km")
+    build_ivf_index(emb, path, centroids=refined)
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = query_ivf_index(spark, path, queries, nprobe=_IVF_NPROBE, top_k=_TOP_K)
+    ann = {(r["qid"], r["vec_id"]) for r in got.collect()}
+    exact = {
+        (r["qid"], r["vec_id"]) for r in R["q60_knn_bruteforce"].fn(spark, SF_SMALL).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.3  # nprobe/K of the corpus scanned; floor, not noise
