@@ -630,3 +630,72 @@ def q103_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("node", F.round("r", 9).alias("rank_r"), "rnk")
     )
+
+
+@query(
+    "q104_embedding_qa",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6)
+               AS norm_r
+      FROM embeddings
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(ROUND(norm_r * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 AS sum_norm,
+             CAST(SUM(CAST(ROUND(ROUND(norm_r * norm_r, 6) * 1000000.0, 0)
+                      AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_norm2
+      FROM n
+    )
+    SELECT vec_id, norm_r,
+           CASE WHEN ABS(norm_r - sum_norm / n_vecs)
+                     > 2.0 * SQRT(sum_norm2 / n_vecs
+                                  - (sum_norm / n_vecs) * (sum_norm / n_vecs))
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM n, s
+    """,
+)
+def q104_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA (the sanity gate before vectors reach an index):
+    per-vector L2 norm plus a 2-sigma outlier flag against the corpus
+    norm distribution — catching unnormalized, zeroed, or blown-up
+    vectors early.
+
+    Determinism: the norm is a sequential fold (bit-identical to DuckDB's
+    ``list_dot_product``) rounded to 6 dp; corpus mean/std come from
+    scaled-int sums of the ROUNDED per-row values, so both engines
+    compare against identical thresholds. The 10⁻⁶-grid squared term
+    bounds the scaled sum to ~10¹² per 10⁶ rows — repartition-and-
+    preaggregate before the final fold beyond that (documented in
+    ``_exact.py``).
+
+    Scale: one scan + a 1-row broadcast stats fold — no shuffle of the
+    vectors; the same two-pass shape as q92.
+    """
+    from pyspark_streaming_base_spark.functions.vectorops import dot
+    from pyspark_streaming_base_spark.queries._exact import dsum
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", dvec("embedding").alias("v"))
+    n = emb.select(
+        "vec_id", F.round(F.sqrt(dot(F.col("v"), F.col("v"))), 6).alias("norm_r")
+    )
+    stats = n.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        dsum(F.col("norm_r")).alias("sum_norm"),
+        dsum(F.round(F.col("norm_r") * F.col("norm_r"), 6)).alias("sum_norm2"),
+    )
+    mean = F.col("sum_norm") / F.col("n_vecs")
+    std = F.sqrt(F.col("sum_norm2") / F.col("n_vecs") - mean * mean)
+    return (
+        n.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "norm_r",
+            F.when(F.abs(F.col("norm_r") - mean) > 2.0 * std, 1)
+            .otherwise(0)
+            .alias("is_outlier"),
+        )
+    )

@@ -100,6 +100,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q63_ann_ivf",
         "q92_int8_quantize",
         "q94_kmeans_clusters",
+        "q104_embedding_qa",
     }
     got_warns = set()
     for name, spec in R.items():
