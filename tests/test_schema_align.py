@@ -94,3 +94,54 @@ def test_diff_schema_report(spark):
     assert missing == ["amount"]
     assert extra == ["extra"]
     assert retyped == ["id"]
+
+
+def test_align_property_random_type_pairs(spark):
+    """Property: for every (src, dst) primitive-type pair, align_schema
+    either performs a value-preserving cast (safe pairs) or raises —
+    never a silent lossy conversion."""
+    import itertools
+
+    from pyspark_streaming_base_spark.operators.schema_align import _is_safe_cast
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        FloatType,
+        ShortType,
+        StructField,
+        TimestampType,
+    )
+
+    types = [
+        ByteType(),
+        ShortType(),
+        IntegerType(),
+        LongType(),
+        FloatType(),
+        DoubleType(),
+        StringType(),
+    ]
+    probe = 37  # representable exactly in every numeric type above
+    for src_t, dst_t in itertools.product(types, repeat=2):
+        if isinstance(src_t, StringType) and not isinstance(dst_t, StringType):
+            continue  # string source only aligns to string
+        if isinstance(src_t, StringType):
+            val = "37"
+        elif isinstance(src_t, (FloatType, DoubleType)):
+            val = float(probe)
+        else:
+            val = probe
+        df = spark.createDataFrame(
+            [(val,)], StructType([StructField("x", src_t)])
+        )
+        tgt = StructType([StructField("x", dst_t)])
+        if _is_safe_cast(src_t, dst_t):
+            out = align_schema(df, tgt).collect()[0]["x"]
+            assert str(out) in ("37", "37.0"), (src_t, dst_t, out)
+        else:
+            with pytest.raises(ValueError, match="unsafe cast"):
+                align_schema(df, tgt)
+    # sanity: the matrix contains both safe and unsafe pairs
+    assert _is_safe_cast(IntegerType(), DoubleType())
+    assert not _is_safe_cast(LongType(), DoubleType())
+    assert _is_safe_cast(DateType(), TimestampType())
