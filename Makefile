@@ -1,7 +1,7 @@
 # Developer entry points. All gates run on the preinstalled toolchain —
 # no network access assumed.
 
-.PHONY: test correctness bench lint install smoke
+.PHONY: test correctness bench lint plan-lint install smoke
 
 test:
 	python -m pytest tests/ -q
@@ -15,6 +15,9 @@ bench:
 lint:
 	@command -v ruff >/dev/null 2>&1 && ruff check pyspark_streaming_base_spark tests tools \
 		|| echo "ruff not installed; skipping"
+
+plan-lint:
+	python tools/lint_plans.py
 
 install:
 	# normal toolchains: pip install -e .  — this container lacks the
