@@ -699,3 +699,47 @@ def q104_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_outlier"),
         )
     )
+
+
+@query(
+    "q105_cohort_retention",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders
+    ),
+    first AS (
+      SELECT o_custkey, MIN(m) AS cohort FROM o GROUP BY o_custkey
+    )
+    SELECT CAST(first.cohort AS DATE) AS cohort,
+           CAST(date_diff('month', first.cohort, o.m) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+    FROM o JOIN first USING (o_custkey)
+    GROUP BY first.cohort, date_diff('month', first.cohort, o.m)
+    """,
+)
+def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (classic product-analytics rollup): customers
+    grouped by first-order month; ``n_active`` = distinct customers from
+    that cohort ordering again ``k`` months later. ``months_between`` on
+    month-truncated timestamps is an exact integer, matching DuckDB's
+    ``date_diff('month', ...)``.
+
+    Scale: first-order table is one groupBy on the customer key; the
+    cohort join re-shuffles on the same key (AQE reuses the
+    partitioning); the final (cohort, k) aggregate is a few hundred
+    groups with map-side-combined distinct counting.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    return (
+        o.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            F.months_between(F.col("m"), F.col("cohort")).cast("bigint").alias("k"),
+        )
+        .groupBy(F.col("cohort").cast("date").alias("cohort"), F.col("k"))
+        .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_active"))
+    )
