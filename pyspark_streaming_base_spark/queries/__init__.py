@@ -85,7 +85,9 @@ DRIVER_PRIORITY: tuple = (
     "q57_tfidf_topk",
     "q59_token_packing",
     "q64_normalize_text",
-    "q49_train_split",
+    # capstone composition (normalize→dedup→quality→shard, full oracle);
+    # C19 keeps 8 other slots, deterministic splitting stays via q55
+    "q100_training_pipeline",
     "q85_vocab_build",
     "q86_doc_chunking",
     "q87_decontamination",
