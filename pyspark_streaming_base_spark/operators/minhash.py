@@ -93,8 +93,12 @@ def query_minhash_index(
     probe = minhash_bands(new_docs, id_col, text_col).select(
         F.col(id_col).alias("query_id"), "band_idx", "band_hash"
     )
+    # Broadcast the PROBE side: an incremental batch is small by
+    # construction, so the corpus-sized index streams through the join
+    # without being re-shuffled (a shuffle_hash hint here would re-shuffle
+    # the whole index on every probe).
     return (
-        probe.hint("shuffle_hash")
+        F.broadcast(probe)
         .join(
             index,
             ["band_idx", "band_hash"],

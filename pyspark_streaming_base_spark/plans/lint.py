@@ -58,11 +58,11 @@ def lint(df: DataFrame) -> List[Finding]:
                 "CartesianProduct multiplies both inputs; add a join key",
             )
         )
-    if "BroadcastNestedLoopJoin" in plan and "Inner" not in plan.split(
-        "BroadcastNestedLoopJoin"
-    )[0][-40:]:
-        # BNLJ is fine for a 1-row/aggregate broadcast; flag as warn so
-        # callers review the broadcast side's cardinality
+    if "BroadcastNestedLoopJoin" in plan:
+        # BNLJ is fine for a 1-row/aggregate broadcast; flag every one as
+        # a warn (regardless of join type) so callers review the broadcast
+        # side's cardinality
+
         findings.append(
             Finding(
                 "nested-loop-join",

@@ -377,14 +377,22 @@ def q98_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def digest(batches):
         for batch in batches:
             d = batch.to_pydict()
-            texts = [s or "" for s in d["text"]]
+            # NULL text propagates as NULL (matching SQL md5/strlen
+            # semantics on NULL input) — no silent ''-coercion
+            texts = d["text"]
             yield pa.RecordBatch.from_pydict(
                 {
                     "doc_id": d["doc_id"],
                     "text_md5": [
-                        hashlib.md5(s.encode("utf-8")).hexdigest() for s in texts
+                        None
+                        if s is None
+                        else hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in texts
                     ],
-                    "n_bytes": [len(s.encode("utf-8")) for s in texts],
+                    "n_bytes": [
+                        None if s is None else len(s.encode("utf-8"))
+                        for s in texts
+                    ],
                 }
             )
 
@@ -652,8 +660,9 @@ def q103_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, norm_r,
            CASE WHEN ABS(norm_r - sum_norm / n_vecs)
-                     > 2.0 * SQRT(sum_norm2 / n_vecs
-                                  - (sum_norm / n_vecs) * (sum_norm / n_vecs))
+                     > 2.0 * SQRT(GREATEST(sum_norm2 / n_vecs
+                                  - (sum_norm / n_vecs) * (sum_norm / n_vecs),
+                                  0.0))
                 THEN 1 ELSE 0 END AS is_outlier
     FROM n, s
     """,
@@ -688,7 +697,13 @@ def q104_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.round(F.col("norm_r") * F.col("norm_r"), 6)).alias("sum_norm2"),
     )
     mean = F.col("sum_norm") / F.col("n_vecs")
-    std = F.sqrt(F.col("sum_norm2") / F.col("n_vecs") - mean * mean)
+    # clamp: rounding the moments can push the variance epsilon-negative
+    # for a near-constant norm distribution (DuckDB SQRT raises on <0)
+    std = F.sqrt(
+        F.greatest(
+            F.col("sum_norm2") / F.col("n_vecs") - mean * mean, F.lit(0.0)
+        )
+    )
     return (
         n.crossJoin(F.broadcast(stats))
         .select(

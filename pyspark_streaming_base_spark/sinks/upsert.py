@@ -13,10 +13,17 @@ implements the copy-on-write flavor the way a table format would:
   bucket's current parquet files, written atomically via tmp +
   ``os.replace``);
 * ``apply(batch_df, batch_id)`` rewrites ONLY the buckets containing the
-  batch's keys: read the bucket's latest snapshot, union the batch slice,
-  keep the max-sequence row per key, write the merged bucket, commit its
-  manifest. Untouched buckets are untouched — the 100 TB property: write
-  amplification is (touched buckets / N) of the table, not the table;
+  batch's keys — and does it in ONE Spark job: the current snapshots of
+  every touched bucket union with the batch, a single exchange
+  repartitions by ``_bucket``, keep-latest runs bucket-locally (the
+  dedup and the rank window both include ``_bucket`` in their grouping,
+  so the one exchange satisfies both), and ``partitionBy("_bucket")``
+  writes every merged bucket from that one job. The driver then promotes
+  the staged files into the per-bucket directories (pure ``os.replace``
+  metadata ops) and commits each bucket's manifest. Untouched buckets
+  are untouched — the 100 TB property: write amplification is (touched
+  buckets / N) of the table, not the table, and wall-clock is one job
+  per batch, not one job per touched bucket;
 * readers (``read``) take each bucket's HIGHEST-numbered manifest — a
   consistent per-bucket snapshot; concurrent readers never see a
   half-merged bucket (old manifest stays valid until the new one lands);
@@ -31,6 +38,10 @@ implements the copy-on-write flavor the way a table format would:
   the key) and filtered out at read time; a genuinely later re-insert
   wins by sequence, CDC-style. Physically dropping old tombstones is a
   maintenance compaction once the watermark passes their sequence.
+  **Tie rule (documented contract): when a tombstone and a non-delete
+  row share the same (key, sequence), the delete wins** — the rank
+  window orders by (seq DESC, delete DESC), so survivorship is
+  deterministic even on colliding sequences.
 
 The driver only ever touches bucket ids and file names (O(metadata));
 all data movement is Spark parquet read/write of the touched buckets.
@@ -38,18 +49,49 @@ all data movement is Spark parquet read/write of the touched buckets.
 Scale tuning: ``n_buckets`` trades write amplification against small
 files — size it so one bucket ≈ a few target files. At real scale the
 same layout upgrades to partition+bucket (date/bucket) without changing
-the protocol.
+the protocol — see :class:`PartitionedUpsertTable`, whose ``apply`` is
+the same single job over (partition, bucket) pairs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _keep_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    seq_col: str,
+    delete_col: Optional[str],
+    group_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Latest version per key (within ``group_extra`` scope, e.g. the
+    ``_bucket`` / ``_part`` helper columns). (key, seq) collisions
+    resolve delete-wins; exact duplicates collapse first so the rank is
+    deterministic. Both the dedup grouping and the window partition
+    include ``group_extra``, so a child already hash-partitioned on the
+    extras needs NO further exchange (HashPartitioning on a subset of
+    the clustering keys satisfies ClusteredDistribution).
+    """
+    dedup_cols = list(group_extra) + list(key_cols) + [seq_col]
+    order = [F.col(seq_col).desc()]
+    if delete_col:
+        dedup_cols.append(delete_col)
+        order.append(F.coalesce(F.col(delete_col), F.lit(False)).desc())
+    w = Window.partitionBy(*(list(group_extra) + list(key_cols))).orderBy(*order)
+    return (
+        df.dropDuplicates(dedup_cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 class UpsertTable:
@@ -112,9 +154,49 @@ class UpsertTable:
     def _schema_path(self) -> str:
         return os.path.join(self.root, "_schema.json")
 
+    def _write_schema_once(self, df: DataFrame) -> None:
+        if not os.path.exists(self._schema_path()):
+            tmp = self._schema_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(df.schema.json())
+            os.replace(tmp, self._schema_path())
+
+    def _promote_staging(self, staging: str) -> Dict[int, List[str]]:
+        """Move a ``partitionBy('_bucket')`` staging output into the
+        per-bucket ``data/`` directories. Driver-side, pure ``os.replace``
+        (same filesystem — staging lives under the table root): O(files)
+        metadata ops, never data movement. Returns {bucket: [files]}.
+        """
+        out: Dict[int, List[str]] = {}
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("_bucket="):
+                continue
+            b = int(d.split("=", 1)[1])
+            dest = os.path.join(self._bucket_dir(b), "data", uuid.uuid4().hex)
+            os.makedirs(dest, exist_ok=True)
+            files: List[str] = []
+            src_dir = os.path.join(staging, d)
+            for fn in sorted(os.listdir(src_dir)):
+                if fn.endswith(".parquet"):
+                    dst = os.path.join(dest, fn)
+                    os.replace(os.path.join(src_dir, fn), dst)
+                    files.append(dst)
+            out[b] = files
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def _staging_dir(self) -> str:
+        return os.path.join(self.root, "_staging", uuid.uuid4().hex)
+
     # -- write path ----------------------------------------------------------
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Merge one batch of change rows; rewrites only touched buckets."""
+        """Merge one batch of change rows in ONE Spark job; rewrites only
+        touched buckets. The job's plan is: union(current snapshots of
+        touched buckets, batch) → single exchange on ``_bucket`` →
+        bucket-local dedup + rank (no further exchange — both group on
+        ``_bucket`` first) → ``partitionBy('_bucket')`` write. Manifests
+        commit from the job's output listing, after the data lands.
+        """
         spark = batch_df.sparkSession
         batch = batch_df.withColumn("_bucket", self._bucket_expr())
         # driver sees only bucket IDS (≤ n_buckets ints) — never data
@@ -123,35 +205,30 @@ class UpsertTable:
         )
         if not touched:
             return
-        if not os.path.exists(self._schema_path()):
-            tmp = self._schema_path() + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(batch_df.schema.json())
-            os.replace(tmp, self._schema_path())
+        self._write_schema_once(batch_df)
 
-        w = Window.partitionBy(*self.key_cols).orderBy(F.col(self.seq_col).desc())
-        for b in touched:
-            current_files = self._bucket_files(b)
-            slice_df = batch.filter(F.col("_bucket") == b).drop("_bucket")
-            if current_files:
-                current = spark.read.parquet(*current_files)
-                merged = current.unionByName(slice_df)
-            else:
-                merged = slice_df
-            latest = (
-                merged.dropDuplicates(self.key_cols + [self.seq_col])
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
+        current_files = [f for b in touched for f in self._bucket_files(b)]
+        if current_files:
+            current = spark.read.parquet(*current_files).withColumn(
+                "_bucket", self._bucket_expr()
             )
-            out = os.path.join(self._bucket_dir(b), "data", uuid.uuid4().hex)
-            latest.write.mode("overwrite").parquet(out)
-            files = [
-                os.path.join(out, n)
-                for n in os.listdir(out)
-                if n.endswith(".parquet")
-            ]
-            self._commit_bucket(b, batch_id, files)
+            merged = current.unionByName(batch)
+        else:
+            merged = batch
+        latest = _keep_latest(
+            merged.repartition(len(touched), F.col("_bucket")),
+            self.key_cols,
+            self.seq_col,
+            self.delete_col,
+            group_extra=["_bucket"],
+        )
+        staging = self._staging_dir()
+        latest.write.partitionBy("_bucket").mode("overwrite").parquet(staging)
+        new_files = self._promote_staging(staging)
+        for b in touched:
+            # a touched bucket always has ≥1 surviving row (keep-latest of
+            # a non-empty slice); .get guards a pathological empty write
+            self._commit_bucket(b, batch_id, new_files.get(b, []))
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` (CDC apply-changes)."""
@@ -161,33 +238,46 @@ class UpsertTable:
         """Maintenance job: garbage-collect tombstones whose sequence is
         below ``drop_tombstones_before`` (i.e. no straggler older than the
         delete can still arrive — the caller's retention watermark) and
-        rewrite each non-empty bucket as one snapshot. Commits under the
-        bucket's next manifest id, so readers flip atomically per bucket.
+        rewrite every non-empty bucket as one snapshot — in ONE Spark job
+        (same union → bucket exchange → partitionBy shape as ``apply``).
+        Commits under each bucket's next manifest id, so readers flip
+        atomically per bucket.
         """
         if not self.delete_col:
             raise ValueError("compact without delete_col has nothing to GC")
+        last_ids: Dict[int, int] = {}
+        all_files: List[str] = []
         for b in range(self.n_buckets):
             files = self._bucket_files(b)
             if not files:
                 continue
             m = self._latest_manifest(b)
             with open(m) as f:  # type: ignore[arg-type]
-                last_id = json.load(f)["batch_id"]
-            cur = spark.read.parquet(*files)
-            kept = cur.filter(
-                ~(
-                    F.coalesce(F.col(self.delete_col), F.lit(False))
-                    & (F.col(self.seq_col) < drop_tombstones_before)
-                )
+                last_ids[b] = json.load(f)["batch_id"]
+            all_files.extend(files)
+        if not last_ids:
+            return
+        cur = spark.read.parquet(*all_files).withColumn(
+            "_bucket", self._bucket_expr()
+        )
+        kept = cur.filter(
+            ~(
+                F.coalesce(F.col(self.delete_col), F.lit(False))
+                & (F.col(self.seq_col) < drop_tombstones_before)
             )
-            out = os.path.join(self._bucket_dir(b), "data", uuid.uuid4().hex)
-            kept.write.mode("overwrite").parquet(out)
-            new_files = [
-                os.path.join(out, n)
-                for n in os.listdir(out)
-                if n.endswith(".parquet")
-            ]
-            self._commit_bucket(b, last_id + 1, new_files)
+        )
+        staging = self._staging_dir()
+        (
+            kept.repartition(len(last_ids), F.col("_bucket"))
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        new_files = self._promote_staging(staging)
+        for b, last_id in last_ids.items():
+            # a bucket whose every row was a GC'd tombstone commits an
+            # empty file list — the bucket is now empty, not stale
+            self._commit_bucket(b, last_id + 1, new_files.get(b, []))
 
     def vacuum(self, retain_last: int = 1) -> int:
         """Orphan GC: delete data files not referenced by any of each
@@ -254,9 +344,15 @@ class PartitionedUpsertTable:
     This is the layout promise made concrete: a batch only ever touches
     (its partitions) × (its key buckets), so steady-state CDC against a
     date-partitioned 100 TB table rewrites a few buckets of a few recent
-    dates. Partition values must be stringable and filesystem-safe
-    (dates, hours, small enums). The driver handles partition VALUES and
-    file names only — bounded by the batch's own partition spread.
+    dates — and, like :class:`UpsertTable`, does it in ONE Spark job per
+    batch: a single exchange on (``_part``, ``_bucket``), partition-local
+    keep-latest, one ``partitionBy('_part', '_bucket')`` write, then
+    per-(partition, bucket) manifest commits from the staged listing.
+    Partition values must be stringable and filesystem-safe (dates,
+    hours, small enums — Spark's partition-dir escaping would otherwise
+    diverge from the ``part=<value>`` layout). The driver handles
+    partition VALUES and file names only — bounded by the batch's own
+    partition spread.
     """
 
     def __init__(
@@ -291,15 +387,84 @@ class PartitionedUpsertTable:
         )
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         pc = self.partition_col
-        values = [
-            str(r[pc])
-            for r in batch_df.select(pc).distinct().collect()  # partition VALUES only
+        keys = self._child_args["key_cols"]
+        seq_col = self._child_args["seq_col"]
+        delete_col = self._child_args["delete_col"]
+        nb = self._child_args["n_buckets"]
+        bucket_expr = F.pmod(F.xxhash64(*keys), F.lit(nb))
+
+        batch = batch_df.withColumn(
+            "_part", F.col(pc).cast("string")
+        ).withColumn("_bucket", bucket_expr)
+        # driver sees only (partition value, bucket id) pairs — bounded by
+        # the batch's own partition spread × n_buckets, never data
+        pairs = sorted(
+            (r["_part"], r["_bucket"])
+            for r in batch.select("_part", "_bucket").distinct().collect()
+        )
+        if not pairs:
+            return
+        children = {v: self._child(v) for v in sorted({v for v, _ in pairs})}
+        for child in children.values():
+            child._write_schema_once(batch_df)
+
+        current_files = [
+            f for v, b in pairs for f in children[v]._bucket_files(b)
         ]
-        for v in sorted(values):
-            self._child(v).apply(
-                batch_df.filter(F.col(pc).cast("string") == v), batch_id
+        if current_files:
+            current = (
+                spark.read.parquet(*current_files)
+                .withColumn("_part", F.col(pc).cast("string"))
+                .withColumn("_bucket", bucket_expr)
             )
+            merged = current.unionByName(batch)
+        else:
+            merged = batch
+        latest = _keep_latest(
+            merged.repartition(len(pairs), F.col("_part"), F.col("_bucket")),
+            keys,
+            seq_col,
+            delete_col,
+            group_extra=["_part", "_bucket"],
+        )
+        staging = os.path.join(self.root, "_staging", uuid.uuid4().hex)
+        (
+            latest.write.partitionBy("_part", "_bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        # promote staging/_part=<v>/_bucket=<b>/*.parquet into each
+        # child's bucket dirs, then commit — pure metadata ops
+        committed = set()
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("_part="):
+                continue
+            v = d.split("=", 1)[1]
+            child = children[v]
+            sub = os.path.join(staging, d)
+            for bd in sorted(os.listdir(sub)):
+                if not bd.startswith("_bucket="):
+                    continue
+                b = int(bd.split("=", 1)[1])
+                dest = os.path.join(
+                    child._bucket_dir(b), "data", uuid.uuid4().hex
+                )
+                os.makedirs(dest, exist_ok=True)
+                files = []
+                src_dir = os.path.join(sub, bd)
+                for fn in sorted(os.listdir(src_dir)):
+                    if fn.endswith(".parquet"):
+                        dst = os.path.join(dest, fn)
+                        os.replace(os.path.join(src_dir, fn), dst)
+                        files.append(dst)
+                child._commit_bucket(b, batch_id, files)
+                committed.add((v, b))
+        shutil.rmtree(staging, ignore_errors=True)
+        for v, b in pairs:
+            if (v, b) not in committed:
+                children[v]._commit_bucket(b, batch_id, [])
 
     def foreach_batch(self):
         return lambda df, batch_id: self.apply(df, batch_id)

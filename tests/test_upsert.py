@@ -4,6 +4,7 @@ replay idempotence, bucket-scoped rewrites, streaming foreachBatch e2e."""
 from __future__ import annotations
 
 import os
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
@@ -50,6 +51,88 @@ def test_deletes_tombstone_and_resurrect(spark, tmp_path):
     tbl.apply(spark.createDataFrame([(1, 3, "back", False)], cols), 3)
     rows = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
     assert rows == {1: "back", 2: "b"}
+
+
+def test_equal_sequence_delete_wins(spark, tmp_path):
+    """Documented tie rule: a tombstone sharing (key, seq) with a
+    non-delete row wins deterministically — regardless of arrival order
+    or whether the collision is within one batch or across batches."""
+    cols = "k BIGINT, seq BIGINT, v STRING, del BOOLEAN"
+    # same-batch collision, both orders
+    for rows in ([(1, 5, "keep?", False), (1, 5, None, True)],
+                 [(1, 5, None, True), (1, 5, "keep?", False)]):
+        tbl = UpsertTable(
+            str(tmp_path / f"t{rows[0][3]}"), key_cols=["k"], seq_col="seq",
+            delete_col="del",
+        )
+        tbl.apply(spark.createDataFrame(rows, cols), 0)
+        assert tbl.read(spark).count() == 0
+    # cross-batch collision: delete arrives AFTER at the same seq
+    tbl = UpsertTable(
+        str(tmp_path / "tx"), key_cols=["k"], seq_col="seq", delete_col="del"
+    )
+    tbl.apply(spark.createDataFrame([(1, 5, "row", False)], cols), 0)
+    tbl.apply(spark.createDataFrame([(1, 5, None, True)], cols), 1)
+    assert tbl.read(spark).count() == 0
+
+
+def _count_jobs(spark, fn):
+    """Run ``fn()`` under a fresh job group and return how many Spark
+    jobs it launched."""
+    group = f"jobcount-{uuid.uuid4().hex}"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "job-count test")
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_apply_job_count_independent_of_touched_buckets(spark, tmp_path):
+    """The single-job merge: job count must NOT grow with the number of
+    touched buckets (the r3 scale-killer was one job per bucket)."""
+    tbl_few = UpsertTable(
+        str(tmp_path / "few"), key_cols=["k"], seq_col="seq", n_buckets=16
+    )
+    tbl_many = UpsertTable(
+        str(tmp_path / "many"), key_cols=["k"], seq_col="seq", n_buckets=16
+    )
+    one_key = spark.createDataFrame([(1, 1, "a")], ["k", "seq", "v"])
+    many_keys = spark.createDataFrame(
+        [(i, 1, "x") for i in range(200)], ["k", "seq", "v"]
+    )  # 200 keys → all 16 buckets touched
+    # seed both so the second apply exercises the read-merge path too
+    tbl_few.apply(one_key, 0)
+    tbl_many.apply(many_keys, 0)
+    jobs_few = _count_jobs(spark, lambda: tbl_few.apply(
+        spark.createDataFrame([(1, 2, "b")], ["k", "seq", "v"]), 1))
+    jobs_many = _count_jobs(spark, lambda: tbl_many.apply(
+        spark.createDataFrame([(i, 2, "y") for i in range(200)],
+                              ["k", "seq", "v"]), 1))
+    assert jobs_few == jobs_many
+
+
+def test_compact_job_count_independent_of_buckets(spark, tmp_path):
+    cols = "k BIGINT, seq BIGINT, v STRING, del BOOLEAN"
+
+    def mk(name, n_keys):
+        tbl = UpsertTable(
+            str(tmp_path / name), key_cols=["k"], seq_col="seq",
+            delete_col="del", n_buckets=16,
+        )
+        tbl.apply(
+            spark.createDataFrame(
+                [(i, 1, "x", i % 3 == 0) for i in range(n_keys)], cols
+            ),
+            0,
+        )
+        return tbl
+
+    t_small, t_big = mk("small", 2), mk("big", 200)
+    jobs_small = _count_jobs(spark, lambda: t_small.compact(spark, 10))
+    jobs_big = _count_jobs(spark, lambda: t_big.compact(spark, 10))
+    assert jobs_small == jobs_big
 
 
 def test_replay_is_idempotent(spark, tmp_path):

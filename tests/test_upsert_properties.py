@@ -32,10 +32,11 @@ ops = st.lists(
 
 
 def oracle_replay(history):
-    """Max-sequence-wins per key, tombstones filtered at read."""
+    """Max-sequence-wins per key, delete-wins on equal sequences
+    (the documented UpsertTable tie rule), tombstones filtered at read."""
     best = {}
     for k, seq, v, dele in history:
-        if k not in best or seq > best[k][0]:
+        if k not in best or (seq, dele) > (best[k][0], best[k][2]):
             best[k] = (seq, v, dele)
     return {k: (s, v) for k, (s, v, dele) in best.items() if not dele}
 
@@ -43,11 +44,13 @@ def oracle_replay(history):
 @SETTINGS
 @given(history=ops, n_batches=st.integers(min_value=1, max_value=4))
 def test_upsert_matches_dict_replay(spark, history, n_batches):
-    # (key, seq) must determine the payload for determinism — dedupe the
-    # generated history to its last occurrence per (key, seq)
+    # (key, seq, delete-flag) must determine the payload for determinism —
+    # dedupe the generated history to its last occurrence per that triple.
+    # A delete and a non-delete CAN share (key, seq): the engine resolves
+    # that collision delete-wins, and the oracle mirrors it.
     seen = {}
     for op in history:
-        seen[(op[0], op[1])] = op
+        seen[(op[0], op[1], op[3])] = op
     history = list(seen.values())
 
     root = tempfile.mkdtemp(prefix="upsert_prop_")
