@@ -117,10 +117,11 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     }
     assert exact and approx
     recall = len(approx & exact) / len(exact)
-    # deterministic planes → stable; random-hyperplane LSH trades recall
-    # for candidate-set size. Measured 0.43 @ sf0.001 (8 tables × 5 planes,
-    # top-10 cosine ≈ 0.3); floor pinned with margin.
-    assert recall >= 0.35, f"ANN recall {recall}"
+    # deterministic planes → stable. Query-side multi-probe (subset-flips
+    # of the 2 lowest-|margin| planes, 4 probes/table) measures 0.87 at
+    # both sf0.001 and sf0.01 (vs 0.43 single-probe); floor pinned at the
+    # production-usable 0.8 bar.
+    assert recall >= 0.8, f"ANN recall {recall}"
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
