@@ -45,67 +45,69 @@ REGISTRY: Dict[str, QuerySpec] = {}
 # remain fully checked by the stricter local mirror
 # (tools/check_correctness.py) and pytest.
 DRIVER_PRIORITY: tuple = (
-    # core relational: C1 filter, C2 projection, C3 join, C4 semi/anti,
-    # C5 theta/range/as-of, C6 agg, C7 distinct, C8 grouping sets,
-    # C9 windows, C10 top-k, C11 set ops, C12–C14 scalar funcs,
-    # C15 json/array, C16 exact dedup
-    "q01_pricing_summary",
-    "q02_filter_pushdown",
-    "q03_derived_projection",
-    "q04_revenue_by_nation",
-    "q05_semi_join",
-    "q06_anti_join",
-    "q07_theta_join",
-    "q10_count_distinct",
-    "q35_grouping_sets",
-    "q30_topk_per_group",
-    "q34_sliding_frame",
-    "q15_set_ops",
-    "q16_string_funcs",
-    "q17_date_funcs",
-    "q18_math_funcs",
-    "q25_from_json",
-    "q27_array_ops",
-    "q22_exact_dedup",
-    "q66_interval_containment",
-    "q75_asof_join",
-    # C17 near-dup dedup, C18 similarity search
-    "q40_ngram_jaccard_pairs",
-    "q41_minhash_lsh_pairs",
-    "q43_embedding_neardup",
-    "q46_simhash_neardup_pairs",
-    "q60_knn_bruteforce",
-    "q61_ann_lsh",
-    # C19 text analysis + training-pipeline extensions
-    "q50_token_stats",
-    "q51_quality_score",
-    "q52_language_id",
-    "q54_bpe_token_count",
-    "q55_stratified_sample",
-    "q57_tfidf_topk",
-    "q59_token_packing",
-    "q64_normalize_text",
-    # capstone composition (normalize→dedup→quality→shard, full oracle);
-    # C19 keeps 8 other slots, deterministic splitting stays via q55
-    "q100_training_pipeline",
-    "q85_vocab_build",
-    "q86_doc_chunking",
-    "q87_decontamination",
-    "q90_tokenize_corpus",
-    # C20/C21 event-time windows, C23 stream joins, C16-streaming dedup
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_window",
-    "q73_stream_static_join",
-    "q77_stream_stream_interval_join",
-    "q74_event_dedup",
-    # multimodal columns
-    "q80_binary_metadata",
-    # B8/C25 UDF surface
-    "q28_udaf_weighted_avg",
-    "q29_scalar_pandas_udf",
-    "q67_groupwise_zscore",
-    "q83_cogroup_funnel",
+    # ROUND-4 ROTATION: 25 keepers (one per SURVEY §2 component family,
+    # headline queries included) + the 25 queries that had never received
+    # a driver CORRECTNESS row through r3 (q47–q105 extension waves).
+    # Long-green stalwarts rotated out (q06/q15-dups/q27/q34/q43/q46/q50-
+    # wave/q66/q74/q75/q77/q85-q87/q90 etc.) stay fully covered by the
+    # stricter local mirror (tools/check_correctness.py) and pytest.
+    #
+    # keepers: C1–C18 core relational + flagship extension reps
+    "q01_pricing_summary",      # C6 agg (headline)
+    "q02_filter_pushdown",      # C1
+    "q03_derived_projection",   # C2
+    "q04_revenue_by_nation",    # C3
+    "q05_semi_join",            # C4
+    "q07_theta_join",           # C5
+    "q10_count_distinct",       # C7
+    "q15_set_ops",              # C11
+    "q16_string_funcs",         # C12
+    "q17_date_funcs",           # C13
+    "q18_math_funcs",           # C14
+    "q22_exact_dedup",          # C16
+    "q25_from_json",            # C15
+    "q28_udaf_weighted_avg",    # B8/C25
+    "q30_topk_per_group",       # C10
+    "q35_grouping_sets",        # C8
+    "q40_ngram_jaccard_pairs",  # C17 exact verifier
+    "q41_minhash_lsh_pairs",    # C17 LSH scale path (rows-only by design)
+    "q60_knn_bruteforce",       # C18 exact
+    "q61_ann_lsh",              # C18 multi-probe ANN (rows-only by design)
+    "q70_tumbling_window",      # C20
+    "q72_session_window",       # C21
+    "q73_stream_static_join",   # C23
+    "q80_binary_metadata",      # multimodal
+    "q100_training_pipeline",   # capstone composition
+    # first-driver-check rotation: text analysis (C19)
+    "q47_repetition_score",
+    "q48_stopword_ratio",
+    "q49_train_split",
+    "q53_fingerprint",
+    "q56_rolling_hash",
+    # windows/rollup/relational extensions (C8/C9)
+    "q76_hier_rollup",
+    "q96_min_cost_supplier",
+    "q97_profit_by_nation_year",
+    "q99_resample_interpolate",
+    # similarity (C18) + streaming (C22/C23) extensions
+    "q68_label_centroids",
+    "q79_late_data_audit",
+    "q89_stream_stream_left_outer",
+    # multimodal decode path (rows-only: deterministic stub decoder)
+    "q81_decode_features",
+    "q82_frame_sample",
+    # LLM-pipeline wave (r2/r3 extensions, first driver rows)
+    "q91_pii_redaction",
+    "q92_int8_quantize",
+    "q93_unigram_lm_score",
+    "q94_kmeans_clusters",
+    "q95_dq_violations",
+    "q98_arrow_digest",
+    "q101_langid_eval",
+    "q102_heavy_hitters",
+    "q103_pagerank_top20",
+    "q104_embedding_qa",
+    "q105_cohort_retention",
 )
 
 

@@ -58,7 +58,7 @@ def test_driver_priority_prefix():
         "q01_pricing_summary",      # C6
         "q10_count_distinct",       # C7
         "q35_grouping_sets",        # C8
-        "q34_sliding_frame",        # C9
+        "q96_min_cost_supplier",    # C9 (rotated rep; windows family)
         "q30_topk_per_group",       # C10
         "q15_set_ops",              # C11
         "q16_string_funcs",         # C12
@@ -68,12 +68,13 @@ def test_driver_priority_prefix():
         "q22_exact_dedup",          # C16
         "q40_ngram_jaccard_pairs",  # C17
         "q60_knn_bruteforce",       # C18
-        "q50_token_stats",          # C19
+        "q47_repetition_score",     # C19 (rotated rep; text analysis)
         "q70_tumbling_window",      # C20
         "q72_session_window",       # C21
+        "q79_late_data_audit",      # C22
         "q73_stream_static_join",   # C23
-        "q28_udaf_weighted_avg",    # C25
-        "q29_scalar_pandas_udf",    # B8
+        "q28_udaf_weighted_avg",    # C25/B8 (grouped-agg pandas UDF)
+        "q98_arrow_digest",         # C25 Arrow map tier
         "q80_binary_metadata",      # multimodal
     }
     assert required <= set(DRIVER_PRIORITY)
