@@ -1,25 +1,37 @@
 """Multimodal (binary payload) processing over Arrow-batched Pandas.
 
 Real Spark plumbing — schemas, ``mapInPandas`` batch iteration,
-partition-parallel decode — with the actual media decode stubbed: the
-image/audio libraries are not available in this environment, so
-``_decode_payload`` derives deterministic fake dimensions from the payload
-digest. Swapping in a real decoder (PIL/ffmpeg) changes ONE function; the
-distributed execution shape stays identical.
+partition-parallel decode — behind a pluggable :class:`Decoder` protocol:
 
-Scale notes:
+* :class:`StubDecoder` (always available, the default for the demo
+  queries): deterministic fake media properties derived from the payload
+  digest, so results are stable across runs/engines with no media
+  libraries installed;
+* :class:`PILImageDecoder` (feature-detected): real width/height/frame
+  decode via Pillow when it is importable — constructing it in an
+  environment without PIL raises ``ImportError``, and per-payload decode
+  failures dead-letter to a null feature row instead of killing the
+  stage;
+* :func:`default_decoder` picks the best available backend (real if
+  importable, stub otherwise). Adding ffmpeg/torchvision/… is one new
+  class implementing ``decode()``.
+
+The distributed execution shape is decoder-independent:
 
 * decode runs where the data lives — one Arrow batch at a time per task,
   never materializing a partition in memory;
 * output schema is fixed up front (no inference), so 1000 executors agree
   without coordination;
-* payloads stay off the driver; only typed features flow downstream.
+* payloads stay off the driver; only typed features flow downstream;
+* ``payload_bytes``/``digest``/frame fingerprints are computed by the
+  framework (md5), so lineage keys never depend on the decoder backend.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+from typing import Iterator, Optional, Protocol, runtime_checkable
 
 import pandas as pd
 
@@ -31,50 +43,133 @@ DECODE_SCHEMA = (
     "width int, height int, n_frames int, decoder string"
 )
 
+#: feature keys a decoder must produce
+_FEATURE_KEYS = ("width", "height", "n_frames")
+
+
+@runtime_checkable
+class Decoder(Protocol):
+    """Media decoder contract: ``decode(payload)`` returns a dict with
+    ``width``, ``height``, ``n_frames`` (ints), or raises — the caller
+    dead-letters failures to a null feature row."""
+
+    name: str
+
+    def decode(self, payload: bytes) -> dict:  # pragma: no cover - protocol
+        ...
+
+
+class StubDecoder:
+    """Deterministic fake decoder — media properties read off the md5
+    digest. Always available; stable across runs/engines; the default
+    for the registry queries so their outputs never depend on which
+    media libraries happen to be installed."""
+
+    name = "stub-md5-v1"
+
+    def decode(self, payload: bytes) -> dict:
+        digest = hashlib.md5(payload).hexdigest()
+        return {
+            "width": 16 + int(digest[:4], 16) % 4080,
+            "height": 16 + int(digest[4:8], 16) % 4080,
+            "n_frames": 1 + int(digest[8:12], 16) % 120,
+        }
+
+
+class PILImageDecoder:
+    """Real image decode via Pillow (feature-detected).
+
+    ``ImportError`` at construction when Pillow is absent — callers
+    either catch it (see :func:`default_decoder`) or let it surface.
+    Animated formats report ``n_frames``; still images report 1.
+    """
+
+    name = "pil"
+
+    def __init__(self) -> None:
+        from PIL import Image  # raises ImportError when not installed
+
+        self._Image = Image
+
+    def decode(self, payload: bytes) -> dict:
+        img = self._Image.open(io.BytesIO(payload))
+        return {
+            "width": int(img.width),
+            "height": int(img.height),
+            "n_frames": int(getattr(img, "n_frames", 1)),
+        }
+
 
 def _decode_payload(payload: bytes) -> dict:
-    """STUB decoder — deterministic fake media properties.
-
-    A real implementation would be, e.g.::
-
-        img = PIL.Image.open(io.BytesIO(payload))   # not installed here
-        return {"width": img.width, ...}
-
-    Instead, width/height/frames are read off the md5 digest so results
-    are stable across runs/engines. Raises nothing; a production decoder
-    should catch per-item errors and emit a null row (dead-letter pattern).
-    """
-    digest = hashlib.md5(payload).hexdigest()
+    """Stub decode + framework fields in one dict — the exact per-payload
+    output of :func:`decode_features` under the default decoder (tests
+    mirror distributed results against this driver-side recomputation)."""
+    b = bytes(payload)
+    dec = StubDecoder()
     return {
-        "payload_bytes": len(payload),
-        "digest": digest,
-        "width": 16 + int(digest[:4], 16) % 4080,
-        "height": 16 + int(digest[4:8], 16) % 4080,
-        "n_frames": 1 + int(digest[8:12], 16) % 120,
-        "decoder": "stub-md5-v1",
+        "payload_bytes": len(b),
+        "digest": hashlib.md5(b).hexdigest(),
+        **dec.decode(b),
+        "decoder": dec.name,
     }
 
 
-def decode_features(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+def default_decoder() -> Decoder:
+    """Best available backend: PIL when importable, else the stub."""
+    try:
+        return PILImageDecoder()
+    except ImportError:
+        return StubDecoder()
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    decoder: Optional[Decoder] = None,
+) -> DataFrame:
     """Decode binary payloads into typed features via ``mapInPandas``.
 
-    Arrow moves each batch into Python once; the stub decode is pure
-    CPU-per-row. The iterator contract means constant memory per task
-    regardless of partition size.
+    Arrow moves each batch into Python once; the iterator contract means
+    constant memory per task regardless of partition size. ``decoder``
+    defaults to the deterministic :class:`StubDecoder`; pass
+    :func:`default_decoder()<default_decoder>` (or any :class:`Decoder`)
+    for real media. NULL payloads and per-item decode failures
+    dead-letter to an all-null feature row (binary columns are nullable
+    by default) instead of killing the stage.
     """
+    dec = decoder if decoder is not None else StubDecoder()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        null_row = {k: None for k in ("payload_bytes", "digest", "width", "height", "n_frames", "decoder")}
+        null_feats = {k: None for k in _FEATURE_KEYS}
         for pdf in it:
-            # NULL payloads dead-letter to an all-null feature row instead of
-            # killing the stage (binary columns are nullable by default).
-            feats = [
-                null_row if p is None else _decode_payload(bytes(p))
-                for p in pdf[payload_col]
-            ]
+            feats = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    feats.append(
+                        {"payload_bytes": None, "digest": None,
+                         **null_feats, "decoder": None}
+                    )
+                    continue
+                b = bytes(p)
+                row = {
+                    "payload_bytes": len(b),
+                    "digest": hashlib.md5(b).hexdigest(),
+                    "decoder": dec.name,
+                }
+                try:
+                    row.update(
+                        {k: dec.decode(b)[k] for k in _FEATURE_KEYS}
+                    )
+                except Exception:
+                    row.update(null_feats)  # dead-letter, stage survives
+                feats.append(row)
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf[id_col].values)
-            yield out
+            yield out[
+                ["doc_id", "payload_bytes", "digest", "width", "height",
+                 "n_frames", "decoder"]
+            ]
 
     return df.mapInPandas(batches, schema=DECODE_SCHEMA)
 
@@ -92,26 +187,30 @@ def sample_frames(
     id_col: str,
     every_k: int = 10,
     max_side: int = 256,
+    decoder: Optional[Decoder] = None,
 ) -> DataFrame:
     """Frame-sample + resize pipeline over binary video payloads.
 
-    Row-expanding ``mapInPandas``: each payload decodes (stub) to
-    ``n_frames`` frames; every ``every_k``-th frame is kept and "resized"
-    so its longest side is ``max_side`` (aspect preserved, integer floor —
-    the geometry math is real; the pixel work is where ffmpeg/PIL would
-    slot in). Frame fingerprints are md5(digest ‖ frame_idx) — stable
-    across engines/runs.
+    Row-expanding ``mapInPandas``: each payload decodes (via ``decoder``,
+    default :class:`StubDecoder`) to ``n_frames`` frames; every
+    ``every_k``-th frame is kept and "resized" so its longest side is
+    ``max_side`` (aspect preserved, integer floor — the geometry math is
+    real; the pixel work is where a real backend slots in). Frame
+    fingerprints are md5(digest ‖ frame_idx) — computed by the framework,
+    stable across engines/runs and decoder backends.
 
     Scale: output fan-out is bounded by ``n_frames / every_k`` per row and
     produced lazily batch-by-batch, so a task's memory stays O(batch), not
     O(frames-in-partition); downstream joins key on (doc_id, frame_idx),
-    never the blob.
+    never the blob. NULL/undecodable payloads yield no frames, not a
+    stage crash.
     """
 
     if every_k < 1:
         raise ValueError(f"every_k must be >= 1, got {every_k}")
     if max_side < 1:
         raise ValueError(f"max_side must be >= 1, got {max_side}")
+    dec = decoder if decoder is not None else StubDecoder()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -119,14 +218,19 @@ def sample_frames(
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:  # NULL payload → no frames, not a stage crash
                     continue
-                meta = _decode_payload(bytes(p))
+                b = bytes(p)
+                try:
+                    meta = dec.decode(b)
+                except Exception:
+                    continue  # undecodable payload dead-letters to zero frames
+                digest = hashlib.md5(b).hexdigest()
                 w, h = meta["width"], meta["height"]
                 scale = max_side / max(w, h)
                 # downscale only — small media keeps its native geometry
                 ow, oh = (w, h) if scale >= 1 else (int(w * scale), int(h * scale))
                 for idx in range(0, meta["n_frames"], every_k):
                     fp = hashlib.md5(
-                        f"{meta['digest']}:{idx}".encode()
+                        f"{digest}:{idx}".encode()
                     ).hexdigest()[:16]
                     rows.append((doc_id, idx, fp, ow, oh))
             yield pd.DataFrame(

@@ -47,6 +47,85 @@ def test_null_payloads_dead_letter_not_crash(spark):
     assert {r["doc_id"] for r in frames} == {1, 3}  # NULL row yields no frames
 
 
+def test_pluggable_decoder_is_used_and_dead_letters(spark):
+    # defined inside the test so cloudpickle ships it by value (test
+    # modules are not importable on executors)
+    class _FixedDecoder:
+        """Injectable test backend: fixed geometry, fails on payloads
+        containing 'bad' (exercises the dead-letter path)."""
+
+        name = "fixed-test"
+
+        def decode(self, payload: bytes) -> dict:
+            if b"bad" in payload:
+                raise ValueError("undecodable")
+            return {"width": 640, "height": 480, "n_frames": 25}
+
+    df = spark.createDataFrame(
+        [(1, b"ok"), (2, b"bad-bytes")], "doc_id long, payload binary"
+    )
+    feats = {
+        r["doc_id"]: r
+        for r in decode_features(
+            df, "payload", "doc_id", decoder=_FixedDecoder()
+        ).collect()
+    }
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["n_frames"]) == (640, 480, 25)
+    assert feats[1]["decoder"] == "fixed-test"
+    # framework fields are decoder-independent
+    assert feats[1]["digest"] == hashlib.md5(b"ok").hexdigest()
+    # decode failure → null features, stage survives, digest retained
+    assert feats[2]["width"] is None and feats[2]["n_frames"] is None
+    assert feats[2]["digest"] == hashlib.md5(b"bad-bytes").hexdigest()
+
+    frames = sample_frames(
+        df, "payload", "doc_id", every_k=10, decoder=_FixedDecoder()
+    ).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(f["frame_idx"] for f in by_doc[1]) == [0, 10, 20]
+    assert (by_doc[1][0]["out_width"], by_doc[1][0]["out_height"]) == (256, 192)
+    assert 2 not in by_doc  # undecodable → zero frames, not a crash
+
+
+def test_default_decoder_feature_detection():
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        PILImageDecoder,
+        StubDecoder,
+        default_decoder,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    dec = default_decoder()
+    if has_pil:
+        assert isinstance(dec, PILImageDecoder)
+    else:
+        assert isinstance(dec, StubDecoder)
+
+
+def test_pil_decoder_real_image():
+    """Runs only where Pillow exists (env-skips here): a real PNG decode
+    through the same protocol."""
+    import pytest
+
+    pytest.importorskip("PIL", reason="Pillow not installed")
+    from PIL import Image
+    import io as _io
+
+    from pyspark_streaming_base_spark.functions.multimodal import PILImageDecoder
+
+    buf = _io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    meta = PILImageDecoder().decode(buf.getvalue())
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (20, 10, 1)
+
+
 def test_sample_frames_rejects_bad_args(spark):
     df = spark.createDataFrame([(1, b"a")], "doc_id long, payload binary")
     import pytest
