@@ -83,18 +83,57 @@ def main() -> None:
         load1 = round(os.getloadavg()[0], 2)  # ambient-load context for
     except OSError:  # pragma: no cover       # cross-run comparability
         load1 = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "load_avg_1m": load1,
-            }
-        )
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "load_avg_1m": load1,
+    }
+    prev = _delta_vs_prev(total, timings)
+    if prev is not None:
+        out["delta_vs_prev"] = prev
+    print(json.dumps(out))
+
+
+def _delta_vs_prev(total: float, timings: dict) -> dict | None:
+    """Self-reporting round-over-round trend: compare against the latest
+    BENCH_r{N}.json next to this script (the driver's per-round record).
+    Extra JSON field only — the driver contract line is unchanged. Only
+    comparable when the previous record ran at the same sf."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(
+        n for n in os.listdir(here)
+        if n.startswith("BENCH_r") and n.endswith(".json")
     )
+    for name in reversed(recs):
+        try:
+            with open(os.path.join(here, name)) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):  # pragma: no cover
+            continue
+        if isinstance(prev, dict) and "parsed" in prev:
+            prev = prev["parsed"]  # driver wraps the bench line in metadata
+        if not isinstance(prev, dict) or "value" not in prev:
+            continue
+        delta = {
+            "prev_record": name,
+            "prev_value": prev["value"],
+            "total_pct": round(100.0 * (total - prev["value"]) / prev["value"], 1),
+            "same_sf": prev.get("sf") == float(
+                os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+                .rstrip("/").rsplit("sf", 1)[-1]
+            ),
+        }
+        pq = prev.get("queries") or {}
+        delta["queries_pct"] = {
+            q: round(100.0 * (t - pq[q]) / pq[q], 1)
+            for q, t in timings.items()
+            if q in pq and pq[q]
+        }
+        return delta
+    return None
 
 
 if __name__ == "__main__":
