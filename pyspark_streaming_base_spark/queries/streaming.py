@@ -448,3 +448,74 @@ def q89_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return click_purchase_interval_join_outer(clicks, purchases)
+
+
+def click_purchase_interval_join_full(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """FULL OUTER interval join — the last stream-stream join mode Spark
+    supports: every click (null-extended when no purchase follows within
+    30 minutes) AND every purchase (null-extended when no click preceded
+    it within 30 minutes). Streaming, the null-emission timing differs
+    per side: an unmatched CLICK waits for the watermark to pass
+    ``click.ts + 30min`` (its match window), an unmatched PURCHASE waits
+    only for ``purchase.ts`` (no later click can satisfy
+    ``c.ts <= p.ts``). The streaming twin
+    (``tests/test_streaming_e2e.py::test_stream_stream_full_outer_join``)
+    asserts both emission rules against this batch builder, across a
+    checkpoint restart.
+
+    Scale: same single shuffle per side on ``user_id`` as the inner/left
+    forms; both sides' state is watermark-bounded (the interval condition
+    gives Catalyst an eviction predicate for each side).
+    """
+    return (
+        clicks.alias("c")
+        .join(
+            purchases.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 30 MINUTES")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("c.user_id"), F.col("p.user_id")).alias("user_id"),
+            F.col("c.event_id").cast("bigint").alias("click_id"),
+            F.col("c.ts").alias("click_ts"),
+            F.col("p.event_id").cast("bigint").alias("purchase_id"),
+            F.col("p.ts").alias("purchase_ts"),
+            (epoch_seconds(F.col("p.ts")) - epoch_seconds(F.col("c.ts")))
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+    )
+
+
+@query(
+    "q106_stream_stream_full_outer",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(c.event_id AS BIGINT) AS click_id,
+           c.ts AS click_ts,
+           CAST(p.event_id AS BIGINT) AS purchase_id,
+           p.ts AS purchase_ts,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q106_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join, batch-equivalent form
+    (C23's last uncovered join mode): clicks ⟗ purchases within 30
+    minutes, unmatched rows kept null-extended on BOTH sides. Unique by
+    (click_id, purchase_id) — no tie-break needed. The watermarked
+    streaming twin runs the same builder and additionally asserts each
+    side's null-emission-after-watermark rule, with checkpoint resume.
+    """
+    ev = t(spark, sf_dir, "events").select("ts", "user_id", "event_type", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return click_purchase_interval_join_full(clicks, purchases)

@@ -638,3 +638,97 @@ def test_stream_stream_left_outer_join(spark, tmp_path):
     # and the cumulative output is the exact batch result: every null
     # emitted exactly once after its window closed, none duplicated or lost
     assert got == expected
+
+
+def test_stream_stream_full_outer_join(spark, tmp_path):
+    """Watermarked stream-stream FULL OUTER join (q106's builder): matched
+    rows stream out as matches arrive; null-extended rows are emitted per
+    side once the watermark proves no match can arrive — click.ts + 30min
+    for unmatched clicks, purchase.ts for unmatched purchases (no later
+    click can satisfy c.ts <= p.ts). Run 1 processes the real events; run
+    2 restarts from the same checkpoint with a far-future sentinel click
+    that drags the watermark past every window, so run1 ∪ run2 (minus the
+    sentinel's own rows) must equal the batch full-outer result exactly —
+    each null emitted exactly once on its own side, none lost."""
+    from pyspark_streaming_base_spark.queries.streaming import (
+        click_purchase_interval_join_full as batch_full,
+    )
+
+    events = t(spark, SF_SMALL, "events").select(
+        "ts", "user_id", "event_type", "event_id"
+    )
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    expected = _rows(batch_full(clicks, purchases))
+
+    # time-ordered staging (see the left-outer twin for why): the file
+    # source processes by mtime, so arrival order respects event time
+    import time
+
+    from pyspark.sql.window import Window
+
+    stage = str(tmp_path / "stage")
+    ranked = events.withColumn(
+        "rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    n_ev = events.count()
+    for i in range(3):
+        lo, hi = i * n_ev // 3, (i + 1) * n_ev // 3
+        chunk = ranked.where((F.col("rn") > lo) & (F.col("rn") <= hi)).drop("rn")
+        chunk.coalesce(1).write.mode("append").parquet(stage)
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage)
+        )
+        # watermark at INGEST, before the event_type split (both sides'
+        # watermark nodes must see every event — see left-outer twin)
+        wm = stream.withWatermark("ts", "1 minute")
+        sc = wm.filter(F.col("event_type") == "click")
+        sp = wm.filter(F.col("event_type") == "purchase")
+        q = (
+            batch_full(sc, sp)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _rows(spark.read.parquet(out_dir))
+
+    got1 = run()
+
+    # matched rows never wait for the watermark: every (click, purchase)
+    # pair must already be in run 1's output
+    matched = Counter(
+        {k: v for k, v in expected.items() if k[1] is not None and k[3] is not None}
+    )
+    assert (
+        Counter(
+            {k: v for k, v in got1.items() if k[1] is not None and k[3] is not None}
+        )
+        == matched
+    )
+
+    # drag the watermark past every click window and every purchase ts
+    # with a sentinel CLICK 2 hours past the data (its own row filters
+    # out by user_id; it matches no purchase)
+    sentinel_ts = events.agg(F.max("ts")).collect()[0][0]
+    spark.createDataFrame(
+        [(sentinel_ts, -1, "click", -1)], schema=events.schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS")).write.mode(
+        "append"
+    ).parquet(stage)
+    got = run()  # cumulative: the file sink appends to run 1's output
+    got = Counter({k: v for k, v in got.items() if k[0] != -1})
+
+    # cumulative output == batch full-outer: unmatched clicks AND
+    # unmatched purchases each emitted exactly once, none duplicated/lost
+    assert got == expected
