@@ -171,6 +171,32 @@ class DeltaLogSnapshot:
             out.append((p, pv))
         return sorted(out)
 
+    def symlink_manifest(self, dest_dir: str) -> List[str]:
+        """Materialize the snapshot as a directory of symlinks to the
+        active parquet files — the classic *symlink format manifest*
+        (what Delta generates for Presto/Trino): any engine that reads a
+        parquet directory can now read this exact snapshot, including
+        Spark's *streaming* file source (which is how the repo streams a
+        committed Delta fixture without Delta jars; see
+        ``tests/test_delta_log_reader.py``). Unpartitioned snapshots only
+        — partition values live in the log, not the files, so a flat
+        symlink dir would silently drop them. Returns the link paths.
+        """
+        if self._partition_columns:
+            raise ValueError(
+                "symlink_manifest supports unpartitioned snapshots only "
+                f"(partition columns: {self._partition_columns})"
+            )
+        os.makedirs(dest_dir, exist_ok=True)
+        links = []
+        for i, (path, _) in enumerate(self.files()):
+            link = os.path.join(dest_dir, f"{i:05d}-{os.path.basename(path)}")
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(path, link)
+            links.append(link)
+        return links
+
     def read(self, spark: SparkSession) -> DataFrame:
         """Snapshot DataFrame: schema-enforced scan of the active files,
         partition columns attached from the log's ``partitionValues``."""

@@ -113,6 +113,43 @@ def test_apply_job_count_independent_of_touched_buckets(spark, tmp_path):
     assert jobs_few == jobs_many
 
 
+def test_partitioned_apply_job_count_independent_of_pairs(spark, tmp_path):
+    """PartitionedUpsertTable.apply is also ONE job per batch, regardless
+    of how many (partition, bucket) pairs the batch touches."""
+    from pyspark_streaming_base_spark.sinks.upsert import PartitionedUpsertTable
+
+    def mk(name):
+        return PartitionedUpsertTable(
+            str(tmp_path / name), partition_col="day", key_cols=["k"],
+            seq_col="seq", n_buckets=8,
+        )
+
+    cols = "day STRING, k BIGINT, seq BIGINT, v STRING"
+    one = [("2026-01-01", 1, 1, "a")]
+    many = [
+        (f"2026-01-{1 + i % 9:02d}", i, 1, "x") for i in range(200)
+    ]  # 9 partitions × 8 buckets
+    t_one, t_many = mk("one"), mk("many")
+    t_one.apply(spark.createDataFrame(one, cols), 0)
+    t_many.apply(spark.createDataFrame(many, cols), 0)
+    jobs_one = _count_jobs(spark, lambda: t_one.apply(
+        spark.createDataFrame([("2026-01-01", 1, 2, "b")], cols), 1))
+    jobs_many = _count_jobs(spark, lambda: t_many.apply(
+        spark.createDataFrame(
+            [(f"2026-01-{1 + i % 9:02d}", i, 2, "y") for i in range(200)], cols
+        ), 1))
+    # allow exactly one extra job for the many case: Spark parallelizes
+    # FILE LISTING above 32 input paths (parallelPartitionDiscovery) — an
+    # O(metadata) driver optimization, not a per-bucket data job. The key
+    # invariant stands: the merge itself is one job however many
+    # (partition, bucket) pairs the batch touches.
+    assert jobs_many <= jobs_one + 1
+    got = {
+        (r["day"], r["k"]): r["seq"] for r in t_many.read(spark).collect()
+    }
+    assert len(got) == 200 and set(got.values()) == {2}
+
+
 def test_compact_job_count_independent_of_buckets(spark, tmp_path):
     cols = "k BIGINT, seq BIGINT, v STRING, del BOOLEAN"
 
