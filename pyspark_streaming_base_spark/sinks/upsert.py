@@ -43,6 +43,16 @@ implements the copy-on-write flavor the way a table format would:
   window orders by (seq DESC, delete DESC), so survivorship is
   deterministic even on colliding sequences.
 
+* ADDITIVE schema evolution (the Delta ``mergeSchema`` contract): a
+  batch may carry NEW columns — they append to the stored schema as
+  nullable fields, and files written before the evolution null-fill them
+  at read (snapshot reads always apply the stored schema explicitly).
+  Existing columns keep their stored type; the batch safe-casts to it
+  (widening ok, narrowing raises — ``operators/schema_align.py``). The
+  merge keys (key/seq/delete) must always be present. Time travel reads
+  old snapshots under the LATEST schema (null-filled), not the
+  historical one.
+
 The driver only ever touches bucket ids and file names (O(metadata));
 all data movement is Spark parquet read/write of the touched buckets.
 
@@ -156,10 +166,37 @@ class UpsertTable:
 
     def _write_schema_once(self, df: DataFrame) -> None:
         if not os.path.exists(self._schema_path()):
-            tmp = self._schema_path() + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(df.schema.json())
-            os.replace(tmp, self._schema_path())
+            self._write_schema(df.schema)
+
+    def _write_schema(self, schema) -> None:
+        tmp = self._schema_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(schema.json())
+        os.replace(tmp, self._schema_path())
+
+    def _stored_schema(self):
+        if not os.path.exists(self._schema_path()):
+            return None
+        from pyspark.sql.types import StructType
+
+        with open(self._schema_path()) as f:
+            return StructType.fromJson(json.load(f))
+
+    def _evolve_schema(self, stored, batch_schema):
+        """ADDITIVE schema evolution (the Delta `mergeSchema` contract):
+        batch columns unknown to the stored schema are appended as
+        nullable fields; existing columns keep their stored type (the
+        batch is safe-cast to it by ``align_schema`` — widening ok,
+        narrowing raises). Returns the evolved StructType."""
+        from pyspark.sql.types import StructField, StructType
+
+        have = {f.name.lower() for f in stored.fields}
+        new = [
+            StructField(f.name, f.dataType, nullable=True)
+            for f in batch_schema.fields
+            if f.name.lower() not in have
+        ]
+        return StructType(list(stored.fields) + new) if new else stored
 
     def _promote_staging(self, staging: str) -> Dict[int, List[str]]:
         """Move a ``partitionBy('_bucket')`` staging output into the
@@ -198,20 +235,46 @@ class UpsertTable:
         commit from the job's output listing, after the data lands.
         """
         spark = batch_df.sparkSession
-        batch = batch_df.withColumn("_bucket", self._bucket_expr())
+        # the merge keys must be present — a CDC row without its key or
+        # sequence is meaningless (other columns may evolve; these can't)
+        required = self.key_cols + [self.seq_col] + (
+            [self.delete_col] if self.delete_col else []
+        )
+        batch_names = {c.lower() for c in batch_df.columns}
+        missing = [c for c in required if c.lower() not in batch_names]
+        if missing:
+            raise ValueError(f"batch is missing required columns {missing}")
+        # ADDITIVE schema evolution: new batch columns append (nullable);
+        # rows/files written under the old schema null-fill them at read
+        stored = self._stored_schema()
+        if stored is None:
+            target = batch_df.schema
+            self._write_schema(target)
+        else:
+            target = self._evolve_schema(stored, batch_df.schema)
+            if target != stored:
+                self._write_schema(target)
+        from pyspark_streaming_base_spark.operators.schema_align import (
+            align_schema,
+        )
+
+        batch = align_schema(batch_df, target).withColumn(
+            "_bucket", self._bucket_expr()
+        )
         # driver sees only bucket IDS (≤ n_buckets ints) — never data
         touched = sorted(
             r["_bucket"] for r in batch.select("_bucket").distinct().collect()
         )
         if not touched:
             return
-        self._write_schema_once(batch_df)
 
         current_files = [f for b in touched for f in self._bucket_files(b)]
         if current_files:
-            current = spark.read.parquet(*current_files).withColumn(
-                "_bucket", self._bucket_expr()
-            )
+            # explicit schema: pre-evolution files lack the new columns —
+            # the parquet reader null-fills them under the target schema
+            current = spark.read.schema(target).parquet(
+                *current_files
+            ).withColumn("_bucket", self._bucket_expr())
             merged = current.unionByName(batch)
         else:
             merged = batch
@@ -257,7 +320,9 @@ class UpsertTable:
             all_files.extend(files)
         if not last_ids:
             return
-        cur = spark.read.parquet(*all_files).withColumn(
+        stored = self._stored_schema()
+        reader = spark.read.schema(stored) if stored is not None else spark.read
+        cur = reader.parquet(*all_files).withColumn(
             "_bucket", self._bucket_expr()
         )
         kept = cur.filter(
@@ -323,7 +388,14 @@ class UpsertTable:
         for b in range(self.n_buckets):
             files.extend(self._bucket_files(b, as_of))
         if files:
-            df = spark.read.parquet(*files)
+            stored = self._stored_schema()
+            # explicit stored schema: files written before a schema
+            # evolution null-fill the later columns
+            df = (
+                spark.read.schema(stored).parquet(*files)
+                if stored is not None
+                else spark.read.parquet(*files)
+            )
             if self.delete_col:
                 df = df.filter(~F.coalesce(F.col(self.delete_col), F.lit(False)))
             return df

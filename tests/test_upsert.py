@@ -150,6 +150,25 @@ def test_partitioned_apply_job_count_independent_of_pairs(spark, tmp_path):
     assert len(got) == 200 and set(got.values()) == {2}
 
 
+def test_merge_plan_has_single_exchange(spark):
+    """The scale property behind the single job: the bucket repartition
+    is the ONLY exchange — dedup and the rank window both group on
+    (_bucket, keys), so HashPartitioning(_bucket) satisfies their
+    clustering and neither adds a shuffle."""
+    from pyspark_streaming_base_spark.sinks.upsert import _keep_latest
+
+    df = spark.createDataFrame(
+        [(i % 7, i, "v", False) for i in range(100)],
+        "k BIGINT, seq BIGINT, v STRING, del BOOLEAN",
+    ).withColumn("_bucket", F.pmod(F.xxhash64("k"), F.lit(8)))
+    latest = _keep_latest(
+        df.repartition(8, F.col("_bucket")), ["k"], "seq", "del",
+        group_extra=["_bucket"],
+    )
+    plan = latest._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_compact_job_count_independent_of_buckets(spark, tmp_path):
     cols = "k BIGINT, seq BIGINT, v STRING, del BOOLEAN"
 
@@ -205,6 +224,50 @@ def test_only_touched_buckets_rewritten(spark, tmp_path):
         if after != manifests_before.get(b, []):
             changed.append(b)
     assert len(changed) == 1  # exactly key 7's bucket
+
+
+def test_schema_evolution_adds_columns(spark, tmp_path):
+    """Additive evolution: a later batch's new column appends to the
+    stored schema; pre-evolution rows null-fill it at read; merge
+    semantics are unchanged."""
+    tbl = UpsertTable(str(tmp_path / "t"), key_cols=["k"], seq_col="seq")
+    tbl.apply(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], ["k", "seq", "v"]), 0)
+    tbl.apply(
+        spark.createDataFrame(
+            [(2, 2, "b2", "extra"), (3, 1, "c", None)],
+            "k BIGINT, seq BIGINT, v STRING, w STRING",
+        ),
+        1,
+    )
+    got = {r["k"]: (r["seq"], r["v"], r["w"]) for r in tbl.read(spark).collect()}
+    assert got == {1: (1, "a", None), 2: (2, "b2", "extra"), 3: (1, "c", None)}
+    assert [f.name for f in tbl.read(spark).schema.fields] == ["k", "seq", "v", "w"]
+    # a THIRD batch without the new column still merges (w nulls for its rows)
+    tbl.apply(spark.createDataFrame([(1, 2, "a2")], ["k", "seq", "v"]), 2)
+    got = {r["k"]: (r["v"], r["w"]) for r in tbl.read(spark).collect()}
+    assert got == {1: ("a2", None), 2: ("b2", "extra"), 3: ("c", None)}
+
+
+def test_schema_evolution_guards(spark, tmp_path):
+    tbl = UpsertTable(str(tmp_path / "t"), key_cols=["k"], seq_col="seq")
+    tbl.apply(spark.createDataFrame([(1, 1, "a")], ["k", "seq", "v"]), 0)
+    # missing merge key → explicit error, not silent nulls
+    with pytest.raises(ValueError, match="required columns"):
+        tbl.apply(spark.createDataFrame([(1, "x")], ["k", "v"]), 1)
+    # unsafe type change on an existing column (string seq into the
+    # stored BIGINT) → error, not silent truncation
+    with pytest.raises(ValueError, match="unsafe cast"):
+        tbl.apply(
+            spark.createDataFrame(
+                [(1, "2", "x")], "k BIGINT, seq STRING, v STRING"
+            ),
+            1,
+        )
+    # widening (int batch into bigint stored) is fine
+    tbl.apply(
+        spark.createDataFrame([(2, 1, "w")], "k INT, seq INT, v STRING"), 2
+    )
+    assert {r["k"] for r in tbl.read(spark).collect()} == {1, 2}
 
 
 def test_empty_table_read_raises_without_schema(spark, tmp_path):
