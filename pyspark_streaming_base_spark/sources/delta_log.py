@@ -65,6 +65,8 @@ class DeltaLogSnapshot:
         self._active: Dict[str, Dict[str, Optional[str]]] = {}
         self._schema_json: Optional[str] = None
         self._partition_columns: List[str] = []
+        #: last metaData action seen during replay (protocol dict)
+        self.metadata: Dict[str, object] = {}
         self.version: int = -1
         self._replay()
 
@@ -93,6 +95,7 @@ class DeltaLogSnapshot:
             md = action["metaData"]
             self._schema_json = md["schemaString"]
             self._partition_columns = list(md.get("partitionColumns") or [])
+            self.metadata = {k: v for k, v in md.items() if v is not None}
         elif "add" in action:
             a = action["add"]
             pv = a.get("partitionValues") or {}

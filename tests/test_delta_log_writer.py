@@ -1,0 +1,246 @@
+"""Pure-Python Delta-log writer: protocol round-trip through the
+pure-Python snapshot reader (A3's executed evidence without jars).
+
+The reference only DECLARES the Delta write path (its e2e writes through
+jar-backed ``format("delta")``); here every protocol behavior is executed:
+append/overwrite commits, version travel across them, partitioned adds,
+``txn``-based exactly-once streaming replay, checkpoint compaction, and
+single-writer commit fencing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pyspark_streaming_base_spark.sinks.delta_log import DeltaLogTable
+from pyspark_streaming_base_spark.sources.delta_log import DeltaLogSnapshot
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("color", StringType(), True),
+        StructField("score", IntegerType(), True),
+    ]
+)
+
+
+def _df(spark, rows):
+    # one file per commit keeps the add/remove counts deterministic
+    return spark.createDataFrame(
+        [Row(id=i, color=c, score=s) for (i, c, s) in rows], SCHEMA
+    ).coalesce(1)
+
+
+def _collect(spark, table, version=None):
+    df = table.read(spark, version=version)
+    return sorted((r.id, r.color, r.score) for r in df.collect())
+
+
+def test_create_append_roundtrip(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    assert not t.exists()
+    assert t.create(SCHEMA) == 0
+    assert t.exists()
+    with pytest.raises(FileExistsError):
+        t.create(SCHEMA)
+
+    v1 = t.append(_df(spark, [(1, "red", 10), (2, "blue", 20)]))
+    assert v1 == 1
+    assert _collect(spark, t) == [(1, "red", 10), (2, "blue", 20)]
+
+    # log is protocol-shaped: commit 0 = protocol + metaData, commit 1 adds
+    log0 = [
+        json.loads(l)
+        for l in open(tmp_path / "t" / "_delta_log" / f"{0:020d}.json")
+    ]
+    assert list(log0[0]) == ["protocol"]
+    assert log0[1]["metaData"]["partitionColumns"] == []
+    log1 = [
+        json.loads(l)
+        for l in open(tmp_path / "t" / "_delta_log" / f"{1:020d}.json")
+    ]
+    adds = [a["add"] for a in log1 if "add" in a]
+    assert adds and all(
+        a["dataChange"] and a["size"] > 0 and "numRecords" in a["stats"]
+        for a in adds
+    )
+
+
+def test_version_travel_and_overwrite(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    t.append(_df(spark, [(1, "red", 10)]))
+    t.append(_df(spark, [(2, "blue", 20)]))
+    t.overwrite(_df(spark, [(9, "green", 90)]))
+
+    assert _collect(spark, t) == [(9, "green", 90)]
+    assert _collect(spark, t, version=1) == [(1, "red", 10)]
+    assert _collect(spark, t, version=2) == [(1, "red", 10), (2, "blue", 20)]
+    # overwrite emitted remove actions for both prior files
+    log3 = [
+        json.loads(l)
+        for l in open(tmp_path / "t" / "_delta_log" / f"{3:020d}.json")
+    ]
+    assert sum(1 for a in log3 if "remove" in a) == 2
+
+
+def test_partitioned_append_and_pruning(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA, partition_columns=["color"])
+    t.append(_df(spark, [(1, "red", 10), (2, "blue", 20), (3, "red", 30)]))
+
+    snap = t.snapshot()
+    assert snap.partition_columns == ["color"]
+    pvs = sorted({pv["color"] for _p, pv in snap.files()})
+    assert pvs == ["blue", "red"]
+    # partition values live in the log and are re-attached on read
+    assert _collect(spark, t) == [(1, "red", 10), (2, "blue", 20), (3, "red", 30)]
+    # file paths embed the hive-style partition dirs
+    assert all(
+        f"color={pv['color']}" in p for p, pv in snap.files()
+    )
+
+
+def test_schema_contract_lossless_cast_and_rejects(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    # int -> long id is a lossless upcast: accepted
+    df = spark.createDataFrame([(1, "red", 10)], "id int, color string, score int")
+    t.append(df)
+    assert _collect(spark, t) == [(1, "red", 10)]
+    with pytest.raises(ValueError):
+        t.append(df.withColumn("extra", F.lit(1)))
+    with pytest.raises(ValueError):
+        t.append(df.drop("score"))
+
+
+def test_foreach_batch_exactly_once_replay(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    fn = t.foreach_batch("appA")
+    fn(_df(spark, [(1, "red", 10)]), 0)
+    fn(_df(spark, [(2, "blue", 20)]), 1)
+    # sink-failure replay of batch 1: must be a no-op
+    fn(_df(spark, [(2, "blue", 20)]), 1)
+    assert _collect(spark, t) == [(1, "red", 10), (2, "blue", 20)]
+    assert t.last_txn_version("appA") == 1
+    assert t.last_txn_version("appB") == -1
+    # a different app's txn counter is independent
+    t.foreach_batch("appB")(_df(spark, [(3, "green", 30)]), 0)
+    assert t.last_txn_version("appA") == 1
+    assert t.last_txn_version("appB") == 0
+
+
+def test_streaming_end_to_end_through_foreach_batch(spark, tmp_path):
+    """rate-free streaming e2e: file stream -> foreachBatch -> Delta log."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _df(spark, [(1, "red", 10), (2, "blue", 20)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "a"))
+    _df(spark, [(3, "green", 30)]).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b")
+    )
+
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(t.foreach_batch("stream-app"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _collect(spark, t) == [
+        (1, "red", 10),
+        (2, "blue", 20),
+        (3, "green", 30),
+    ]
+    assert t.last_txn_version("stream-app") >= 0
+
+
+def test_checkpoint_compaction_is_read_path(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"), checkpoint_interval=100)
+    t.create(SCHEMA)
+    for i in range(4):
+        t.append(_df(spark, [(i, "c", i * 10)]))
+    assert t.checkpoint() == 4
+    log = tmp_path / "t" / "_delta_log"
+    assert (log / "_last_checkpoint").exists()
+    assert (log / f"{4:020d}.checkpoint.parquet").exists()
+
+    # delete the pre-checkpoint JSON commits: a fresh snapshot must still
+    # reconstruct the exact state (proves the checkpoint IS the base)
+    for v in range(4):  # keep commit 4 so latest-version detection works
+        os.remove(log / f"{v:020d}.json")
+    snap = DeltaLogSnapshot(str(tmp_path / "t"))
+    assert len(snap.files()) == 4
+    assert _collect(spark, t) == [(i, "c", i * 10) for i in range(4)]
+
+    # appends after the checkpoint replay on top of it
+    t.append(_df(spark, [(99, "z", 990)]))
+    assert (99, "z", 990) in set(_collect(spark, t))
+
+
+def test_auto_checkpoint_interval(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"), checkpoint_interval=2)
+    t.create(SCHEMA)
+    t.append(_df(spark, [(1, "a", 1)]))  # v1 -> (1+1) % 2 == 0: checkpoint
+    log = tmp_path / "t" / "_delta_log"
+    assert (log / "_last_checkpoint").exists()
+    assert json.load(open(log / "_last_checkpoint"))["version"] == 1
+
+
+def test_single_writer_fencing(spark, tmp_path, monkeypatch):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    t.append(_df(spark, [(1, "a", 1)]))
+    # simulate a concurrent writer stealing version 2 AFTER this writer
+    # computed it (stale latest-version view)
+    log = tmp_path / "t" / "_delta_log"
+    (log / f"{2:020d}.json").write_text(
+        '{"add":{"path":"x.parquet","partitionValues":{},"size":1,'
+        '"modificationTime":0,"dataChange":true}}\n'
+    )
+    monkeypatch.setattr(t, "_latest_version", lambda: 1)
+    before = sorted(os.listdir(tmp_path / "t"))
+    with pytest.raises(RuntimeError, match="single-writer"):
+        t.append(_df(spark, [(2, "b", 2)]))
+    # the failed commit rolled its data files back out of the table
+    assert sorted(os.listdir(tmp_path / "t")) == before
+
+
+def test_reference_fixture_readable_via_table_facade(spark):
+    """The writer's read facade sees the reference's committed fixture."""
+    t = DeltaLogTable(
+        "/root/reference/tests/resources/delta_streaming_source/test_table"
+    )
+    assert t.exists()
+    assert t.snapshot().version == 0
+    assert t.read(spark).count() == 1_111_930
+
+
+def test_delta_spark_cross_read(spark, tmp_path):
+    """If delta-spark jars are present, the real engine reads our log."""
+    pytest.importorskip("delta")
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    t.append(_df(spark, [(1, "red", 10)]))
+    got = spark.read.format("delta").load(str(tmp_path / "t")).collect()
+    assert [(r.id, r.color, r.score) for r in got] == [(1, "red", 10)]
