@@ -27,6 +27,10 @@ from pyspark_streaming_base_spark.operators.minhash import (
     minhash_bands,
     query_minhash_index,
 )
+from pyspark_streaming_base_spark.operators.fuzzyjoin import (
+    hamming_distance,
+    hamming_self_join,
+)
 from pyspark_streaming_base_spark.operators.pagerank import pagerank
 from pyspark_streaming_base_spark.operators.expectations import (
     apply_expectations,
@@ -52,6 +56,8 @@ __all__ = [
     "asof_backward_join",
     "salted_join",
     "banded_range_join",
+    "hamming_distance",
+    "hamming_self_join",
     "connected_components",
     "redact",
     "apply_expectations",

@@ -19,6 +19,7 @@ from pyspark_streaming_base_spark.functions.textops import (
     tokens as _tokens,
     word_shingles as _shingles,
 )
+from pyspark_streaming_base_spark.operators.fuzzyjoin import hamming_self_join
 from pyspark_streaming_base_spark.queries import query
 from pyspark_streaming_base_spark.queries._tables import t
 
@@ -474,4 +475,118 @@ def q46_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").cast("bigint").alias("hamming"))
+    )
+
+
+#: duplicate-span window width in tokens (q107)
+_SPAN_W = 16
+
+
+@query(
+    "q107_dup_span_detection",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(tk, i, i + 15), ' ')) AS h
+      FROM toks, unnest(range(1, len(tk) - 16 + 2)) AS u(i)
+      WHERE len(tk) >= 16
+    ),
+    spans AS (
+      SELECT h, min(doc_id) <> max(doc_id) AS dup FROM wins GROUP BY h
+    )
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(*) FILTER (WHERE s.dup) AS BIGINT) AS n_dup_windows,
+           CAST(count(*) FILTER (WHERE s.dup) AS DOUBLE) / count(*) AS dup_frac
+    FROM wins w JOIN spans s USING (h)
+    GROUP BY w.doc_id
+    """,
+)
+def q107_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-span detection (C17 extension).
+
+    The document-level near-dup queries (q40–q46) miss the common
+    training-data pathology of *partially* copied text — boilerplate
+    paragraphs repeated across otherwise-distinct documents. The public
+    exact-substring approach hashes every W-token window and marks a
+    window duplicated when it occurs in more than one document; a doc's
+    ``dup_frac`` is the fraction of its windows that are duplicated
+    (suffix-array variants find the same spans; rolling window hashes
+    are the shuffle-friendly formulation).
+
+    Plan shape: tokens → per-row window-hash array (one higher-order
+    ``transform`` over ``sequence``, JVM-side) → ONE explode →
+    ``groupBy(hash)`` marking cross-doc hashes via ``min(doc) !=
+    max(doc)`` (no count-distinct state) → join back on the same hash
+    key (exchange reuse) → per-doc aggregate. No pairwise comparison
+    anywhere: cost is O(total windows), the classic scale shape for
+    100 TB span dedup. W=16 windows overlap, so the explode fans out
+    ~n_tokens rows per doc — bounded, linear, and partition-local.
+    """
+    toks = _tokens(F.col("text"))
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("tk"))
+        .filter(F.size("tk") >= _SPAN_W)
+    )
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - _SPAN_W + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, _SPAN_W))),
+            )
+        ).alias("h"),
+    )
+    spans = wins.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("dup")
+    )
+    n_dup = F.count(F.when(F.col("dup"), 1))
+    return (
+        wins.join(spans, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            n_dup.alias("n_dup_windows"),
+            (n_dup.cast("double") / F.count(F.lit(1))).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "q108_fuzzy_hamming_join",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_name IS NOT NULL AND len(p_name) >= 3
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(hamming(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a JOIN p b
+      ON a.p_partkey < b.p_partkey AND len(a.p_name) = len(b.p_name)
+    WHERE CASE WHEN len(a.p_name) = len(b.p_name)
+               THEN hamming(a.p_name, b.p_name) ELSE NULL END <= 2
+    """,
+)
+def q108_fuzzy_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string self-join: part-name pairs within Hamming distance 2
+    (C17/entity-resolution extension).
+
+    Candidate generation is the pigeonhole segment blocking from
+    ``operators/fuzzyjoin.py`` — 3 contiguous segments per name, pairs
+    must share one segment at the same position — an EQUI-join, never
+    all-pairs, with zero recall loss (any two equal-length strings
+    within distance 2 agree on at least one of 3 segments). The oracle
+    is the brute-force definition, so the hash match doubles as the
+    exactness proof at fixture scale; `test_fuzzy_join.py` re-proves it
+    on adversarial hypothesis inputs.
+    """
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return hamming_self_join(
+        p, id_col="p_partkey", str_col="p_name", max_dist=2
     )
