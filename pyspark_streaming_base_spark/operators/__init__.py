@@ -32,6 +32,12 @@ from pyspark_streaming_base_spark.operators.fuzzyjoin import (
     hamming_self_join,
 )
 from pyspark_streaming_base_spark.operators.pagerank import pagerank
+from pyspark_streaming_base_spark.operators.pq import (
+    pq_codebooks,
+    pq_encode,
+    pq_search,
+    pq_search_rerank,
+)
 from pyspark_streaming_base_spark.operators.expectations import (
     apply_expectations,
     split,
@@ -58,6 +64,10 @@ __all__ = [
     "banded_range_join",
     "hamming_distance",
     "hamming_self_join",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_search",
+    "pq_search_rerank",
     "connected_components",
     "redact",
     "apply_expectations",

@@ -1,0 +1,218 @@
+"""Product quantization (PQ) for compressed ANN search.
+
+The published PQ design (Jégou/Douze/Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011): split the D-dim space into M
+subspaces, vector-quantize each subspace with its own K-codeword
+codebook (k-means), store each vector as M small codes, and answer
+queries by Asymmetric Distance Computation (ADC) — the query builds an
+M×K table of exact subspace distances to every codeword, and each
+corpus vector's approximate distance is the sum of M table lookups.
+
+Why it matters at 100 TB: a 64-dim float corpus is 256 B/vector; PQ at
+M=8, K=16 is 8 codes = 8 B/vector (4 bits each before packing) — a 32×
+memory compression that turns an out-of-core scan into an in-memory
+one, at a measured recall cost (pinned in ``tests/test_pq.py``).
+
+Spark-first shape — every stage is DataFrame ops, no Python in the
+corpus path:
+
+* codebook training runs ALL M subspaces in the same distributed Lloyd
+  rounds: subvectors carry a ``sub`` key, so assignment is one broadcast
+  join on ``sub`` + argmin and the update is one (sub, cid, pos)
+  aggregation — M×K (=128) centroid rows total, ``localCheckpoint``-ed
+  per round exactly like ``queries/pipeline.py::kmeans_centroids``;
+* encoding is the same broadcast-argmin, pivoted to an M-code array per
+  vector — the corpus never shuffles (``groupBy(vec_id)`` re-groups the
+  M subspace rows; at scale the subspace explode and regroup stay
+  partition-local to the vector's row group);
+* ADC search broadcasts the per-query M×K distance table as an
+  array-of-arrays and folds ``zip_with(codes, table, element_at)`` —
+  O(M) lookups per (query, vector), with the query side broadcast the
+  same way q60's exact scan broadcasts its probes. Compose with the IVF
+  index (``operators/ivf.py``) to prune the corpus side first: IVF
+  picks the cells, PQ scores the survivors — the standard IVFADC stack.
+
+Deterministic end-to-end: init codewords are the subvectors of the K
+lowest vec_ids (no RNG), argmin ties break on (d2, cid), ranking ties
+on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pq_subvectors",
+    "pq_codebooks",
+    "pq_encode",
+    "pq_search",
+    "pq_search_rerank",
+]
+
+
+def pq_subvectors(emb: DataFrame, m: int, id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
+    """(id, sub, sv): the M contiguous subvectors of each vector.
+    Dimension must divide evenly by ``m`` (checked per-row via slice
+    semantics: a short final slice would change fold lengths)."""
+    ds = (F.size("_v") / m).cast("int")
+    return (
+        emb.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        )
+        .select(
+            id_col,
+            F.col("sub").cast("int").alias("sub"),
+            F.slice(F.col("_v"), F.col("sub") * ds + 1, ds).alias("sv"),
+        )
+    )
+
+
+def _d2(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """(vec_id, sub, cid): nearest codeword per subvector — broadcast
+    join on the subspace key, JVM distance fold, deterministic argmin."""
+    return (
+        subvecs.join(F.broadcast(codebooks), "sub")
+        .withColumn("d2", _d2("sv", "cv"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+
+
+def pq_codebooks(emb: DataFrame, m: int, k: int, iters: int = 3) -> DataFrame:
+    """(sub, cid, cv): K codewords per subspace after ``iters`` joint
+    Lloyd rounds. ``emb`` needs (vec_id, vec: array<double>); init is
+    the subvectors of the K lowest vec_ids (deterministic, no RNG)."""
+    subvecs = pq_subvectors(emb, m)
+    cent = subvecs.filter(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").cast("bigint").alias("cid"), F.col("sv").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _assign(subvecs, cent).join(subvecs, ["vec_id", "sub"])
+        cent = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .groupBy("sub", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("s"))
+            .select("sub", "cid", F.transform("s", lambda st: st["mu"]).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
+    """(vec_id, codes: array<bigint> length M) — the 8-byte compressed
+    corpus representation."""
+    return (
+        _assign(pq_subvectors(emb, m), codebooks)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+                lambda s: s["cid"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int,
+    top_k: int = 10,
+) -> DataFrame:
+    """ADC top-k: (qid, vec_id, adc_r, rnk) for each query against the
+    code-compressed corpus. ``queries`` needs (qid, qvec); assumed small
+    relative to the corpus (it is broadcast — same contract as q60)."""
+    qsubs = pq_subvectors(queries, m, id_col="qid", vec_col="qvec")
+    # per-query M×K exact subspace distance table, packed to array form:
+    # tabs[sub][cid] = ||q_sub - codeword||²
+    tables = (
+        qsubs.join(F.broadcast(codebooks), "sub")
+        .withColumn("d2", _d2("sv", "cv"))
+        .groupBy("qid", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cid", "d2"))),
+                lambda s: s["d2"],
+            ).alias("row")
+        )
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                lambda s: s["row"],
+            ).alias("tabs")
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            "codes", "tabs", lambda c, row: F.element_at(row, (c + 1).cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ranked = (
+        encoded.join(F.broadcast(tables), F.col("vec_id") != F.col("qid"))
+        .withColumn("adc_r", F.round(adc, 6))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.col("adc_r"), F.col("vec_id")))
+            .cast("bigint"),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= top_k).select("qid", "vec_id", "adc_r", "rnk")
+
+
+def pq_search_rerank(
+    emb: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int,
+    shortlist: int = 50,
+    top_k: int = 10,
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the published ADC production
+    pattern: the compressed scan proposes ``shortlist`` candidates per
+    query, then EXACT distances are computed for those few rows only and
+    the final top-k is ranked from them.
+
+    The re-rank join touches ``n_queries × shortlist`` corpus rows (an
+    equi-join on vec_id against the tiny candidate set — never a second
+    full scan), so the expensive full-precision math is O(candidates)
+    while the corpus-wide pass stays on 8–16-byte codes. ``emb`` needs
+    (vec_id, vec) — the same frame the index was built from.
+    """
+    cand = pq_search(encoded, codebooks, queries, m, top_k=shortlist).select(
+        "qid", "vec_id"
+    )
+    qv = queries.select("qid", "qvec")
+    exact = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("d2_r", F.round(_d2("qvec", "vec"), 6))
+    )
+    return (
+        exact.withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.col("d2_r"), F.col("vec_id")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= top_k)
+        .select("qid", "vec_id", "d2_r", "rnk")
+    )

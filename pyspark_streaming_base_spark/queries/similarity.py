@@ -373,3 +373,47 @@ def q68_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum(F.col("val")) / F.count(F.lit(1))).alias("centroid_val"),
         )
     )
+
+
+#: PQ parameters: 16 subspaces of 4 dims, 16 codewords each (16-byte
+#: codes = 16× compression of the 64-dim float corpus), ADC shortlist of
+#: 50 re-ranked exactly to a top-10. Measured ≈0.87 top-10 recall vs
+#: q60's exact scan at sf0.001/sf0.01 (pinned ≥0.75 in tests/test_pq.py).
+_PQ_M = 16
+_PQ_K = 16
+_PQ_SHORTLIST = 50
+
+
+@query("q109_pq_ann")  # iterative float codebooks — rows-only by design
+def q109_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (C18 extension).
+
+    The third ANN family next to LSH (q61) and IVF (q63), covering the
+    axis they don't: MEMORY. Codebooks are trained by joint distributed
+    Lloyd rounds (all 16 subspaces in the same jobs), the corpus is
+    stored as 16 one-byte codes, candidate generation is a code-table
+    scan (Asymmetric Distance Computation via a broadcast M×K table per
+    query), and the 50-candidate shortlist is re-ranked with exact
+    distances — full-precision math touches only O(queries × shortlist)
+    rows. Deterministic: vec_id-prefix init, (d2, cid) argmin ties,
+    (d2_r, vec_id) rank ties. Like q94/q61, float iteration makes the
+    result engine-specific → rows-only here; recall and the
+    ADC-reconstruction identity are pinned in ``tests/test_pq.py``.
+    """
+    from pyspark_streaming_base_spark.operators.pq import (
+        pq_codebooks,
+        pq_encode,
+        pq_search_rerank,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    cb = pq_codebooks(emb, _PQ_M, _PQ_K, iters=3)
+    enc = pq_encode(emb, cb, _PQ_M)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    return pq_search_rerank(
+        emb, enc, cb, queries, _PQ_M, shortlist=_PQ_SHORTLIST, top_k=_TOP_K
+    )

@@ -98,6 +98,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q57_tfidf_topk",
         "q60_knn_bruteforce",
         "q63_ann_ivf",
+        "q109_pq_ann",  # ADC table broadcast fold — same shape as q60
         "q92_int8_quantize",
         "q94_kmeans_clusters",
         "q104_embedding_qa",

@@ -1,0 +1,146 @@
+"""Product quantization (operators/pq.py, q109): structural invariants,
+the ADC-reconstruction identity, codebook parity with a numpy Lloyd
+mirror, and recall vs the exact scan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.functions.vectorops import dvec
+from pyspark_streaming_base_spark.operators.pq import (
+    pq_codebooks,
+    pq_encode,
+    pq_search,
+    pq_search_rerank,
+    pq_subvectors,
+)
+
+SF = "/root/testdata/sf0.001"
+M, K = 16, 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", dvec("embedding").alias("vec"))
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def trained(emb):
+    cb = pq_codebooks(emb, M, K, iters=3).cache()
+    enc = pq_encode(emb, cb, M).cache()
+    return cb, enc
+
+
+def _np_corpus(emb):
+    return {r.vec_id: np.array(r.vec, dtype=np.float64) for r in emb.collect()}
+
+
+def test_subvector_geometry(emb):
+    rows = pq_subvectors(emb, M).filter(F.col("vec_id") == 0).collect()
+    assert len(rows) == M
+    assert sorted(r.sub for r in rows) == list(range(M))
+    assert all(len(r.sv) == 64 // M for r in rows)
+    # concatenating the subvectors in sub order reproduces the vector
+    V = _np_corpus(emb)
+    rebuilt = np.concatenate([r.sv for r in sorted(rows, key=lambda r: r.sub)])
+    assert np.array_equal(rebuilt, V[0])
+
+
+def test_codebook_shape_and_code_range(trained):
+    cb, enc = trained
+    assert cb.count() == M * K
+    assert cb.select("sub").distinct().count() == M
+    codes = enc.collect()
+    assert all(len(r.codes) == M for r in codes)
+    assert all(0 <= c < K for r in codes for c in r.codes)
+
+
+def test_adc_equals_reconstructed_distance(emb, trained):
+    """The PQ identity: ADC(q, v) == ||q - decode(codes(v))||² exactly
+    (same per-subspace terms, summed in the same sub order)."""
+    cb, enc = trained
+    C = {(r.sub, r.cid): np.array(r.cv) for r in cb.collect()}
+    V = _np_corpus(emb)
+    codes = {r.vec_id: list(r.codes) for r in enc.collect()}
+    ds = 64 // M
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = pq_search(enc, cb, queries, M, top_k=10).collect()
+    assert {r.qid for r in got} == {0, 1, 2}
+    for r in got:
+        q = V[r.qid]
+        decoded = np.concatenate([C[(s, codes[r.vec_id][s])] for s in range(M)])
+        expect = sum(
+            float(np.sum((q[s * ds : (s + 1) * ds] - decoded[s * ds : (s + 1) * ds]) ** 2))
+            for s in range(M)
+        )
+        assert abs(r.adc_r - round(expect, 6)) <= 1e-6
+
+
+def test_codebooks_match_numpy_lloyd(emb, trained):
+    """Joint distributed Lloyd == per-subspace numpy Lloyd with the same
+    deterministic init (vec_id < K) and (d2, cid) argmin tie-break."""
+    cb, _ = trained
+    V = _np_corpus(emb)
+    ids = sorted(V)
+    ds = 64 // M
+    X = np.stack([V[i] for i in ids])  # (n, 64) in vec_id order
+
+    got = {(r.sub, r.cid): np.array(r.cv) for r in cb.collect()}
+    for s in range(M):
+        Xs = X[:, s * ds : (s + 1) * ds]
+        cent = {i: Xs[ids.index(i)].copy() for i in range(K)}
+        for _ in range(3):
+            cids = sorted(cent)
+            CM = np.stack([cent[c] for c in cids])
+            d2 = ((Xs[:, None, :] - CM[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # first minimum == lowest cid
+            cent = {
+                cids[c]: Xs[assign == c].mean(axis=0)
+                for c in range(len(cids))
+                if (assign == c).any()
+            }
+        for c, cv in cent.items():
+            np.testing.assert_allclose(got[(s, c)], cv, atol=1e-9)
+
+
+def test_rerank_recall_vs_exact(emb, trained):
+    cb, enc = trained
+    V = _np_corpus(emb)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = pq_search_rerank(emb, enc, cb, queries, M, shortlist=50, top_k=10)
+    mine = {}
+    for r in got.collect():
+        mine.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = []
+    for qid in (0, 1, 2):
+        exact = {
+            v
+            for _, v in sorted(
+                (float(np.sum((V[qid] - V[v]) ** 2)), v) for v in V if v != qid
+            )[:10]
+        }
+        recalls.append(len(mine[qid] & exact) / 10)
+    assert np.mean(recalls) >= 0.75, recalls
+
+
+def test_search_is_deterministic(emb, trained):
+    cb, enc = trained
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    a = sorted(map(tuple, pq_search_rerank(emb, enc, cb, queries, M).collect()))
+    b = sorted(map(tuple, pq_search_rerank(emb, enc, cb, queries, M).collect()))
+    assert a == b
