@@ -501,3 +501,89 @@ def q99_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("v_interp_r"),
     )
+
+
+#: EWMA window: smoothing factor 1/2 over the most recent 20 events.
+#: Every weight is an exact power of two (newest row 2^-1, oldest
+#: surviving row 2^-(m-1), m ≤ 20), so the whole sum is computed in
+#: EXACT integer arithmetic: 10^6-scaled values shifted left by (19-k)
+#: — Σ xs·2^(19-k) = 2^19·Σ xs·2^-k fits int64 comfortably and the two
+#: final divisions (by 2^19, then 10^6) are bit-deterministic IEEE ops,
+#: so the double hash-matches the oracle with NO per-row float rounding.
+_EWMA_LAST_N = 20
+_EWMA_MAXSHIFT = _EWMA_LAST_N - 1
+
+
+@query(
+    "q110_ewma_smoothing",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_total
+      FROM events
+    ),
+    win AS (
+      SELECT user_id, value, rn, n_total,
+             MAX(rn) OVER (PARTITION BY user_id) AS m
+      FROM ranked WHERE rn <= {_EWMA_LAST_N}
+    )
+    SELECT user_id,
+           CAST(max(n_total) AS BIGINT) AS n_events,
+           CAST(SUM(
+             CAST(ROUND(value * 1000000.0, 0) AS BIGINT)
+             * (CAST(1 AS BIGINT) << ({_EWMA_MAXSHIFT} -
+                 (CASE WHEN rn = m THEN m - 1 ELSE rn END)))
+           ) AS DOUBLE) / {1 << _EWMA_MAXSHIFT} / 1000000.0 AS ewma
+    FROM win GROUP BY user_id
+    """,
+)
+def q110_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (time-series
+    extension): the current smoothed activity value under the standard
+    recursion ``s_j = a*x_j + (1-a)*s_(j-1)``, evaluated in closed form
+    as a weighted sum so it needs NO sequential fold — two window
+    functions over the same (user_id, ts desc) sort and one aggregate.
+
+    Cross-engine exactness is by construction, see the module constant
+    note: a = 1/2 over the last 20 events keeps every weight an exact
+    power of two, and the weighted sum is pure int64 arithmetic until
+    two final deterministic divisions.
+
+    Scale: per-user state is capped at 20 rows by the rank filter (the
+    windowed tail IS the admission control — an unbounded recursion
+    over a hot key would be the skew risk); both window functions and
+    the final aggregate share one user_id exchange.
+    """
+    ev = t(spark, sf_dir, "events")
+    wdesc = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(wdesc).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("user_id")).alias("n_total"),
+    )
+    win = (
+        ranked.filter(F.col("rn") <= _EWMA_LAST_N)
+        .withColumn("m", F.max("rn").over(W.partitionBy("user_id")))
+        .withColumn(
+            "k",
+            F.when(F.col("rn") == F.col("m"), F.col("m") - 1).otherwise(
+                F.col("rn")
+            ),
+        )
+    )
+    term_int = scaled(F.col("value")) * F.expr(
+        f"shiftleft(cast(1 as bigint), cast({_EWMA_MAXSHIFT} - k as int))"
+    )
+    return win.groupBy("user_id").agg(
+        F.max("n_total").cast("bigint").alias("n_events"),
+        (
+            F.sum(term_int).cast("double")
+            / F.lit(float(1 << _EWMA_MAXSHIFT))
+            / F.lit(1000000.0)
+        ).alias("ewma"),
+    )

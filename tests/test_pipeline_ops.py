@@ -143,3 +143,23 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert got[i] == pytest.approx(r[i], rel=1e-9, abs=1e-12)
     # ranks form a probability distribution (no dangling loss)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ewma_matches_sequential_recursion(spark):
+    """q110's closed-form weighted sum == the textbook recursion
+    s_j = a*x_j + (1-a)*s_(j-1) run sequentially in Python over the
+    last-20 window (a = 1/2), per user."""
+    pdf = pd.read_parquet(f"{SF_SMALL}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    expect = {}
+    for uid, g in pdf.groupby("user_id"):
+        xs = [round(v * 1e6) / 1e6 for v in g["value"].tolist()][-20:]
+        s = xs[0]
+        for x in xs[1:]:
+            s = 0.5 * x + 0.5 * s
+        expect[uid] = s
+    rows = REGISTRY["q110_ewma_smoothing"].fn(spark, SF_SMALL).collect()
+    assert {r.user_id for r in rows} == set(expect)
+    for r in rows:
+        assert abs(r.ewma - expect[r.user_id]) < 1e-9, r.user_id
