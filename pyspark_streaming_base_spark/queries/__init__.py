@@ -80,10 +80,12 @@ DRIVER_PRIORITY: tuple = (
     "q100_training_pipeline",   # capstone composition
     # first-driver-check rotation: text analysis (C19)
     "q47_repetition_score",
-    "q48_stopword_ratio",
     "q49_train_split",
-    "q53_fingerprint",
-    "q56_rolling_hash",
+    # round-4 additions, oracle-bearing first-timers (C19-extra variants
+    # q48/q53/q56 rotate to the local mirror to make room)
+    "q107_dup_span_detection",
+    "q108_fuzzy_hamming_join",
+    "q110_ewma_smoothing",
     # windows/rollup/relational extensions (C8/C9)
     "q76_hier_rollup",
     "q96_min_cost_supplier",
