@@ -271,6 +271,159 @@ class DeltaLogTable:
             json.dump({"version": snap.version, "size": len(rows)}, f)
         return snap.version
 
+    # -- incremental reads & maintenance ------------------------------------
+    def read_changes(
+        self,
+        spark,
+        from_version: int,
+        to_version: Optional[int] = None,
+    ) -> DataFrame:
+        """Rows ADDED in commits ``(from_version, to_version]`` — the
+        file-level change feed an incremental (streaming) consumer tails:
+        each micro-batch is "the add actions of the commits since my last
+        offset", exactly how Delta streaming sources page a table without
+        jars. Only ``dataChange=true`` adds count (compaction rewrites are
+        invisible, as the protocol intends); ``remove`` actions are not
+        reflected (append-oriented feed — use snapshots for merge-on-read
+        semantics).
+        """
+        versions = sorted(
+            int(m.group(1))
+            for n in os.listdir(self._log_dir)
+            if (m := _COMMIT_RE.match(n))
+        )
+        latest = max(versions) if versions else -1
+        if to_version is None:
+            to_version = latest
+        if to_version > latest or from_version > to_version:
+            raise ValueError(
+                f"bad change range ({from_version}, {to_version}] with latest {latest}"
+            )
+        snap = self.snapshot()  # for schema + partition columns
+        pcols = snap.partition_columns
+        full = snap.schema
+        files: List[Tuple[str, Dict[str, Optional[str]]]] = []
+        for v in versions:
+            if v <= from_version or v > to_version:
+                continue
+            for action in _read_commit_actions(self._log_dir, v):
+                a = action.get("add")
+                if a and a.get("dataChange", True):
+                    rel = unquote(a["path"])
+                    files.append(
+                        (os.path.join(self.table_path, rel), a.get("partitionValues") or {})
+                    )
+        if not files:
+            return spark.createDataFrame([], full)
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType as _St
+
+        data_schema = _St([f for f in full.fields if f.name not in pcols])
+        by_pv: Dict[Tuple, List[str]] = {}
+        for p, pv in files:
+            by_pv.setdefault(tuple(sorted(pv.items())), []).append(p)
+        parts = []
+        for key, paths in sorted(by_pv.items()):
+            df = spark.read.schema(data_schema).parquet(*sorted(paths))
+            pv = dict(key)
+            for f in full.fields:
+                if f.name in pcols:
+                    df = df.withColumn(f.name, F.lit(pv.get(f.name)).cast(f.dataType))
+            parts.append(df.select([f.name for f in full.fields]))
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df)
+        return out
+
+
+    def compact(self, spark, target_files: int = 1) -> int:
+        """Small-files compaction: rewrite the current snapshot into
+        ``target_files`` files per partition tuple and commit the swap as
+        ``add(dataChange=false)`` + ``remove(dataChange=false)`` — a pure
+        layout change, invisible to the change feed (proven in tests).
+        Returns the commit version. One Spark job: a coalesced re-write of
+        the snapshot through the normal staging path.
+        """
+        snap = self.snapshot()
+        df = snap.read(spark).coalesce(max(1, int(target_files)))
+        pcols = snap.partition_columns
+        staging = os.path.join(self.table_path, f".staging-compact-{snap.version + 1}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        writer = df.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staging)
+        staged = self._collect_staged(staging, pcols)
+        try:
+            v = self._latest_version() + 1
+            adds, moved = [], []
+            for i, (rel_dir, pv, src) in enumerate(staged):
+                name = f"part-{v:020d}-{i:05d}-c000.snappy.parquet"
+                rel = os.path.join(rel_dir, name) if rel_dir else name
+                dest = os.path.join(self.table_path, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(src, dest)
+                moved.append((dest, src))
+                st = os.stat(dest)
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel.replace(os.sep, "/"),
+                            "partitionValues": pv,
+                            "size": st.st_size,
+                            "modificationTime": int(st.st_mtime * 1000),
+                            "dataChange": False,
+                            "stats": json.dumps({"numRecords": _num_records(dest)}),
+                        }
+                    }
+                )
+            actions: List[dict] = []
+            for rel, _pv in sorted(snap._active.items()):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": max(
+                                (a["add"]["modificationTime"] for a in adds), default=0
+                            ),
+                            "dataChange": False,
+                        }
+                    }
+                )
+            actions.extend(adds)
+            if not self._publish(actions, version=v):
+                for dest, src in moved:
+                    os.replace(dest, src)
+                raise RuntimeError(
+                    "concurrent Delta writers detected; DeltaLogTable is "
+                    f"single-writer (version {v} was taken mid-commit)"
+                )
+            return v
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+
+    def vacuum(self) -> List[str]:
+        """Delete data files no longer referenced by ANY commit's surviving
+        add set (i.e. removed at some version and never re-added). Time
+        travel to versions whose files were vacuumed stops working — the
+        same tradeoff real Delta VACUUM documents. Returns deleted paths.
+        """
+        snap = self.snapshot()
+        active = {os.path.normpath(p) for p, _ in snap.files()}
+        deleted = []
+        for root, dirs, names in os.walk(self.table_path):
+            dirs[:] = [d for d in dirs if d != "_delta_log" and not d.startswith(".")]
+            for n in names:
+                if not _is_data_file(n):
+                    continue
+                p = os.path.normpath(os.path.join(root, n))
+                if p not in active:
+                    os.remove(p)
+                    deleted.append(p)
+        return sorted(deleted)
+
     # -- internals -----------------------------------------------------------
     def _collect_staged(
         self, staging: str, pcols: Sequence[str]
@@ -381,3 +534,12 @@ class DeltaLogTable:
             "concurrent Delta writers detected; DeltaLogTable is "
             f"single-writer (version {v} was taken mid-commit)"
         )
+
+def _read_commit_actions(log_dir: str, version: int) -> List[dict]:
+    out = []
+    with open(os.path.join(log_dir, f"{version:020d}.json")) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out

@@ -244,3 +244,67 @@ def test_delta_spark_cross_read(spark, tmp_path):
     t.append(_df(spark, [(1, "red", 10)]))
     got = spark.read.format("delta").load(str(tmp_path / "t")).collect()
     assert [(r.id, r.color, r.score) for r in got] == [(1, "red", 10)]
+
+
+# -- incremental reads & maintenance ----------------------------------------
+
+def test_read_changes_is_the_append_feed(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    t.append(_df(spark, [(1, "red", 10)]))       # v1
+    t.append(_df(spark, [(2, "blue", 20)]))      # v2
+    t.append(_df(spark, [(3, "green", 30)]))     # v3
+
+    def rows(df):
+        return sorted((r.id, r.color, r.score) for r in df.collect())
+
+    assert rows(t.read_changes(spark, 0)) == [
+        (1, "red", 10), (2, "blue", 20), (3, "green", 30)]
+    assert rows(t.read_changes(spark, 1, 2)) == [(2, "blue", 20)]
+    assert rows(t.read_changes(spark, 3)) == []
+    with pytest.raises(ValueError):
+        t.read_changes(spark, 1, 99)
+    # incremental consumer protocol: tail (last_seen, latest] per poll
+    seen, last = [], 0
+    for upto in (1, 2, 3):
+        seen += rows(t.read_changes(spark, last, upto))
+        last = upto
+    assert seen == rows(t.read(spark))
+
+
+def test_compact_rewrites_layout_not_data(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    for i in range(4):
+        t.append(_df(spark, [(i, "c", i * 10)]))
+    before = _collect(spark, t)
+    n_files_before = len(t.snapshot().files())
+    v = t.compact(spark, target_files=1)
+    assert _collect(spark, t) == before
+    assert len(t.snapshot().files()) == 1 < n_files_before
+    # layout change is invisible to the change feed (dataChange=false)
+    assert t.read_changes(spark, v - 1, v).count() == 0
+    # time travel to pre-compaction versions still sees the old files
+    assert _collect(spark, t, version=v - 1) == before
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    for i in range(3):
+        t.append(_df(spark, [(i, "c", i * 10)]))
+    before = _collect(spark, t)
+    t.compact(spark, target_files=1)
+    deleted = t.vacuum()
+    assert len(deleted) == 3  # the 3 pre-compaction files
+    assert _collect(spark, t) == before  # snapshot intact
+    # vacuumed history is no longer readable (documented tradeoff)
+    with pytest.raises(Exception):
+        t.read(spark, version=2).collect()
+
+
+def test_vacuum_on_clean_table_is_noop(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    t.append(_df(spark, [(1, "a", 1)]))
+    assert t.vacuum() == []
