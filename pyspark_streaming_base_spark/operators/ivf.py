@@ -85,16 +85,15 @@ def query_ivf_index(
     return ivf_search(queries, centroids, assigned, nprobe, top_k)
 
 
-def ivf_search(
-    queries: DataFrame,
-    centroids: DataFrame,
-    assigned: DataFrame,
-    nprobe: int,
-    top_k: int,
+def ivf_probe_cells(
+    queries: DataFrame, centroids: DataFrame, nprobe: int
 ) -> DataFrame:
-    """Cell-probe search over any (centroids, assignments) pair — the one
-    definition q63 and the persisted index share."""
-    q_cells = (
+    """(qid, qvec, cell): each query's ``nprobe`` nearest coarse cells —
+    the one probe definition shared by :func:`ivf_search` (exact scoring
+    inside cells) and ``operators/pq.py::ivfadc_search`` (ADC scoring
+    inside cells). Broadcast centroid join + per-query rank, ties on
+    cent_id."""
+    return (
         queries.join(F.broadcast(centroids))
         .select(
             "qid",
@@ -111,6 +110,18 @@ def ivf_search(
         .filter(F.col("prb") <= nprobe)
         .select("qid", "qvec", F.col("cent_id").alias("cell"))
     )
+
+
+def ivf_search(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    nprobe: int,
+    top_k: int,
+) -> DataFrame:
+    """Cell-probe search over any (centroids, assignments) pair — the one
+    definition q63 and the persisted index share."""
+    q_cells = ivf_probe_cells(queries, centroids, nprobe)
     cand = F.broadcast(q_cells).join(assigned, "cell").filter(
         F.col("vec_id") != F.col("qid")
     )

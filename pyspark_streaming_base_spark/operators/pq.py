@@ -48,6 +48,7 @@ __all__ = [
     "pq_encode",
     "pq_search",
     "pq_search_rerank",
+    "ivfadc_search",
 ]
 
 
@@ -126,20 +127,12 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
     )
 
 
-def pq_search(
-    encoded: DataFrame,
-    codebooks: DataFrame,
-    queries: DataFrame,
-    m: int,
-    top_k: int = 10,
-) -> DataFrame:
-    """ADC top-k: (qid, vec_id, adc_r, rnk) for each query against the
-    code-compressed corpus. ``queries`` needs (qid, qvec); assumed small
-    relative to the corpus (it is broadcast — same contract as q60)."""
+def _adc_tables(queries: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
+    """(qid, tabs): per-query M×K exact subspace distance table packed
+    as array-of-arrays — tabs[sub][cid] = ||q_sub - codeword||². The one
+    table definition :func:`pq_search` and :func:`ivfadc_search` share."""
     qsubs = pq_subvectors(queries, m, id_col="qid", vec_col="qvec")
-    # per-query M×K exact subspace distance table, packed to array form:
-    # tabs[sub][cid] = ||q_sub - codeword||²
-    tables = (
+    return (
         qsubs.join(F.broadcast(codebooks), "sub")
         .withColumn("d2", _d2("sv", "cv"))
         .groupBy("qid", "sub")
@@ -157,13 +150,31 @@ def pq_search(
             ).alias("tabs")
         )
     )
-    adc = F.aggregate(
+
+
+def _adc_fold() -> F.Column:
+    """Σ_m tabs[m][codes[m]] — the ADC lookup sum over a codes row."""
+    return F.aggregate(
         F.zip_with(
             "codes", "tabs", lambda c, row: F.element_at(row, (c + 1).cast("int"))
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int,
+    top_k: int = 10,
+) -> DataFrame:
+    """ADC top-k: (qid, vec_id, adc_r, rnk) for each query against the
+    code-compressed corpus. ``queries`` needs (qid, qvec); assumed small
+    relative to the corpus (it is broadcast — same contract as q60)."""
+    tables = _adc_tables(queries, codebooks, m)
+    adc = _adc_fold()
     ranked = (
         encoded.join(F.broadcast(tables), F.col("vec_id") != F.col("qid"))
         .withColumn("adc_r", F.round(adc, 6))
@@ -175,6 +186,30 @@ def pq_search(
         )
     )
     return ranked.filter(F.col("rnk") <= top_k).select("qid", "vec_id", "adc_r", "rnk")
+
+
+def _exact_rerank(
+    emb: DataFrame, short: DataFrame, queries: DataFrame, top_k: int
+) -> DataFrame:
+    """Exact-distance re-rank of a (qid, vec_id) shortlist — the one
+    rerank definition :func:`pq_search_rerank` and :func:`ivfadc_search`
+    share. Touches only O(queries × shortlist) full-precision rows."""
+    qv = queries.select("qid", "qvec")
+    exact = (
+        short.join(emb, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .withColumn("d2_r", F.round(_d2("qvec", "vec"), 6))
+    )
+    return (
+        exact.withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.partitionBy("qid").orderBy(F.col("d2_r"), F.col("vec_id")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= top_k)
+        .select("qid", "vec_id", "d2_r", "rnk")
+    )
 
 
 def pq_search_rerank(
@@ -200,19 +235,61 @@ def pq_search_rerank(
     cand = pq_search(encoded, codebooks, queries, m, top_k=shortlist).select(
         "qid", "vec_id"
     )
-    qv = queries.select("qid", "qvec")
-    exact = (
-        cand.join(emb, "vec_id")
-        .join(F.broadcast(qv), "qid")
-        .withColumn("d2_r", F.round(_d2("qvec", "vec"), 6))
+    return _exact_rerank(emb, cand, queries, top_k)
+
+
+def ivfadc_search(
+    emb: DataFrame,
+    assigned: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    m: int,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    top_k: int = 10,
+) -> DataFrame:
+    """IVFADC — the standard published ANN stack, composed from the two
+    operators this package already has: the IVF coarse quantizer prunes
+    the corpus to ``nprobe`` cells per query (``operators/ivf.py``'s
+    probe definition, unchanged), then PQ codes score the survivors via
+    ADC, and the shortlist is re-ranked with exact distances.
+
+    Inputs: ``assigned`` (vec_id, cell) from ``ivf_assign``; ``encoded``
+    (vec_id, codes) from :func:`pq_encode`; ``centroids`` (cent_id,
+    cvec). At scale materialize (vec_id, cell, codes) as ONE index
+    table so the probe join reads codes directly — here the cell↔codes
+    join stands in for that pre-joined layout (both sides hash on
+    vec_id once at build time, never per query).
+
+    Cost model at 10⁹ vectors: the scan is (nprobe / n_cells) of the
+    corpus × 16 bytes of codes — coarse pruning and compression
+    multiply. Exact math touches only O(queries × shortlist) rows.
+    """
+    from pyspark_streaming_base_spark.operators.ivf import ivf_probe_cells
+
+    probes = ivf_probe_cells(queries, centroids, nprobe).select("qid", "cell")
+    # candidate codes: probed cells only — the pruned compressed scan
+    cand = (
+        F.broadcast(probes)
+        .join(assigned.select("vec_id", "cell"), "cell")
+        .join(encoded, "vec_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "codes")
     )
-    return (
-        exact.withColumn(
-            "rnk",
-            F.row_number()
-            .over(W.partitionBy("qid").orderBy(F.col("d2_r"), F.col("vec_id")))
-            .cast("bigint"),
+    tables = _adc_tables(queries, codebooks, m)
+    adc = _adc_fold()
+    short = (
+        cand.join(F.broadcast(tables), "qid")
+        .withColumn("adc_r", F.round(adc, 6))
+        .withColumn(
+            "srnk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("adc_r"), F.col("vec_id"))
+            ),
         )
-        .filter(F.col("rnk") <= top_k)
-        .select("qid", "vec_id", "d2_r", "rnk")
+        .filter(F.col("srnk") <= shortlist)
+        .select("qid", "vec_id")
     )
+    return _exact_rerank(emb, short, queries, top_k)

@@ -417,3 +417,54 @@ def q109_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search_rerank(
         emb, enc, cb, queries, _PQ_M, shortlist=_PQ_SHORTLIST, top_k=_TOP_K
     )
+
+
+#: IVFADC: 8 coarse cells probed 4-deep (half the corpus pruned before
+#: any scoring), PQ codes score the survivors, exact re-rank of 50.
+_IVFADC_CELLS = 8
+_IVFADC_NPROBE = 4
+
+
+@query("q111_ivfadc_ann")  # iterative float quantizers — rows-only by design
+def q111_ivfadc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC ANN (C18 capstone): the standard published two-level stack
+    composed from this package's own operators — IVF coarse cells prune
+    the corpus to ``nprobe/n_cells`` of its rows per query, PQ codes
+    score the survivors at 16 bytes/vector (ADC), and the 50-candidate
+    shortlist is re-ranked exactly. Coarse and fine quantizers are the
+    SAME single-definition helpers q63 and q109 use (``ivf_assign`` /
+    ``ivf_probe_cells`` / ``pq_codebooks`` / ``pq_encode``), so the
+    composition is configuration, not new math. Rows-only like its
+    parents; recall vs the exact scan is pinned in ``test_pq.py``.
+    """
+    from pyspark_streaming_base_spark.operators.ivf import ivf_assign
+    from pyspark_streaming_base_spark.operators.pq import (
+        ivfadc_search,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("vec")
+    )
+    centroids = emb.filter(F.col("vec_id") < _IVFADC_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+    )
+    assigned = ivf_assign(emb, centroids).select("vec_id", "cell")
+    cb = pq_codebooks(emb, _PQ_M, _PQ_K, iters=3)
+    enc = pq_encode(emb, cb, _PQ_M)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    return ivfadc_search(
+        emb,
+        assigned,
+        enc,
+        cb,
+        centroids,
+        queries,
+        _PQ_M,
+        nprobe=_IVFADC_NPROBE,
+        shortlist=_PQ_SHORTLIST,
+        top_k=_TOP_K,
+    )

@@ -99,6 +99,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q60_knn_bruteforce",
         "q63_ann_ivf",
         "q109_pq_ann",  # ADC table broadcast fold — same shape as q60
+        "q111_ivfadc_ann",  # probe/centroid broadcast folds — q63+q109 shape
         "q92_int8_quantize",
         "q94_kmeans_clusters",
         "q104_embedding_qa",

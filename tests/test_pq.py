@@ -144,3 +144,49 @@ def test_search_is_deterministic(emb, trained):
     a = sorted(map(tuple, pq_search_rerank(emb, enc, cb, queries, M).collect()))
     b = sorted(map(tuple, pq_search_rerank(emb, enc, cb, queries, M).collect()))
     assert a == b
+
+
+def test_ivfadc_recall_and_pruning(spark, emb, trained):
+    """IVFADC: recall holds up under coarse pruning (nprobe=4 of 8
+    cells), and every result must come from a probed cell."""
+    from pyspark_streaming_base_spark.operators.ivf import (
+        ivf_assign,
+        ivf_probe_cells,
+    )
+    from pyspark_streaming_base_spark.operators.pq import ivfadc_search
+
+    cb, enc = trained
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+    )
+    assigned = ivf_assign(emb, centroids).select("vec_id", "cell").cache()
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = ivfadc_search(
+        emb, assigned, enc, cb, centroids, queries, M, nprobe=4,
+        shortlist=50, top_k=10,
+    ).collect()
+
+    cells = {r.vec_id: r.cell for r in assigned.collect()}
+    probed = {}
+    for r in ivf_probe_cells(queries, centroids, 4).collect():
+        probed.setdefault(r.qid, set()).add(r.cell)
+    assert all(cells[r.vec_id] in probed[r.qid] for r in got)
+
+    V = _np_corpus(emb)
+    mine = {}
+    for r in got:
+        mine.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = []
+    for qid in (0, 1, 2):
+        exact = {
+            v
+            for _, v in sorted(
+                (float(np.sum((V[qid] - V[v]) ** 2)), v) for v in V if v != qid
+            )[:10]
+        }
+        recalls.append(len(mine[qid] & exact) / 10)
+    # half the corpus is pruned before scoring: recall trades against the
+    # 2x scan reduction; floor set with margin under the measured value
+    assert np.mean(recalls) >= 0.5, recalls
