@@ -758,3 +758,69 @@ def q105_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cohort").cast("date").alias("cohort"), F.col("k"))
         .agg(F.countDistinct("o_custkey").cast("bigint").alias("n_active"))
     )
+
+
+@query(
+    "q112_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           max(d.med) AS med,
+           max(s.mad) AS mad,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE d.adev > 3 * s.mad) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad s USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q112_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection per event type — the
+    outlier rule that survives the outliers themselves, unlike q104's
+    mean/stddev z-score which a single extreme value drags.
+
+    Two exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, the q26-verified bit-exact pair): the per-type
+    median, then the median absolute deviation of the SAME scan joined
+    back through a broadcast of the 10-row median table. Flag =
+    ``|v - med| > 3·MAD``; every term is bit-deterministic so the strict
+    comparison agrees across engines.
+
+    Scale: two aggregate passes over the events scan plus two 10-row
+    broadcasts — no row-level shuffle at all (both groupBys map-side
+    partial on event_type). Exact percentile buffers per group at 100 TB
+    → swap ``percentile_approx`` exactly as q26 documents.
+    """
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col("adev") > 3 * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
