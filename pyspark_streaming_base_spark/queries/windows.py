@@ -587,3 +587,90 @@ def q110_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("ewma"),
     )
+
+
+@query(
+    "q113_funnel_progression",
+    oracle="""
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    w2 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM w2
+    )
+    SELECT user_id,
+           max(t_view) AS t_view,
+           max(t_click) AS t_click,
+           max(t_purchase) AS t_purchase,
+           CAST(CASE WHEN max(t_purchase) IS NOT NULL THEN 3
+                     WHEN max(t_click) IS NOT NULL THEN 2
+                     WHEN max(t_view) IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS steps
+    FROM w3
+    GROUP BY user_id
+    """,
+)
+def q113_funnel_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel progression per user (path-analysis extension):
+    how far each user advances through view → click → purchase with
+    each step STRICTLY after the previous one — the sequential pattern
+    q83's cogrouped counts don't capture.
+
+    The sequential dependency (the qualifying click must follow the
+    first view) is resolved without self-joins: three chained
+    conditional-minimum windows over the SAME ``user_id`` partition
+    spec, so Catalyst plans one exchange feeding three Window operators
+    and the final per-user aggregate. At 100 TB this is a single
+    events-scan shuffle — the naive per-step join chain would pay one
+    per funnel stage. Timestamps are conditional minima, so the output
+    is deterministic under ties.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    steps = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+        F.max(steps).cast("bigint").alias("steps"),
+    )

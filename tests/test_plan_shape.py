@@ -255,3 +255,12 @@ def test_training_pipeline_two_shuffles(spark):
     # dedup window on the fingerprint + final shard aggregate; the quality
     # gate must stay a narrow projection between them
     assert shuffle_count(df) <= 2
+
+
+def test_funnel_progression_single_exchange(spark):
+    df = R["q113_funnel_progression"].fn(spark, SF_SMALL)
+    # the 3 chained conditional-min windows + final aggregate all share
+    # the user_id partitioning: ONE exchange, three Window operators
+    assert shuffle_count(df) == 1
+    plan = formatted_plan(df)
+    assert plan.count("Window") >= 3
