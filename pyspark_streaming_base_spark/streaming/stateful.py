@@ -222,3 +222,50 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, ewma double"
+EWMA_STATE_SCHEMA = "n bigint, s double"
+
+
+def ewma_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Per-user running EWMA (``s_j = α·x_j + (1−α)·s_{j-1}``) maintained
+    across micro-batches — the streaming form of q110's smoother, with
+    per-key state of exactly TWO scalars (count + current value), the
+    smallest possible stateful footprint.
+
+    Rows are folded in (ts, event_id) order WITHIN each micro-batch;
+    cross-batch order is the source's responsibility (stage files in
+    time order, as any replayable log does). With α = 1/2 every update
+    is exact IEEE arithmetic, so the streamed state equals the batch
+    recursion bit-for-bit — asserted in the twin test, a stronger claim
+    than the usual approximate streaming equivalence.
+
+    The per-row Python fold is justified the same way the other state
+    ops are: state transitions are inherently sequential per key, the
+    work is O(batch) with two floats of state, and the vectorized
+    alternative (closed-form weights) cannot span micro-batch
+    boundaries.
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (n, s) = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            for x in pdf.sort_values(["ts", "event_id"])["value"]:
+                x = float(x)
+                s = x if n == 0 else alpha * x + (1.0 - alpha) * s
+                n += 1
+        state.update((n, s))
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n, "ewma": s}])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -732,3 +732,62 @@ def test_stream_stream_full_outer_join(spark, tmp_path):
     # cumulative output == batch full-outer: unmatched clicks AND
     # unmatched purchases each emitted exactly once, none duplicated/lost
     assert got == expected
+
+
+def test_ewma_stream_equals_batch_recursion_exactly(spark, tmp_path):
+    """Streamed EWMA state == the batch sequential recursion BIT-FOR-BIT
+    (alpha = 1/2 makes every update exact IEEE arithmetic), across
+    time-ordered micro-batches."""
+    from pyspark_streaming_base_spark.streaming.stateful import ewma_stream
+
+    events = t(spark, SF_SMALL, "events").select("ts", "event_id", "user_id", "value")
+
+    # time-ordered staging (file source reads in mtime order)
+    import time as _time
+
+    staging = str(tmp_path / "stage")
+    with_s = events.withColumn("ts_s", F.col("ts").cast("long"))
+    bounds = with_s.approxQuantile("ts_s", [0.5], 0.0)
+    for lo, hi in ((None, bounds[0]), (bounds[0], None)):
+        chunk = with_s
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts_s") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts_s") <= hi)
+        chunk.drop("ts_s").coalesce(1).write.mode("append").parquet(staging)
+        _time.sleep(1.1)
+
+    reader = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = (
+        ewma_stream(reader)
+        .writeStream.format("memory")
+        .queryName("ewma_twin")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("ewma_twin").collect()
+    final = {}
+    for r in emitted:  # update mode: keep the emission with the max count
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+
+    rows = sorted(
+        events.collect(), key=lambda r: (r.user_id, r.ts, r.event_id)
+    )
+    expect = {}
+    for r in rows:
+        n, s = expect.get(r.user_id, (0, 0.0))
+        x = float(r.value)
+        s = x if n == 0 else 0.5 * x + 0.5 * s
+        expect[r.user_id] = (n + 1, s)
+    assert set(final) == set(expect)
+    for uid, (n, s) in expect.items():
+        assert final[uid].n_events == n
+        assert final[uid].ewma == s, uid  # exact, not approximate
