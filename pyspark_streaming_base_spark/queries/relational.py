@@ -1407,3 +1407,75 @@ def q97_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(amount).alias("profit"))
     )
+
+
+_Q114_NATIONS = ("NATION_1", "NATION_2")
+
+
+@query(
+    "q114_binational_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, {rev} AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice, l.l_discount
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+         OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """.format(rev=sql_dsum("l_extendedprice * (1 - l_discount)")),
+)
+def q114_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bi-national shipping volume (C3/C6 depth): revenue
+    flowing between two nations in BOTH roles — the same dimension table
+    (nation) joined twice under different keys, the join pattern the
+    star-join queries (q04, q97) don't exercise.
+
+    Plan: both nation aliases and the filtered customer/supplier maps
+    broadcast (the nation filter prunes them BEFORE the broadcast, so
+    the fact scan is semi-filtered early); lineitem ⋈ orders is the only
+    fact-fact shuffle; the final (nation, nation, year) aggregate is
+    map-side partial over a handful of groups. The disjunctive two-role
+    predicate stays in the join output filter — at 100 TB the broadcast
+    prunes to the two named nations so the filter touches only
+    qualifying fact rows.
+    """
+    nation = dim(spark, sf_dir, "nation")
+    ns = nation.filter(F.col("n_name").isin(*_Q114_NATIONS)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.filter(F.col("n_name").isin(*_Q114_NATIONS)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .select("c_custkey", "cust_nation")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
