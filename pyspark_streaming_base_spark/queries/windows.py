@@ -674,3 +674,52 @@ def q113_funnel_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_purchase").alias("t_purchase"),
         F.max(steps).cast("bigint").alias("steps"),
     )
+
+
+@query(
+    "q115_ohlc_bars",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, h,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id, h
+    """,
+)
+def q115_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per user (time-series resample extension): the
+    open/high/low/close summary every downsampling pipeline wants, as
+    ONE hash aggregate — ``min_by``/``max_by`` over the (ts, event_id)
+    struct pick the first/last value deterministically (event_id breaks
+    ts ties), high/low are plain extrema, so no window sort and no
+    second pass. The oracle takes the row_number route (DuckDB's
+    arg_min can't order by a struct) — same values, different plan, which
+    is exactly what the hash comparison should prove.
+
+    Scale: a single map-side-combinable aggregate on (user, hour) —
+    min_by partials merge like any min — vs the window formulation's
+    full per-partition sort. This is the C9-free way to express
+    first/last per group.
+    """
+    ev = t(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id", h.alias("h")).agg(
+        F.min_by("value", order).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
