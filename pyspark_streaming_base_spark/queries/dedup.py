@@ -543,9 +543,14 @@ def q107_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    # shuffle_hash pin: `spans` is corpus-sized (one row per distinct
+    # window hash), so a broadcast pick here — which local size heuristics
+    # DO make at moderate replication (driver OOM measured at 16x in the
+    # scale smoke) — is the scale-killer; the hash join keys both sides on
+    # `h`, reusing the aggregate's exchange.
     spans = wins.groupBy("h").agg(
         (F.min("doc_id") != F.max("doc_id")).alias("dup")
-    )
+    ).hint("shuffle_hash")
     n_dup = F.count(F.when(F.col("dup"), 1))
     return (
         wins.join(spans, "h")

@@ -83,11 +83,57 @@ def shapes(spark, n: int):
     prefix = local.join(F.broadcast(carry), ["o_orderpriority", "bucket"]).select(
         "o_orderkey", (F.col("carry") + F.col("cum")).alias("running")
     )
+    # q107's shape: window-hash explode → hash-keyed aggregate → join-back
+    # on the same key. O(total windows); replication multiplies windows
+    # linearly (every replica-window becomes cross-doc duplicated, which
+    # only changes the dup-flag ratio, not the plan).
+    docs = spark.read.parquet(*([f"{SF_DIR}/documents.parquet"] * n))
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("tk")).filter(F.size("tk") >= 16)
+    wins = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 15),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, 16))),
+            )
+        ).alias("h"),
+    )
+    spans = wins.groupBy("h").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("dup")
+    ).hint("shuffle_hash")  # corpus-sized: broadcast OOMs the driver at 16x
+    span_dedup = (
+        wins.join(spans, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nw"), F.count(F.when(F.col("dup"), 1)).alias("nd"))
+    )
+
+    # q113's shape: chained conditional-min windows on ONE partition spec —
+    # must stay a single exchange however many events flow through it.
+    ev = spark.read.parquet(*([f"{SF_DIR}/events.parquet"] * n)).select(
+        "user_id", "ts", "event_type"
+    )
+    wu = W.partitionBy("user_id")
+    f1 = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
+    )
+    f2 = f1.withColumn(
+        "t2",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(wu),
+    )
+    funnel = f2.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2")
+    )
+
     return {
         "agg": agg,
         "broadcast_join_agg": join_agg,
         "window_topk": win,
         "two_pass_prefix_sum": prefix,
+        "span_dedup": span_dedup,
+        "chained_funnel_windows": funnel,
     }
 
 
