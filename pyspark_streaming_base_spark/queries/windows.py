@@ -723,3 +723,50 @@ def q115_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", order).alias("close"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "q116_equidepth_histogram",
+    oracle="""
+    SELECT event_type, bucket,
+           min(value) AS lo, max(value) AS hi,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM (
+      SELECT event_type, value,
+             CAST(NTILE(10) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS BIGINT) AS bucket
+      FROM events
+    )
+    GROUP BY event_type, bucket
+    """,
+)
+def q116_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram per event type (C7/C9 bridge): 10 buckets of
+    equal row count with their value bounds — the histogram shape
+    optimizers and drift monitors want when the distribution is skewed
+    (q39's fixed-WIDTH bins put 90% of rows in one bin under skew;
+    equal-depth bounds ARE the deciles). ``ntile`` assigns buckets by
+    row order — identical semantics on both engines given a total order,
+    which the (value, event_id) sort provides.
+
+    Scale: one per-type sort (the window) + map-side-combined bounds
+    aggregate. ntile over a hot key is a single-partition sort — at
+    100 TB swap to `approx_percentile` cut points (q78's sketch) and
+    keep this exact form for bounded partitions.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.ntile(10).over(w).cast("bigint").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
