@@ -4,6 +4,9 @@ from pyspark_streaming_base_spark.sources.delta_log import (
     DeltaLogSnapshot,
     read_delta_snapshot,
 )
+from pyspark_streaming_base_spark.sources.delta_log_stream import (
+    DeltaLogStreamDataSource,
+)
 from pyspark_streaming_base_spark.sources.file import FileStreamingSource
 from pyspark_streaming_base_spark.sources.kafka import KafkaStreamingSource
 from pyspark_streaming_base_spark.sources.synthetic import SyntheticEventsDataSource
@@ -14,6 +17,7 @@ __all__ = [
     "DeltaStreamingSource",
     "DeltaLogSnapshot",
     "read_delta_snapshot",
+    "DeltaLogStreamDataSource",
     "FileStreamingSource",
     "SyntheticEventsDataSource",
 ]

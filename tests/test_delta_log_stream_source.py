@@ -1,0 +1,202 @@
+"""``format("delta_log")`` — the pure-Python Delta DataSource: batch
+snapshot scans and version-paged microbatch streaming (A2 executing
+without jars), including checkpoint-restart exactly-once, stream time
+travel, compaction invisibility, and the reference's committed fixture
+read executor-side."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pyspark_streaming_base_spark.sinks.delta_log import DeltaLogTable
+from pyspark_streaming_base_spark.sources.delta_log_stream import (
+    DeltaLogStreamDataSource,
+)
+
+REFERENCE_FIXTURE = (
+    "/root/reference/tests/resources/delta_streaming_source/test_table"
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("color", StringType(), True),
+        StructField("score", IntegerType(), True),
+    ]
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(DeltaLogStreamDataSource)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=i, color=c, score=s) for (i, c, s) in rows], SCHEMA
+    ).coalesce(1)
+
+
+def _table(spark, path, batches):
+    t = DeltaLogTable(str(path))
+    t.create(SCHEMA)
+    for rows in batches:
+        t.append(_df(spark, rows))
+    return t
+
+
+def _rows(df):
+    return Counter((r.id, r.color, r.score) for r in df.collect())
+
+
+def _run_stream(spark, path, ckpt, qname, **options):
+    reader = spark.readStream.format("delta_log").option("path", str(path))
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+def _run_stream_to_parquet(spark, path, ckpt, out, **options):
+    """Parquet-sink variant for RESTART tests (the memory sink refuses
+    checkpoint recovery)."""
+    reader = spark.readStream.format("delta_log").option("path", str(path))
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(SCHEMA).parquet(str(out))
+
+
+def test_batch_scan_matches_snapshot_reader(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", [[(1, "red", 10)], [(2, "blue", 20)]])
+    via_source = spark.read.format("delta_log").option("path", str(tmp_path / "t")).load()
+    assert _rows(via_source) == _rows(t.read(spark))
+    # version option = snapshot time travel
+    v1 = (
+        spark.read.format("delta_log")
+        .option("path", str(tmp_path / "t"))
+        .option("version", "1")
+        .load()
+    )
+    assert _rows(v1) == Counter({(1, "red", 10): 1})
+
+
+def test_batch_scan_partitioned_table(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA, partition_columns=["color"])
+    t.append(_df(spark, [(1, "red", 10), (2, "blue", 20), (3, "red", 30)]))
+    got = spark.read.format("delta_log").option("path", str(tmp_path / "t")).load()
+    assert _rows(got) == _rows(t.read(spark))
+
+
+def test_stream_reads_all_commits(spark, tmp_path):
+    _table(
+        spark,
+        tmp_path / "t",
+        [[(1, "a", 1)], [(2, "b", 2)], [(3, "c", 3)]],
+    )
+    got = _run_stream(spark, tmp_path / "t", tmp_path / "ck", "dls_all")
+    assert _rows(got) == Counter(
+        {(1, "a", 1): 1, (2, "b", 2): 1, (3, "c", 3): 1}
+    )
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", [[(1, "a", 1)], [(2, "b", 2)]])
+    out = tmp_path / "out"
+    first = _run_stream_to_parquet(spark, tmp_path / "t", tmp_path / "ck", out)
+    assert sum(_rows(first).values()) == 2
+    # new commits arrive while the stream is down
+    t.append(_df(spark, [(3, "c", 3)]))
+    t.append(_df(spark, [(4, "d", 4)]))
+    # restart from the SAME checkpoint (cold reader, cursor reset)
+    total = _run_stream_to_parquet(spark, tmp_path / "t", tmp_path / "ck", out)
+    # exactly-once: everything arrives, nothing is replayed
+    assert _rows(total) == Counter(
+        {(1, "a", 1): 1, (2, "b", 2): 1, (3, "c", 3): 1, (4, "d", 4): 1}
+    )
+
+
+def test_stream_starting_version_time_travel(spark, tmp_path):
+    _table(spark, tmp_path / "t", [[(1, "a", 1)], [(2, "b", 2)], [(3, "c", 3)]])
+    got = _run_stream(
+        spark, tmp_path / "t", tmp_path / "ck", "dls_sv", starting_version=3
+    )
+    assert _rows(got) == Counter({(3, "c", 3): 1})
+
+
+def test_stream_ignores_compaction_rewrites(spark, tmp_path):
+    t = _table(spark, tmp_path / "t", [[(1, "a", 1)], [(2, "b", 2)]])
+    out = tmp_path / "out"
+    done = _run_stream_to_parquet(spark, tmp_path / "t", tmp_path / "ck", out)
+    assert sum(_rows(done).values()) == 2
+    t.compact(spark, target_files=1)  # dataChange=false rewrite
+    t.append(_df(spark, [(3, "c", 3)]))
+    after = _run_stream_to_parquet(spark, tmp_path / "t", tmp_path / "ck", out)
+    # the compaction's re-added files must NOT be re-emitted
+    assert _rows(after) == Counter(
+        {(1, "a", 1): 1, (2, "b", 2): 1, (3, "c", 3): 1}
+    )
+
+
+def test_admission_control_versions_per_batch(spark, tmp_path):
+    _table(
+        spark,
+        tmp_path / "t",
+        [[(i, "x", i)] for i in range(4)],
+    )
+    got = _run_stream(
+        spark,
+        tmp_path / "t",
+        tmp_path / "ck",
+        "dls_adm",
+        max_versions_per_batch=1,
+    )
+    assert sum(_rows(got).values()) == 4  # paced, but everything arrives
+
+
+def test_reference_fixture_reads_executor_side(spark):
+    """The reference's own committed covid fixture through the DataSource
+    batch path: exact count, Arrow batches read in tasks (not a
+    driver-side union plan)."""
+    df = (
+        spark.read.format("delta_log")
+        .option("path", REFERENCE_FIXTURE)
+        .load()
+    )
+    assert df.count() == 1_111_930
+    assert [f.name for f in df.schema.fields] == [
+        "date", "county", "state", "fips", "cases", "deaths",
+    ]
