@@ -200,3 +200,45 @@ def test_reference_fixture_reads_executor_side(spark):
     assert [f.name for f in df.schema.fields] == [
         "date", "county", "state", "fips", "cases", "deaths",
     ]
+
+
+def test_delta_to_delta_streaming_end_to_end(spark, tmp_path):
+    """The reference's flagship shape — stream a Delta table into a Delta
+    table — executed entirely jar-free: format("delta_log") source
+    (version-paged offsets) → foreachBatch → DeltaLogTable sink with
+    txn-based exactly-once. The jar-gated twin (`test_delta_e2e.py`)
+    stays env-skipped; this one runs everywhere."""
+    src = _table(
+        spark, tmp_path / "src", [[(1, "a", 1)], [(2, "b", 2)], [(3, "c", 3)]]
+    )
+    dst = DeltaLogTable(str(tmp_path / "dst"))
+    dst.create(SCHEMA)
+    q = (
+        spark.readStream.format("delta_log")
+        .option("path", str(tmp_path / "src"))
+        .load()
+        .writeStream.foreachBatch(dst.foreach_batch("d2d"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _rows(dst.read(spark)) == _rows(src.read(spark))
+    assert dst.last_txn_version("d2d") >= 0
+    # incremental: new source commits flow through on the next run
+    src.append(_df(spark, [(4, "d", 4)]))
+    q = (
+        spark.readStream.format("delta_log")
+        .option("path", str(tmp_path / "src"))
+        .load()
+        .writeStream.foreachBatch(dst.foreach_batch("d2d"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _rows(dst.read(spark)) == _rows(src.read(spark))
