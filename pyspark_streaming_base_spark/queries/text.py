@@ -1080,3 +1080,92 @@ def q90_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.transform(seq, lambda x: x["tid"].cast("string")))
         ).alias("ids_md5"),
     )
+
+
+#: co-occurrence vocabulary bound: pairs only among the top-N tokens.
+_COOC_VOCAB = 100
+_COOC_TOP = 50
+
+
+@query(
+    "q117_cooccurrence_lift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM tok GROUP BY w
+        ORDER BY c DESC, w LIMIT {_COOC_VOCAB}
+      )
+    ),
+    vt AS (SELECT DISTINCT doc_id, w FROM tok WHERE w IN (SELECT w FROM vocab)),
+    uni AS (SELECT w, count(*) AS cw FROM vt GROUP BY w),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS nd FROM tok)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS n_docs_both,
+           CAST(ua.cw AS BIGINT) AS n_docs_w1,
+           CAST(ub.cw AS BIGINT) AS n_docs_w2,
+           CAST(n.nd * c12 AS DOUBLE) / (ua.cw * ub.cw) AS lift
+    FROM pairs
+    JOIN uni ua ON pairs.w1 = ua.w
+    JOIN uni ub ON pairs.w2 = ub.w
+    CROSS JOIN n
+    ORDER BY c12 DESC, w1, w2 LIMIT {_COOC_TOP}
+    """,
+)
+def q117_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (text-analytics extension): for the top
+    50 co-occurring pairs of top-100-vocabulary tokens, how much more
+    often they appear in the same document than independence predicts —
+    PMI's ratio WITHOUT the log, because ``lift = N·c12/(c1·c2)`` is one
+    IEEE division of exact integers (bit-identical across engines)
+    while ``log`` is a libm call with per-engine ulp drift.
+
+    Scale shape: the pair space is bounded BY CONSTRUCTION to the
+    broadcast vocabulary (≤ C(100,2) distinct pairs; the per-doc
+    self-join is an equi-join on doc_id with ≤100 rows per doc on each
+    side, never corpus×corpus); the vocabulary itself is a distributive
+    top-N (TakeOrderedAndProject — each map task keeps 100 candidates).
+    Final top-50 breaks ties on the pair itself.
+    """
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_COOC_VOCAB)
+        .select("w")
+    )
+    vt = tok.join(F.broadcast(vocab), "w").select("doc_id", "w").distinct()
+    uni = vt.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    a, b = vt.alias("a"), vt.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")))
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    nd = d.select(F.count_distinct("doc_id").alias("nd"))
+    out = (
+        pairs.join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "cw1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cw2")), "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_docs_both"),
+            F.col("cw1").cast("bigint").alias("n_docs_w1"),
+            F.col("cw2").cast("bigint").alias("n_docs_w2"),
+            ((F.col("nd") * F.col("c12")).cast("double") / (F.col("cw1") * F.col("cw2"))).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("n_docs_both").desc(), "w1", "w2").limit(_COOC_TOP)

@@ -770,3 +770,70 @@ def q116_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         )
     )
+
+
+@query(
+    "q118_trend_slope",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(round(value * 100) AS BIGINT) AS ys
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, es, ys, min(es) OVER (PARTITION BY user_id) AS e0
+      FROM b
+    ),
+    d AS (SELECT user_id, (es - e0) // 60 AS x, ys FROM c),
+    s AS (
+      SELECT user_id, count(*) AS n, sum(x) AS sx, sum(ys) AS sy,
+             sum(x * ys) AS sxy, sum(x * x) AS sxx
+      FROM d GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx) / 100.0 AS slope_per_min
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def q118_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity trend (time-series extension): the OLS slope of
+    ``value`` against time, closed-form from five integer component
+    sums — the q37-Pearson recipe applied to regression. Time is
+    recentered per user (min-epoch subtraction keeps every product in
+    comfortable int64 range; minutes resolution bounds Σx² for ~10⁶
+    events/user) and values use their native 2-decimal scale, so the
+    sums are EXACT integers and the one closing division is
+    bit-deterministic. Degenerate users (all events in one minute) are
+    excluded on both sides — their slope is 0/0.
+
+    Scale: one groupBy(user) aggregate after a min-window on the same
+    key (shared exchange); all state is six numbers per user.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("es"),
+        F.round(F.col("value") * 100).cast("bigint").alias("ys"),
+    )
+    w = W.partitionBy("user_id")
+    d = ev.withColumn("e0", F.min("es").over(w)).select(
+        "user_id", F.expr("(es - e0) div 60").alias("x"), "ys"
+    )
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("ys").alias("sy"),
+        F.sum(F.col("x") * F.col("ys")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.filter(den != 0).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / den
+            / F.lit(100.0)
+        ).alias("slope_per_min"),
+    )

@@ -96,6 +96,7 @@ def test_no_registry_query_has_lint_errors(spark):
     known_warns = {
         # 1-row / k-row broadcast folds — documented idiomatic shapes
         "q57_tfidf_topk",
+        "q117_cooccurrence_lift",  # 1-row doc-count broadcast fold (q57 shape)
         "q60_knn_bruteforce",
         "q63_ann_ivf",
         "q109_pq_ann",  # ADC table broadcast fold — same shape as q60
