@@ -1479,3 +1479,43 @@ def q114_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_nation",
         F.year("l_shipdate").cast("bigint").alias("l_year"),
     ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+@query(
+    "q119_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+    GROUP BY event_type
+    """,
+)
+def q119_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT tier (C15, Spark 4 native): ``parse_json``
+    into a VARIANT column, typed ``variant_get`` extraction, predicate
+    and aggregate on the extracted value. Where q20/q25 use string-path
+    extraction and fixed-schema ``from_json``, VARIANT is the
+    open-schema representation Spark 4 shreds into its binary format
+    once — repeated extractions don't re-parse the text.
+
+    The integer extraction keeps the oracle exact (DuckDB json_extract
+    + cast); grouping folds the variant away so the output schema stays
+    hashable primitives.
+    """
+    ev = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
