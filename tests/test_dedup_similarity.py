@@ -7,6 +7,8 @@ results are stable run-to-run, so the bounds are tight, not flaky.
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.queries import load_all
@@ -267,3 +269,57 @@ def test_approx_percentile_rank_error_bound(spark):
             # the value's occupied rank range must cover the target
             # within the sketch's rank tolerance
             assert lo - tol <= target <= hi + tol, (flag, q, got, lo, hi, target)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=40).map(
+            lambda cs: " ".join(cs)
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_dup_span_matches_bruteforce(spark, docs):
+    """q107's window-hash aggregation == a brute-force Python mirror of
+    the W=16 duplicated-span definition, on adversarial corpora (tiny
+    alphabet maximizes window collisions; short docs hit the <W filter)."""
+    W16 = 16
+    wins = {}  # doc -> list of window tuples
+    for i, text in enumerate(docs):
+        toks = [t_ for t_ in text.split(" ") if t_]
+        if len(toks) >= W16:
+            wins[i] = [tuple(toks[j : j + W16]) for j in range(len(toks) - W16 + 1)]
+    owners = {}
+    for i, ws in wins.items():
+        for w in ws:
+            owners.setdefault(w, set()).add(i)
+    expect = {
+        i: (
+            len(ws),
+            sum(1 for w in ws if len(owners[w]) > 1),
+        )
+        for i, ws in wins.items()
+    }
+
+    df = spark.createDataFrame(
+        [(i, t_) for i, t_ in enumerate(docs)], "doc_id long, text string"
+    )
+    from pyspark_streaming_base_spark.queries.dedup import q107_dup_span_detection
+    import pyspark_streaming_base_spark.queries._tables as _tables
+
+    # run the registered query body against this frame via a temp parquet
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r.doc_id: (r.n_windows, r.n_dup_windows)
+            for r in q107_dup_span_detection(spark, d).collect()
+        }
+    assert got == expect
