@@ -837,3 +837,81 @@ def q118_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("slope_per_min"),
     )
+
+
+@query(
+    "q120_scd2_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type AS state, ts,
+             LAG(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    f AS (
+      SELECT user_id, state, ts,
+             SUM(CASE WHEN prev_state IS NULL OR state <> prev_state
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               AS run_id
+      FROM o
+    ),
+    runs AS (
+      SELECT user_id, run_id, min(state) AS state,
+             min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM f GROUP BY user_id, run_id
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY run_id) AS valid_to,
+           CAST(CASE WHEN LEAD(valid_from) OVER (
+             PARTITION BY user_id ORDER BY run_id) IS NULL
+             THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+           n_events
+    FROM runs
+    """,
+)
+def q120_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history (CDC extension): collapse
+    each user's event stream into VALIDITY INTERVALS — one row per run
+    of consecutive equal states, with ``valid_from``/``valid_to``
+    half-open bounds and an ``is_current`` flag. This is the
+    materialization a warehouse keeps for "what was the state at time
+    T" joins (the as-of join q75 is the lookup side of this shape).
+
+    Gaps-and-islands change detection: a lag-compare flags state
+    changes, a running sum numbers the runs, runs aggregate to
+    intervals, and one lead over the runs closes each interval with its
+    successor's start. Every window shares the ``user_id`` partitioning
+    — the same single-exchange property as q113, on a per-run rather
+    than per-event output.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("state").over(wo).isNull()
+            | (F.col("state") != F.lag("state").over(wo)),
+            1,
+        ).otherwise(0),
+    ).withColumn("run_id", F.sum("chg").over(wo.rowsBetween(W.unboundedPreceding, 0)))
+    runs = flagged.groupBy("user_id", "run_id").agg(
+        F.min("state").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    wr = W.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        F.when(F.lead("valid_from").over(wr).isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+        "n_events",
+    )
