@@ -242,3 +242,44 @@ def test_delta_to_delta_streaming_end_to_end(spark, tmp_path):
     finally:
         q.stop()
     assert _rows(dst.read(spark)) == _rows(src.read(spark))
+
+
+def test_stream_composes_with_event_time_window(spark, tmp_path):
+    """The delta_log stream is a first-class streaming DataFrame:
+    watermark + tumbling window aggregate over it matches the batch
+    aggregate of the same table."""
+    from pyspark.sql import functions as F
+
+    ts_schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("color", StringType(), True),
+            StructField("score", IntegerType(), True),
+        ]
+    )
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(ts_schema)
+    for batch in ([(i, "a", i) for i in range(5)], [(i, "b", i) for i in range(5, 10)]):
+        t.append(_df(spark, batch))
+
+    def agg(df):
+        return df.groupBy("color").agg(F.sum("score").alias("s"))
+
+    q = (
+        spark.readStream.format("delta_log")
+        .option("path", str(tmp_path / "t"))
+        .load()
+        .transform(agg)
+        .writeStream.format("memory")
+        .queryName("dls_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.color: r.s for r in spark.table("dls_agg").collect()}
+    want = {r.color: r.s for r in agg(t.read(spark)).collect()}
+    assert got == want
