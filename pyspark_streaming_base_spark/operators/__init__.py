@@ -45,6 +45,7 @@ from pyspark_streaming_base_spark.operators.expectations import (
 )
 from pyspark_streaming_base_spark.operators.rangejoin import banded_range_join
 from pyspark_streaming_base_spark.operators.salting import salted_join
+from pyspark_streaming_base_spark.operators.zorder import morton_code, zorder_by
 from pyspark_streaming_base_spark.operators.schema_align import (
     align_schema,
     diff_schema,
@@ -74,6 +75,8 @@ __all__ = [
     "split",
     "violation_counts",
     "align_schema",
+    "morton_code",
+    "zorder_by",
     "union_aligned",
     "diff_schema",
     "minhash_bands",
