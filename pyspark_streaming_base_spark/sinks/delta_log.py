@@ -336,16 +336,28 @@ class DeltaLogTable:
         return out
 
 
-    def compact(self, spark, target_files: int = 1) -> int:
+    def compact(self, spark, target_files: int = 1, zorder=None) -> int:
         """Small-files compaction: rewrite the current snapshot into
         ``target_files`` files per partition tuple and commit the swap as
         ``add(dataChange=false)`` + ``remove(dataChange=false)`` — a pure
         layout change, invisible to the change feed (proven in tests).
         Returns the commit version. One Spark job: a coalesced re-write of
         the snapshot through the normal staging path.
+
+        ``zorder=["a", "b"]`` is OPTIMIZE ZORDER BY: the rewrite routes
+        through ``operators/zorder.py::zorder_by`` so each output file
+        covers a compact hyper-rectangle of those columns' key space —
+        multi-column min/max file skipping for every later scan, still
+        committed as a no-op to the change feed.
         """
         snap = self.snapshot()
-        df = snap.read(spark).coalesce(max(1, int(target_files)))
+        df = snap.read(spark)
+        if zorder:
+            from pyspark_streaming_base_spark.operators.zorder import zorder_by
+
+            df = zorder_by(df, list(zorder), num_partitions=max(1, int(target_files)))
+        else:
+            df = df.coalesce(max(1, int(target_files)))
         pcols = snap.partition_columns
         staging = os.path.join(self.table_path, f".staging-compact-{snap.version + 1}")
         if os.path.exists(staging):

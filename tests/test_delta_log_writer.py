@@ -308,3 +308,29 @@ def test_vacuum_on_clean_table_is_noop(spark, tmp_path):
     t.create(SCHEMA)
     t.append(_df(spark, [(1, "a", 1)]))
     assert t.vacuum() == []
+
+
+def test_compact_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER BY through compact(): data identical, change feed
+    silent, and the rewritten files carry tighter per-file id ranges."""
+    import pyarrow.parquet as pq
+
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    # interleaved appends: each commit spans the whole id range
+    t.append(_df(spark, [(i, "a", i) for i in range(0, 40, 2)]))
+    t.append(_df(spark, [(i, "b", i) for i in range(1, 40, 2)]))
+    before = _collect(spark, t)
+
+    v = t.compact(spark, target_files=4, zorder=["id", "score"])
+    assert _collect(spark, t) == before
+    assert t.read_changes(spark, v - 1, v).count() == 0
+
+    spans = []
+    for p, _pv in t.snapshot().files():
+        md = pq.ParquetFile(p).metadata
+        st = md.row_group(0).column(0).statistics  # id column
+        spans.append(st.max - st.min)
+    # pre-compaction files each spanned ~the whole 0..39 range; the
+    # z-ordered rewrite gives each file a narrow slice
+    assert len(spans) > 1 and max(spans) < 39
