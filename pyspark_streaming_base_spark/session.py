@@ -52,6 +52,9 @@ class SessionFactory:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Python DataSource filter pushdown (the delta_log source's
+        # log-stats file skipping; Spark 4.1 gates it off by default)
+        "spark.sql.python.filterPushdown.enabled": "true",
         # At 100 TB an accidental huge broadcast kills the driver; keep the
         # default 10 MB threshold and rely on explicit F.broadcast hints for
         # known-small dimension tables.

@@ -71,10 +71,42 @@ def _is_data_file(name: str) -> bool:
     )
 
 
-def _num_records(path: str) -> int:
+def _file_stats(path: str) -> str:
+    """Protocol ``stats`` JSON for one data file from its parquet footer:
+    numRecords + per-top-level-column minValues/maxValues/nullCount
+    (primitive types only — the same fields the reference fixture's adds
+    carry). O(columns) footer metadata; row data is never read."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            cc = row_group.column(ci)
+            name = cc.path_in_schema
+            if "." in name:  # nested leaves: out of scope
+                continue
+            st = cc.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue  # undecoded physical values: skip, never guess
+            if hasattr(lo, "isoformat"):
+                continue  # timestamps/dates: JSON round-trip is lossy
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    out = {"numRecords": md.num_rows}
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+        out["nullCount"] = nulls
+    return json.dumps(out)
 
 
 class DeltaLogTable:
@@ -258,6 +290,8 @@ class DeltaLogTable:
                         "size": os.path.getsize(abs_path),
                         "modificationTime": int(os.path.getmtime(abs_path) * 1000),
                         "dataChange": False,
+                        # skipping stats survive log compaction
+                        "stats": snap._add_stats.get(rel),
                     }
                 }
             )
@@ -386,7 +420,7 @@ class DeltaLogTable:
                             "size": st.st_size,
                             "modificationTime": int(st.st_mtime * 1000),
                             "dataChange": False,
-                            "stats": json.dumps({"numRecords": _num_records(dest)}),
+                            "stats": _file_stats(dest),
                         }
                     }
                 )
@@ -513,7 +547,7 @@ class DeltaLogTable:
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
                         "dataChange": True,
-                        "stats": json.dumps({"numRecords": _num_records(dest)}),
+                        "stats": _file_stats(dest),
                     }
                 }
             )

