@@ -8,7 +8,7 @@ Each query is materialized through the ``noop`` sink so every output column
 is actually computed (a bare ``count()`` would let Catalyst prune the
 projections we're trying to measure).
 
-Methodology: each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3)
+Methodology: each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 5)
 and reports the FASTEST run. The first execution of a query pays one-time
 whole-stage-codegen (Janino) compilation of its generated code — a
 per-query-shape constant that amortizes to zero over any real workload (at
@@ -16,7 +16,8 @@ per-query-shape constant that amortizes to zero over any real workload (at
 steady-state time is the number that predicts scale throughput. Best-of-N
 also suppresses ambient-load noise, which measurably swings identical code
 2–3× on this shared machine (the JSON records the 1-minute load average
-for cross-run context). Generic machinery warmup (JVM, Arrow worker pool,
+for cross-run context; r4 raised N from 3 to 5 after observing ±8%
+run-to-run swings in the round-over-round delta with unchanged plans). Generic machinery warmup (JVM, Arrow worker pool,
 shuffle subsystem, parquet footers) is done once up front.
 """
 
@@ -68,7 +69,7 @@ def main() -> None:
     spark.range(10_000).withColumnRenamed("id", "k").hint("shuffle_hash").join(
         spark.range(10_000).withColumnRenamed("id", "k").hint("shuffle_hash"), "k"
     ).write.format("noop").mode("overwrite").save()
-    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
