@@ -368,3 +368,44 @@ def test_filtered_scan_end_to_end_correct(spark, tmp_path):
     got = sorted(r.id for r in df.filter("id >= 25 OR id = 3").collect())
     assert got == [3, 25, 26, 27, 28, 29]
     assert df.filter("id = 999").count() == 0
+
+
+def test_delta_stream_replicates_into_upsert_mirror(spark, tmp_path):
+    """Cross-engine CDC replication: the delta_log append stream feeds a
+    keyed UpsertTable mirror through foreachBatch — the mirror converges
+    to 'latest score per id' while the Delta source keeps full history.
+    Links the two storage engines this package ships."""
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.sinks.upsert import UpsertTable
+
+    src = DeltaLogTable(str(tmp_path / "src"))
+    src.create(SCHEMA)
+    # id 1 gets three versions across commits; id 2 one; id 3 two
+    src.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    src.append(_df(spark, [(1, "a", 11), (3, "c", 30)]))
+    src.append(_df(spark, [(1, "a", 12), (3, "c", 31)]))
+
+    mirror = UpsertTable(
+        str(tmp_path / "mirror"), key_cols=["id"], seq_col="score", n_buckets=4
+    )
+
+    q = (
+        spark.readStream.format("delta_log")
+        .option("path", str(tmp_path / "src"))
+        .load()
+        .writeStream.foreachBatch(mirror.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.id: (r.color, r.score) for r in mirror.read(spark).collect()
+    }
+    assert got == {1: ("a", 12), 2: ("b", 20), 3: ("c", 31)}
+    # source history is intact (the mirror is a VIEW, not a rewrite)
+    assert src.read(spark).count() == 6
