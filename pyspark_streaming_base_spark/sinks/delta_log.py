@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import StructType
 
 from ..operators.schema_align import align_schema
-from ..sources.delta_log import DeltaLogSnapshot, _COMMIT_RE
+from ..sources.delta_log import DeltaLogSnapshot, _COMMIT_RE, latest_log_version
 
 _SKIP_FILES = {"_SUCCESS"}
 
@@ -224,25 +224,17 @@ class DeltaLogTable:
     def last_txn_version(self, app_id: str) -> int:
         """Highest committed ``txn.version`` for ``app_id`` (-1 if none).
 
-        Scans every JSON commit (this writer never truncates the log;
-        checkpoints accelerate reads, they do not delete history).
+        Snapshot-backed: checkpoints persist the per-app txn ledger, so
+        the answer survives ``clean_log`` — the property exactly-once
+        replay depends on across metadata retention.
         """
-        last = -1
         if not os.path.isdir(self._log_dir):
-            return last
-        for n in sorted(os.listdir(self._log_dir)):
-            if not _COMMIT_RE.match(n):
-                continue
-            with open(os.path.join(self._log_dir, n)) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    t = action.get("txn")
-                    if t and t.get("appId") == app_id:
-                        last = max(last, int(t["version"]))
-        return last
+            return -1
+        try:
+            snap = self.snapshot()
+        except (FileNotFoundError, ValueError):
+            return -1
+        return snap.txn_versions.get(app_id, -1)
 
     def foreach_batch(
         self, app_id: str, mode: str = "append"
@@ -278,6 +270,8 @@ class DeltaLogTable:
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
             {"metaData": md},
         ]
+        for app, v in sorted(snap.txn_versions.items()):
+            rows.append({"txn": {"appId": app, "version": int(v)}})
         for rel, pv in sorted(snap._active.items()):
             abs_path = os.path.join(self.table_path, rel)
             rows.append(
@@ -296,7 +290,7 @@ class DeltaLogTable:
                 }
             )
         # one action per row; absent action-columns are null structs
-        keys = ("protocol", "metaData", "add")
+        keys = ("protocol", "metaData", "add", "txn")
         normalized = [{k: r.get(k) for k in keys} for r in rows]
         table = pa.Table.from_pylist(normalized)
         ckpt = os.path.join(self._log_dir, f"{snap.version:020d}.checkpoint.parquet")
@@ -470,6 +464,32 @@ class DeltaLogTable:
                     deleted.append(p)
         return sorted(deleted)
 
+    def clean_log(self, retain_versions: int = 0) -> List[str]:
+        """Log retention: delete JSON commits at or below the checkpointed
+        version minus ``retain_versions`` — the metadata half of what
+        keeps a 100 TB table's log O(active files) instead of O(history).
+        Requires a checkpoint (take one first); the checkpoint carries
+        the full file state AND the per-app ``txn`` ledger, so snapshot
+        reads and exactly-once replay are unaffected (proven in tests).
+        Time travel below the retained horizon stops working — the same
+        tradeoff as real Delta's ``logRetentionDuration``. Returns the
+        deleted commit paths.
+        """
+        lc = os.path.join(self._log_dir, "_last_checkpoint")
+        if not os.path.exists(lc):
+            raise ValueError("clean_log requires a checkpoint; call checkpoint() first")
+        with open(lc) as f:
+            ckpt_v = int(json.load(f)["version"])
+        horizon = ckpt_v - max(0, int(retain_versions))
+        deleted = []
+        for n in sorted(os.listdir(self._log_dir)):
+            m = _COMMIT_RE.match(n)
+            if m and int(m.group(1)) <= horizon:
+                p = os.path.join(self._log_dir, n)
+                os.remove(p)
+                deleted.append(p)
+        return deleted
+
     # -- internals -----------------------------------------------------------
     def _collect_staged(
         self, staging: str, pcols: Sequence[str]
@@ -500,12 +520,7 @@ class DeltaLogTable:
         return out
 
     def _latest_version(self) -> int:
-        vs = [
-            int(m.group(1))
-            for n in os.listdir(self._log_dir)
-            if (m := _COMMIT_RE.match(n))
-        ]
-        return max(vs) if vs else -1
+        return latest_log_version(self._log_dir)
 
     def _publish(self, actions: List[dict], version: int) -> bool:
         """Put-if-absent (``O_CREAT|O_EXCL``) commit of ``version``.

@@ -51,6 +51,22 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint(\.\d+\.\d+)?\.parquet$")
 
 
+def latest_log_version(log_dir: str) -> int:
+    """Highest version present in the log: max of JSON commits and the
+    checkpointed version (after ``clean_log`` the checkpoint may be the
+    only witness of older versions). -1 on an empty log."""
+    vs = [
+        int(m.group(1))
+        for n in os.listdir(log_dir)
+        if (m := _COMMIT_RE.match(n))
+    ]
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as f:
+            vs.append(int(json.load(f)["version"]))
+    return max(vs) if vs else -1
+
+
 class DeltaLogSnapshot:
     """One consistent version of a Delta table, reconstructed from its
     transaction log with no Delta jars. ``version=None`` → latest."""
@@ -69,6 +85,9 @@ class DeltaLogSnapshot:
         self._partition_columns: List[str] = []
         #: last metaData action seen during replay (protocol dict)
         self.metadata: Dict[str, object] = {}
+        #: appId -> highest committed txn version (exactly-once ledger);
+        #: survives log cleanup because checkpoints persist these rows
+        self.txn_versions: Dict[str, int] = {}
         self.version: int = -1
         self._replay()
 
@@ -109,6 +128,13 @@ class DeltaLogSnapshot:
         elif "remove" in action:
             self._active.pop(unquote(action["remove"]["path"]), None)
             self._add_stats.pop(unquote(action["remove"]["path"]), None)
+        elif "txn" in action:
+            tx = action["txn"]
+            app = tx.get("appId")
+            if app is not None:
+                self.txn_versions[app] = max(
+                    self.txn_versions.get(app, -1), int(tx["version"])
+                )
 
     def _replay(self) -> None:
         base = self._checkpoint_base()
@@ -138,6 +164,13 @@ class DeltaLogSnapshot:
                         self._apply_action(json.loads(line))
             self.version = v
         if self._schema_json is None:
+            lc = os.path.join(self._log_dir, "_last_checkpoint")
+            if self._requested_version is not None and os.path.exists(lc):
+                raise ValueError(
+                    f"version {self._requested_version} predates the "
+                    "checkpoint and its JSON commits were cleaned "
+                    "(clean_log) — time travel horizon exceeded"
+                )
             raise ValueError(f"no metaData action found in {self._log_dir}")
 
     def _load_checkpoint(self, v: int) -> None:
@@ -155,7 +188,7 @@ class DeltaLogSnapshot:
             cols = set(tbl.column_names)
             for row in tbl.to_pylist():
                 # checkpoint rows are one-action-per-row structs
-                for key in ("metaData", "add", "remove"):
+                for key in ("metaData", "add", "remove", "txn"):
                     if key in cols and row.get(key) is not None:
                         self._apply_action({key: row[key]})
 

@@ -47,6 +47,7 @@ from pyspark.sql.types import StructType
 from pyspark_streaming_base_spark.sources.delta_log import (
     DeltaLogSnapshot,
     _COMMIT_RE,
+    latest_log_version,
 )
 
 
@@ -98,6 +99,12 @@ def _commit_adds(table_path: str, version: int) -> List[Tuple[str, dict]]:
     """(abs path, partitionValues) for dataChange adds of one commit."""
     out = []
     log = os.path.join(table_path, "_delta_log", f"{version:020d}.json")
+    if not os.path.exists(log):
+        raise FileNotFoundError(
+            f"commit {version} is below the log-retention horizon "
+            f"(clean_log removed it); start the stream at a retained "
+            f"version (starting_version) or from a fresh checkpoint"
+        )
     with open(log) as f:
         for line in f:
             line = line.strip()
@@ -260,13 +267,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self._cursor = self.start_version - 1
 
     def _latest(self) -> int:
-        log_dir = os.path.join(self.path, "_delta_log")
-        vs = [
-            int(m.group(1))
-            for n in os.listdir(log_dir)
-            if (m := _COMMIT_RE.match(n))
-        ]
-        return max(vs) if vs else -1
+        return latest_log_version(os.path.join(self.path, "_delta_log"))
 
     def initialOffset(self):
         # versions < starting_version are never read (stream time travel)

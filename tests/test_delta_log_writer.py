@@ -334,3 +334,83 @@ def test_compact_zorder_clusters_files(spark, tmp_path):
     # pre-compaction files each spanned ~the whole 0..39 range; the
     # z-ordered rewrite gives each file a narrow slice
     assert len(spans) > 1 and max(spans) < 39
+
+
+def test_clean_log_preserves_snapshot_and_txn_ledger(spark, tmp_path):
+    """Log retention: after checkpoint + clean_log the snapshot, the
+    stats, AND the exactly-once txn ledger all survive (the checkpoint
+    persists txn rows); replayed batches stay no-ops."""
+    t = DeltaLogTable(str(tmp_path / "t"), checkpoint_interval=100)
+    t.create(SCHEMA)
+    fn = t.foreach_batch("appX")
+    fn(_df(spark, [(1, "a", 1)]), 0)
+    fn(_df(spark, [(2, "b", 2)]), 1)
+    before = _collect(spark, t)
+    t.checkpoint()
+    deleted = t.clean_log()
+    assert len(deleted) == 3  # commits 0..2
+    # snapshot + version numbering intact
+    assert _collect(spark, t) == before
+    assert t.snapshot().version == 2
+    # exactly-once ledger survived the cleanup
+    assert t.last_txn_version("appX") == 1
+    fn(_df(spark, [(2, "b", 2)]), 1)  # replay: must be a no-op
+    assert _collect(spark, t) == before
+    # and new commits continue the version sequence
+    fn(_df(spark, [(3, "c", 3)]), 2)
+    assert t.snapshot().version == 3
+    assert (3, "c", 3) in _collect(spark, t)
+    # time travel below the horizon fails with the documented error
+    with pytest.raises(ValueError, match="horizon"):
+        t.read(spark, version=1).collect()
+
+
+def test_clean_log_requires_checkpoint(spark, tmp_path):
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    with pytest.raises(ValueError, match="checkpoint"):
+        t.clean_log()
+
+
+def test_stream_restart_survives_log_cleanup(spark, tmp_path):
+    """A checkpointed stream whose offsets are past the horizon keeps
+    working after clean_log (it only reads commits > its offset)."""
+    from collections import Counter
+
+    from pyspark_streaming_base_spark.sources.delta_log_stream import (
+        DeltaLogStreamDataSource,
+    )
+
+    spark.dataSource.register(DeltaLogStreamDataSource)
+    t = DeltaLogTable(str(tmp_path / "t"), checkpoint_interval=100)
+    t.create(SCHEMA)
+    t.append(_df(spark, [(1, "a", 1)]))
+    t.append(_df(spark, [(2, "b", 2)]))
+    out = tmp_path / "out"
+
+    def run():
+        q = (
+            spark.readStream.format("delta_log")
+            .option("path", str(tmp_path / "t"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    t.checkpoint()
+    t.clean_log()
+    t.append(_df(spark, [(3, "c", 3)]))
+    run()
+    got = Counter(
+        (r.id, r.color, r.score)
+        for r in spark.read.schema(SCHEMA).parquet(str(out)).collect()
+    )
+    assert got == Counter({(1, "a", 1): 1, (2, "b", 2): 1, (3, "c", 3): 1})
