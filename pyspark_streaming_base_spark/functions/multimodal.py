@@ -76,6 +76,32 @@ class StubDecoder:
         }
 
 
+class BMPDecoder:
+    """Real decode for BMP payloads with NO third-party library — the
+    format's 54-byte header is public and fixed (BITMAPFILEHEADER +
+    BITMAPINFOHEADER), so width/height parse with ``struct`` alone.
+    Exists to prove the decode path handles REAL media even in
+    environments without Pillow/ffmpeg: the plumbing (Arrow batches,
+    dead-lettering, fan-out) is identical for every backend, only the
+    header parse differs. Non-BMP payloads raise and dead-letter."""
+
+    name = "bmp-header-v1"
+
+    def decode(self, payload: bytes) -> dict:
+        import struct
+
+        if len(payload) < 26 or payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        header_size = struct.unpack_from("<I", payload, 14)[0]
+        if header_size >= 40:  # BITMAPINFOHEADER and successors
+            width, height = struct.unpack_from("<ii", payload, 18)
+        elif header_size == 12:  # legacy BITMAPCOREHEADER
+            width, height = struct.unpack_from("<hh", payload, 18)
+        else:
+            raise ValueError(f"unknown DIB header size {header_size}")
+        return {"width": abs(int(width)), "height": abs(int(height)), "n_frames": 1}
+
+
 class PILImageDecoder:
     """Real image decode via Pillow (feature-detected).
 
