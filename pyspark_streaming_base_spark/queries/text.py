@@ -1169,3 +1169,72 @@ def q117_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("n_docs_both").desc(), "w1", "w2").limit(_COOC_TOP)
+
+
+@query(
+    "q121_contamination_fraction",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, hk,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                      for i in generate_series(1, len(toks) - 2)])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM base
+    ), ev AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE hk < '{_SPLIT_VAL_HEX}'
+    ), tr AS (
+      SELECT doc_id, lang, unnest(shingles) AS s
+      FROM sh WHERE hk >= '{_SPLIT_TEST_HEX}'
+    )
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE s IN (SELECT s FROM ev)) AS BIGINT)
+             AS n_overlap,
+           CAST(count(*) FILTER (WHERE s IN (SELECT s FROM ev)) AS DOUBLE)
+             / count(*) AS overlap_frac
+    FROM tr GROUP BY doc_id, lang
+    """,
+)
+def q121_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination score per train document (training-pipeline
+    extension): the FRACTION of a doc's distinct 3-shingles present in
+    the held-out split — q87's binary flag upgraded to the ranked score
+    real pipelines threshold on (a doc quoting one benchmark line and a
+    doc that IS a benchmark differ only here). Same deterministic
+    md5-threshold splits and canonical shingles as q49/q87; the overlap
+    test is a LEFT-join-with-match-mark on the shingle key — still one
+    equi-join, never pairwise. Integer-ratio fraction → bit-exact.
+    """
+    from pyspark_streaming_base_spark.functions.textops import word_shingles
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        word_shingles(F.col("text")).alias("shingles"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("hk"),
+    )
+    ev = (
+        d.where(F.col("hk") < _SPLIT_VAL_HEX)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = d.where(F.col("hk") >= _SPLIT_TEST_HEX).select(
+        "doc_id", "lang", F.explode("shingles").alias("s")
+    )
+    n_overlap = F.count(F.when(F.col("_hit").isNotNull(), 1))
+    return (
+        tr.join(ev, "s", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            n_overlap.cast("bigint").alias("n_overlap"),
+            (n_overlap.cast("double") / F.count(F.lit(1))).alias("overlap_frac"),
+        )
+    )
