@@ -595,3 +595,45 @@ def q108_fuzzy_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_self_join(
         p, id_col="p_partkey", str_col="p_name", max_dist=2
     )
+
+
+@query("q122_cluster_representatives", oracle=None)  # clusters are iterative
+def q122_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based keeper selection (the dedup DECISION step): for each
+    near-dup cluster keep the HIGHEST-QUALITY member, not the lowest id
+    — the policy production dedup actually wants (the min-id canonical
+    of q44 is an arbitrary survivor; quality-ranked selection keeps the
+    longest/most-diverse copy of boilerplate families).
+
+    Composition: q44's transitive clusters × q51's quality scores →
+    ``max_by`` per component with a (score, -doc_id) tie-break. Emits
+    every clustered doc with its cluster keeper and whether it survives.
+    Rows-only (clusters come from iterative label propagation); the
+    pytest twin proves one keeper per cluster and keeper-maximality.
+    """
+    from pyspark_streaming_base_spark.queries.text import q51_quality_score
+
+    clusters = q44_dedup_clusters(spark, sf_dir)
+    quality = q51_quality_score(spark, sf_dir).select(
+        "doc_id", F.col("quality").alias("quality_score")
+    )
+    scored = clusters.join(quality, "doc_id")
+    keepers = scored.groupBy("canonical").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("tb")),
+        ).alias("keeper_id"),
+        F.max("quality_score").alias("keeper_score"),
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+    )
+    return (
+        scored.join(keepers, "canonical")
+        .select(
+            "doc_id",
+            F.col("canonical").cast("bigint").alias("cluster"),
+            F.col("keeper_id").cast("bigint").alias("keeper_id"),
+            (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+            "quality_score",
+            "cluster_size",
+        )
+    )

@@ -323,3 +323,32 @@ def test_dup_span_matches_bruteforce(spark, docs):
             for r in q107_dup_span_detection(spark, d).collect()
         }
     assert got == expect
+
+
+def test_cluster_representatives_keeper_invariants(spark):
+    """q122: exactly one keeper per cluster, the keeper maximizes the
+    quality score (doc_id tie-break), and membership matches q44."""
+    from collections import defaultdict
+
+    rows = R["q122_cluster_representatives"].fn(spark, SF_MEDIUM).collect()
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster].append(r)
+    assert clusters
+    for members in clusters.values():
+        keepers = [r for r in members if r.kept]
+        assert len(keepers) == 1
+        k = keepers[0]
+        mx = max(r.quality_score for r in members)
+        assert k.quality_score == mx
+        # doc_id tie-break: among max-quality members the LOWEST id wins
+        best_ids = [r.doc_id for r in members if r.quality_score == mx]
+        assert k.doc_id == min(best_ids)
+        assert all(r.keeper_id == k.doc_id for r in members)
+        assert all(r.cluster_size == len(members) for r in members)
+    # same membership as the q44 clustering it composes
+    q44 = {
+        (r.doc_id, r.canonical)
+        for r in R["q44_dedup_clusters"].fn(spark, SF_MEDIUM).collect()
+    }
+    assert {(r.doc_id, r.cluster) for r in rows} == q44
