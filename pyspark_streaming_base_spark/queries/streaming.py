@@ -519,3 +519,35 @@ def q106_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return click_purchase_interval_join_full(clicks, purchases)
+
+
+@query("q123_hll_rollup", oracle=None)  # sketch bytes are engine-specific
+def q123_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier hierarchical rollup (C7 × q76): DAILY distinct-user
+    estimates folded from HOURLY HyperLogLog sketches — the COUNT
+    DISTINCT that q76's sum/count/max rollup cannot express, because
+    distincts don't add. HLL registers max-merge, which is commutative,
+    associative, and idempotent, so the fold is not approximately right
+    but IDENTICAL to sketching the raw day directly (the pytest twin
+    asserts estimate equality, not a tolerance) — the property that
+    lets a continuous aggregate maintain distinct counts from partials
+    at 100 TB. State per (hour, type): one fixed-size sketch.
+
+    Rows-only for the driver (sketch internals are engine-specific);
+    the estimate itself is also sanity-bounded against the exact
+    distinct count in the twin.
+    """
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "hour").alias("day"),
+        "event_type",
+    ).agg(F.hll_union_agg("sk").alias("sk"))
+    return daily.select(
+        "day",
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
