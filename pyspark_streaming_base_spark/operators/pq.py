@@ -93,7 +93,17 @@ def _assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:
 def pq_codebooks(emb: DataFrame, m: int, k: int, iters: int = 3) -> DataFrame:
     """(sub, cid, cv): K codewords per subspace after ``iters`` joint
     Lloyd rounds. ``emb`` needs (vec_id, vec: array<double>); init is
-    the subvectors of the K lowest vec_ids (deterministic, no RNG)."""
+    the subvectors of the K lowest vec_ids (deterministic, no RNG).
+
+    The dimension must divide evenly by ``m`` — checked here at index
+    build time (one 1-row driver action; otherwise ``slice`` would
+    silently DROP the tail dimensions from every signature)."""
+    probe = emb.select(F.size("vec").alias("d")).first()
+    if probe is not None and probe.d % m != 0:
+        raise ValueError(
+            f"vector dimension {probe.d} is not divisible by m={m}; "
+            "the tail dimensions would be silently dropped"
+        )
     subvecs = pq_subvectors(emb, m)
     cent = subvecs.filter(F.col("vec_id") < k).select(
         "sub", F.col("vec_id").cast("bigint").alias("cid"), F.col("sv").alias("cv")

@@ -85,8 +85,14 @@ def _read_split(split: _FileSplit) -> Iterator:
                 val = raw  # string-family: protocol encoding is the value
             arrays.append(pa.array([val] * n))
             names.append(field.name)
-        else:
+        elif field.name in tbl.column_names:
             arrays.append(tbl.column(field.name))
+            names.append(field.name)
+        else:
+            # additive schema evolution: files written before a nullable
+            # column was added null-fill it (the Delta mergeSchema read
+            # contract) instead of failing the task
+            arrays.append(pa.nulls(n))
             names.append(field.name)
     out = pa.Table.from_arrays(
         [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],

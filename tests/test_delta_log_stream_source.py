@@ -409,3 +409,29 @@ def test_delta_stream_replicates_into_upsert_mirror(spark, tmp_path):
     assert got == {1: ("a", 12), 2: ("b", 20), 3: ("c", 31)}
     # source history is intact (the mirror is a VIEW, not a rewrite)
     assert src.read(spark).count() == 6
+
+
+def test_batch_scan_nullfills_pre_evolution_files(spark, tmp_path):
+    """Files committed before a column existed in the log schema
+    null-fill it on read (additive-evolution contract) — built by
+    hand-editing the log the way an external evolving writer would."""
+    import json as _json
+    import os as _os
+
+    t = _table(spark, tmp_path / "t", [[(1, "red", 10)]])
+    # simulate an external writer evolving the schema: append a metaData
+    # action with an extra nullable column
+    snap = t.snapshot()
+    schema = _json.loads(snap.metadata["schemaString"])
+    schema["fields"].append(
+        {"name": "extra", "type": "long", "nullable": True, "metadata": {}}
+    )
+    log = tmp_path / "t" / "_delta_log"
+    with open(log / f"{2:020d}.json", "w") as f:
+        md = dict(snap.metadata)
+        md["schemaString"] = _json.dumps(schema)
+        f.write(_json.dumps({"metaData": md}) + "\n")
+
+    df = spark.read.format("delta_log").option("path", str(tmp_path / "t")).load()
+    rows = df.collect()
+    assert [(r.id, r.color, r.score, r.extra) for r in rows] == [(1, "red", 10, None)]

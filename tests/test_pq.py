@@ -190,3 +190,11 @@ def test_ivfadc_recall_and_pruning(spark, emb, trained):
     # half the corpus is pruned before scoring: recall trades against the
     # 2x scan reduction; floor set with margin under the measured value
     assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_codebooks_reject_indivisible_dimension(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [4.0, 5.0, 6.0])], "vec_id long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(df, m=2, k=2, iters=1)
