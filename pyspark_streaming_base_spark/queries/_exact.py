@@ -93,3 +93,26 @@ def sql_dsum(expr: str) -> str:
 def sql_davg(expr: str) -> str:
     """DuckDB twin of :func:`davg`."""
     return f"({sql_dsum(expr)}) / COUNT({expr})"
+
+
+def dround(col: Column, scale: int = 6) -> Column:
+    """Engine-portable round-half-up for arbitrary-precision doubles:
+    ``floor(x·10^s + 0.5) / 10^s`` — pure IEEE ops, so both engines
+    round the same BINARY value identically. Plain ``ROUND`` diverges
+    here: Spark rounds the shortest DECIMAL representation (BigDecimal)
+    while DuckDB rounds the binary double, and values whose shortest
+    representation sits on the .5 boundary flip between them (observed
+    at sf0.1 on ratio/interpolation outputs; ``scaled()`` inputs are
+    immune because the ≤6-decimal contract keeps them off boundaries).
+    For non-negative inputs this is exactly HALF_UP; negative halves
+    round toward +inf — use only where the sign is fixed or the
+    convention is acceptable on both sides.
+    """
+    f = float(10**scale)
+    return F.floor(col * f + F.lit(0.5)) / F.lit(f)
+
+
+def sql_dround(expr: str, scale: int = 6) -> str:
+    """DuckDB twin of :func:`dround`."""
+    f = float(10**scale)
+    return f"FLOOR(({expr}) * {f} + 0.5) / {f}"

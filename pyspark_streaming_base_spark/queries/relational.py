@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._exact import dsum, scaled, sql_dsum, unscale
+from pyspark_streaming_base_spark.queries._exact import (
+    dround,
+    dsum,
+    scaled,
+    sql_dround,
+    sql_dsum,
+    unscale,
+)
 from pyspark_streaming_base_spark.queries._tables import dim, t
 
 
@@ -1288,11 +1295,11 @@ def q88_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ps AS (
       SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-             ROUND(
-               ({sql_dsum("l_extendedprice")})
-               / (CAST(SUM(CAST(ROUND(l_quantity * 1000000.0, 0) AS BIGINT))
-                    AS DOUBLE) / 1000000.0),
-               6) AS unit_price_r
+             {sql_dround(
+                 sql_dsum("l_extendedprice")
+                 + " / (CAST(SUM(CAST(ROUND(l_quantity * 1000000.0, 0)"
+                 " AS BIGINT)) AS DOUBLE) / 1000000.0)"
+             )} AS unit_price_r
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     best AS (
@@ -1336,8 +1343,8 @@ def q96_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = li.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(
-        F.round(
-            dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity")), 6
+        dround(
+            dsum(F.col("l_extendedprice")) / dsum(F.col("l_quantity"))
         ).alias("unit_price_r")
     )
     w = W.partitionBy("partkey").orderBy("unit_price_r", "suppkey")

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._exact import scaled, unscale
+from pyspark_streaming_base_spark.queries._exact import dround, scaled, unscale
 from pyspark_streaming_base_spark.queries._tables import t
 
 #: Pair-space bound for q37: correlate only the top-N most active users.
@@ -423,11 +423,11 @@ def q69_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, h,
            CAST(hv IS NOT NULL AS BIGINT) AS observed,
-           ROUND(CASE WHEN hv IS NOT NULL THEN hv
+           FLOOR((CASE WHEN hv IS NOT NULL THEN hv
                       ELSE pv + (nv - pv)
                            * (CAST(date_diff('second', ph, h) AS DOUBLE)
                               / CAST(date_diff('second', ph, nh) AS DOUBLE))
-                 END, 6) AS v_interp_r
+                 END) * 1000000.0 + 0.5) / 1000000.0 AS v_interp_r
     FROM ctx
     """,
 )
@@ -494,11 +494,10 @@ def q99_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "h",
         F.col("hv").isNotNull().cast("bigint").alias("observed"),
-        F.round(
+        dround(
             F.when(F.col("hv").isNotNull(), F.col("hv")).otherwise(
                 F.col("pv") + (F.col("nv") - F.col("pv")) * frac
-            ),
-            6,
+            )
         ).alias("v_interp_r"),
     )
 
