@@ -21,6 +21,7 @@ from pyspark_streaming_base_spark.functions.textops import (
 )
 from pyspark_streaming_base_spark.operators.fuzzyjoin import hamming_self_join
 from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._exact import dround
 from pyspark_streaming_base_spark.queries._tables import t
 
 
@@ -184,11 +185,10 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, sim_r
     FROM (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             ROUND(
+             FLOOR((
                list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
                / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                  * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
-               6) AS sim_r
+                  * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0 AS sim_r
       FROM embeddings a
       JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     )
@@ -221,7 +221,7 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_b"), "label", F.col("vec").alias("vec_b")
     )
     pairs = a.join(b, ["label"]).filter(F.col("doc_a") < F.col("doc_b"))
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+    sim = dround(cosine(F.col("vec_a"), F.col("vec_b")))
     return (
         pairs.withColumn("sim_r", sim)
         .filter(F.col("sim_r") >= 0.35)

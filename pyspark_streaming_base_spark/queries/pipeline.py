@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark_streaming_base_spark.functions.textops import redact, tokens
 from pyspark_streaming_base_spark.functions.vectorops import dvec
 from pyspark_streaming_base_spark.queries import query
+from pyspark_streaming_base_spark.queries._exact import dround
 from pyspark_streaming_base_spark.queries._tables import t
 
 _DIGIT_RUN = r"[0-9]+"
@@ -86,10 +87,10 @@ def q91_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(list_sum(qvec) AS BIGINT) AS q_sum,
            md5(array_to_string(qvec, '-')) AS q_digest,
-           ROUND(list_max(list_transform(range(1, len(v) + 1),
+           FLOOR(list_max(list_transform(range(1, len(v) + 1),
              i -> ABS((v[i] - mins[i])
-                      - CAST(qvec[i] AS DOUBLE) * rngs[i] / 255.0))),
-             6) AS max_abs_err_r
+                      - CAST(qvec[i] AS DOUBLE) * rngs[i] / 255.0)))
+             * 1000000.0 + 0.5) / 1000000.0 AS max_abs_err_r
     FROM q
     """,
 )
@@ -149,7 +150,7 @@ def q92_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws("-", F.transform("qvec", lambda x: x.cast("string")))
         ).alias("q_digest"),
-        F.round(F.array_max("err"), 6).alias("max_abs_err_r"),
+        dround(F.array_max("err")).alias("max_abs_err_r"),
     )
 
 
@@ -165,7 +166,8 @@ def q92_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(c.c) AS BIGINT) AS sum_freq,
-           ROUND(CAST(SUM(c.c) AS DOUBLE) / COUNT(*), 6) AS avg_tok_freq_r
+           FLOOR((CAST(SUM(c.c) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_tok_freq_r
     FROM tok t JOIN cnt c USING (tok)
     GROUP BY t.doc_id
     """,
@@ -198,7 +200,7 @@ def q93_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "sum_freq",
-            F.round(F.col("sum_freq").cast("double") / F.col("n_tokens"), 6).alias(
+            dround(F.col("sum_freq").cast("double") / F.col("n_tokens")).alias(
                 "avg_tok_freq_r"
             ),
         )
@@ -645,8 +647,9 @@ def q103_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH n AS (
       SELECT vec_id,
-             ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[]))), 6)
+             FLOOR(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))
+                   * 1000000.0 + 0.5) / 1000000.0
                AS norm_r
       FROM embeddings
     ),
@@ -654,7 +657,8 @@ def q103_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
              CAST(SUM(CAST(ROUND(norm_r * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
                / 1000000.0 AS sum_norm,
-             CAST(SUM(CAST(ROUND(ROUND(norm_r * norm_r, 6) * 1000000.0, 0)
+             CAST(SUM(CAST(ROUND((FLOOR(norm_r * norm_r * 1000000.0 + 0.5)
+                      / 1000000.0) * 1000000.0, 0)
                       AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_norm2
       FROM n
     )
@@ -689,12 +693,12 @@ def q104_embedding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", dvec("embedding").alias("v"))
     n = emb.select(
-        "vec_id", F.round(F.sqrt(dot(F.col("v"), F.col("v"))), 6).alias("norm_r")
+        "vec_id", dround(F.sqrt(dot(F.col("v"), F.col("v")))).alias("norm_r")
     )
     stats = n.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         dsum(F.col("norm_r")).alias("sum_norm"),
-        dsum(F.round(F.col("norm_r") * F.col("norm_r"), 6)).alias("sum_norm2"),
+        dsum(dround(F.col("norm_r") * F.col("norm_r"))).alias("sum_norm2"),
     )
     mean = F.col("sum_norm") / F.col("n_vecs")
     # clamp: rounding the moments can push the variance epsilon-negative

@@ -828,7 +828,7 @@ def q17_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(CEIL(c_acctbal / 100.0) AS BIGINT) AS bal_ceil,
       CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_floor,
       SQRT(ABS(c_acctbal)) AS bal_sqrt,
-      ROUND(LN(ABS(c_acctbal) + 1.0), 6) AS bal_ln,
+      FLOOR(LN(ABS(c_acctbal) + 1.0) * 1000000.0 + 0.5) / 1000000.0 AS bal_ln,
       c_acctbal * c_acctbal AS bal_sq
     FROM customer
     WHERE c_custkey % 7 = 0
@@ -845,7 +845,7 @@ def q18_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("c_acctbal") / 100.0).cast("bigint").alias("bal_ceil"),
         F.floor(F.col("c_acctbal") / 100.0).cast("bigint").alias("bal_floor"),
         F.sqrt(F.abs(F.col("c_acctbal"))).alias("bal_sqrt"),
-        F.round(F.log(F.abs(F.col("c_acctbal")) + 1.0), 6).alias("bal_ln"),
+        dround(F.log(F.abs(F.col("c_acctbal")) + 1.0)).alias("bal_ln"),
         (F.col("c_acctbal") * F.col("c_acctbal")).alias("bal_sq"),
     )
 

@@ -24,7 +24,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from pyspark_streaming_base_spark.functions.vectorops import cosine, dot, dvec as _dvec
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._exact import dsum, sql_dsum
+from pyspark_streaming_base_spark.queries._exact import dround, dsum, sql_dsum
 from pyspark_streaming_base_spark.queries._tables import t
 
 #: Number of query vectors (lowest vec_ids) used by the demo queries.
@@ -38,18 +38,16 @@ _TOP_K = 10
     SELECT qid, vec_id, sim_r, rnk
     FROM (
       SELECT q.vec_id AS qid, c.vec_id AS vec_id,
-             ROUND(
+             FLOOR((
                list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
                / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-                  * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
-               6) AS sim_r,
+                  * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0 AS sim_r,
              CAST(ROW_NUMBER() OVER (
                PARTITION BY q.vec_id
-               ORDER BY ROUND(
+               ORDER BY FLOOR((
                  list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
                  / (SQRT(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-                    * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))),
-                 6) DESC, c.vec_id
+                    * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0 DESC, c.vec_id
              ) AS BIGINT) AS rnk
       FROM (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
       JOIN embeddings c ON c.vec_id <> q.vec_id
@@ -72,7 +70,7 @@ def q60_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = emb.select("vec_id", _dvec("embedding").alias("cvec"))
-    sim = F.round(cosine(F.col("qvec"), F.col("cvec")), 6)
+    sim = dround(cosine(F.col("qvec"), F.col("cvec")))
     ranked = (
         q.join(c, F.col("vec_id") != F.col("qid"))
         .withColumn("sim_r", sim)
@@ -297,8 +295,8 @@ def q63_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            {s} AS sum_norm
     FROM (
       SELECT label,
-             ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[]))), 6) AS emb_norm
+             FLOOR((SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))) * 1000000.0 + 0.5) / 1000000.0 AS emb_norm
       FROM embeddings
     )
     GROUP BY label
@@ -314,7 +312,7 @@ def q62_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_exact.py``).
     """
     emb = t(spark, sf_dir, "embeddings")
-    norm = F.round(F.sqrt(dot(_dvec("embedding"), _dvec("embedding"))), 6)
+    norm = dround(F.sqrt(dot(_dvec("embedding"), _dvec("embedding"))))
     return (
         emb.select("label", norm.alias("emb_norm"))
         .groupBy("label")

@@ -123,8 +123,9 @@ def q36_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.user_id, b.user_id
     )
     SELECT user_a, user_b, CAST(n AS BIGINT) AS n_hours,
-           ROUND((n * sxy - sx * sy)
-                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_r
+           FLOOR(((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr_r
     FROM pairs
     WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
     """,
@@ -193,7 +194,7 @@ def q37_user_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_a",
             "user_b",
             F.col("n").cast("bigint").alias("n_hours"),
-            F.round(corr, 6).alias("corr_r"),
+            dround(corr).alias("corr_r"),
         )
     )
 
