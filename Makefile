@@ -1,13 +1,20 @@
 # Developer entry points. All gates run on the preinstalled toolchain —
 # no network access assumed.
 
-.PHONY: test correctness bench lint plan-lint install smoke
+.PHONY: test correctness correctness-sf01 bench lint plan-lint install smoke scale-smoke
 
 test:
 	python -m pytest tests/ -q
 
 correctness:
 	python tools/check_correctness.py
+
+correctness-sf01:
+	# exactness at 10x the driver's scale — every oracle, sf0.1
+	python tools/check_correctness.py /root/testdata/sf0.1
+
+scale-smoke:
+	python tools/scale_smoke.py
 
 bench:
 	python bench.py 2>/dev/null | tail -1
