@@ -414,3 +414,48 @@ def test_stream_restart_survives_log_cleanup(spark, tmp_path):
         for r in spark.read.schema(SCHEMA).parquet(str(out)).collect()
     )
     assert got == Counter({(1, "a", 1): 1, (2, "b", 2): 1, (3, "c", 3): 1})
+
+
+# -- model-based property test ----------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.integers(0, 50), min_size=1, max_size=4)),
+    st.tuples(st.just("overwrite"), st.lists(st.integers(0, 50), min_size=1, max_size=4)),
+    st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("checkpoint"), st.just(None)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(ops=st.lists(_op, min_size=1, max_size=5))
+def test_delta_log_table_matches_list_model(spark, tmp_path_factory, ops):
+    """Arbitrary append/overwrite/compact/checkpoint sequences: the table
+    must always read back exactly what a trivial in-memory list model
+    holds — the replay/compaction/checkpoint machinery can never change
+    WHAT is stored, only how."""
+    base = tmp_path_factory.mktemp("dlt")
+    t = DeltaLogTable(str(base / "t"), checkpoint_interval=1000)
+    t.create(SCHEMA)
+    model: list = []
+    for kind, payload in ops:
+        if kind == "append":
+            rows = [(i, f"c{i % 3}", i * 10) for i in payload]
+            t.append(_df(spark, rows))
+            model.extend(rows)
+        elif kind == "overwrite":
+            rows = [(i, f"c{i % 3}", i * 10) for i in payload]
+            t.overwrite(_df(spark, rows))
+            model = list(rows)
+        elif kind == "compact":
+            t.compact(spark, target_files=1)
+        elif kind == "checkpoint":
+            t.checkpoint()
+        got = sorted((r.id, r.color, r.score) for r in t.read(spark).collect())
+        assert got == sorted(model), (kind, payload)
