@@ -138,24 +138,39 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
 
 
 def _adc_tables(queries: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
-    """(qid, tabs): per-query M×K exact subspace distance table packed
-    as array-of-arrays — tabs[sub][cid] = ||q_sub - codeword||². The one
-    table definition :func:`pq_search` and :func:`ivfadc_search` share."""
+    """(qid, tabs): per-query M-row table of CID-KEYED subspace distance
+    maps — tabs[sub][cid] = ||q_sub - codeword||². The one table
+    definition :func:`pq_search` and :func:`ivfadc_search` share.
+
+    The per-subspace row is a ``map<cid, d2>``, not a positional array:
+    if a Lloyd cluster empties during :func:`pq_codebooks` training (a
+    real event on skewed data), surviving cids go SPARSE, and a
+    positional ``element_at(row, code+1)`` would silently read the wrong
+    codeword's distance (or throw under ANSI). Key lookup is immune —
+    every code was assigned FROM the codebook, so its key always
+    resolves."""
     qsubs = pq_subvectors(queries, m, id_col="qid", vec_col="qvec")
     return (
         qsubs.join(F.broadcast(codebooks), "sub")
         .withColumn("d2", _d2("sv", "cv"))
         .groupBy("qid", "sub")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("cid", "d2"))),
-                lambda s: s["d2"],
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("cid", "d2")))
             ).alias("row")
         )
         .groupBy("qid")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                # comparator on sub only: a struct holding a map is not
+                # natively orderable, and sub IS dense 0..M-1 (it comes
+                # from sequence(0, m-1)), so positional-by-sub is safe
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "row")),
+                    lambda l, r: F.when(l["sub"] < r["sub"], -1)
+                    .when(l["sub"] > r["sub"], 1)
+                    .otherwise(0),
+                ),
                 lambda s: s["row"],
             ).alias("tabs")
         )
@@ -163,11 +178,11 @@ def _adc_tables(queries: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
 
 
 def _adc_fold() -> F.Column:
-    """Σ_m tabs[m][codes[m]] — the ADC lookup sum over a codes row."""
+    """Σ_m tabs[m][codes[m]] — the ADC lookup sum over a codes row.
+    ``tabs[m]`` is a cid-keyed map (see :func:`_adc_tables`), so the
+    lookup is by code VALUE, robust to sparse cids."""
     return F.aggregate(
-        F.zip_with(
-            "codes", "tabs", lambda c, row: F.element_at(row, (c + 1).cast("int"))
-        ),
+        F.zip_with("codes", "tabs", lambda c, row: F.element_at(row, c)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

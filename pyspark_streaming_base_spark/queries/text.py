@@ -1154,7 +1154,11 @@ def q117_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c12"))
     )
-    nd = d.select(F.count_distinct("doc_id").alias("nd"))
+    # doc-count base = docs with ≥1 token (the tokenized frame), matching
+    # the oracle's `FROM tok` — counting raw documents would diverge on
+    # empty/whitespace-only texts (latent in current fixtures, real in
+    # production corpora)
+    nd = tok.select(F.count_distinct("doc_id").alias("nd"))
     out = (
         pairs.join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "cw1")), "w1")
         .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "cw2")), "w2")

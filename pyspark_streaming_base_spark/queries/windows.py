@@ -843,7 +843,7 @@ def q118_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q120_scd2_intervals",
     oracle="""
     WITH o AS (
-      SELECT user_id, event_type AS state, ts,
+      SELECT user_id, event_type AS state, ts, event_id,
              LAG(event_type) OVER w AS prev_state
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -852,7 +852,8 @@ def q118_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, state, ts,
              SUM(CASE WHEN prev_state IS NULL OR state <> prev_state
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
                AS run_id
       FROM o
     ),

@@ -254,8 +254,15 @@ def ewma_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         (n, s) = state.get if state.exists else (0, 0.0)
-        for pdf in pdfs:
-            for x in pdf.sort_values(["ts", "event_id"])["value"]:
+        # a large group arrives as MULTIPLE Arrow chunks within one
+        # micro-batch; sorting each chunk independently would fold
+        # cross-chunk rows in delivery order — concatenate first so the
+        # (ts, event_id) order holds across the whole batch (the chunk
+        # list is bounded by the group's rows in this batch)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            for x in batch.sort_values(["ts", "event_id"])["value"]:
                 x = float(x)
                 s = x if n == 0 else alpha * x + (1.0 - alpha) * s
                 n += 1

@@ -342,8 +342,12 @@ def test_push_filters_prunes_files(spark, tmp_path):
     assert planned(In(("id",), (5, 25))) == 2
     # range conjunction
     assert planned(GreaterThan(("id",), 9), LessThanOrEqual(("id",), 19)) == 1
-    # unknown column: never prune
-    assert planned(EqualTo(("color",), "zzz")) == 3 or True  # string stats may prune
+    # string stats prune too: color='c' in every file, so min/max proves
+    # 'zzz' can't match anywhere, while 'c' keeps everything
+    assert planned(EqualTo(("color",), "zzz")) == 0
+    assert planned(EqualTo(("color",), "c")) == 3
+    # genuinely unknown column (no stats, not a partition col): never prune
+    assert planned(EqualTo(("no_such_col",), "zzz")) == 3
 
 
 def test_push_filters_prunes_partitions(spark, tmp_path):

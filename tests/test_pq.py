@@ -198,3 +198,42 @@ def test_codebooks_reject_indivisible_dimension(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         pq_codebooks(df, m=2, k=2, iters=1)
+
+
+def test_adc_survives_sparse_cids(spark):
+    """Regression (r4 advice): if a Lloyd cluster empties during training,
+    surviving cids go SPARSE (e.g. {0, 2, 3}) — the cid-keyed ADC table
+    must still score every code correctly, where a positional lookup
+    would silently read the wrong codeword's distance (or throw under
+    ANSI for the max cid)."""
+    m = 2
+    # hand-built codebook with a GAP: cids {0, 2, 5} per subspace
+    cb = spark.createDataFrame(
+        [
+            (s, cid, [float(cid + 10 * s), float(cid + 10 * s)])
+            for s in range(m)
+            for cid in (0, 2, 5)
+        ],
+        "sub int, cid bigint, cv array<double>",
+    )
+    # corpus vectors sitting exactly ON codewords (codes known a priori)
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 10.0, 10.0]),   # codes [0, 0]
+            (1, [5.0, 5.0, 15.0, 15.0]),   # codes [5, 5]  <- max sparse cid
+            (2, [2.0, 2.0, 12.0, 12.0]),   # codes [2, 2]
+        ],
+        "vec_id long, vec array<double>",
+    )
+    enc = pq_encode(emb, cb, m)
+    assert {r.vec_id: list(r.codes) for r in enc.collect()} == {
+        0: [0, 0],
+        1: [5, 5],
+        2: [2, 2],
+    }
+    queries = spark.createDataFrame(
+        [(100, [0.0, 0.0, 10.0, 10.0])], "qid long, qvec array<double>"
+    )
+    got = {r.vec_id: r.adc_r for r in pq_search(enc, cb, queries, m, top_k=3).collect()}
+    # exact ADC distances from the query to each (on-codeword) vector
+    assert got == {0: 0.0, 2: 4 * 4.0, 1: 4 * 25.0}

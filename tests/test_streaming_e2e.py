@@ -791,3 +791,55 @@ def test_ewma_stream_equals_batch_recursion_exactly(spark, tmp_path):
     for uid, (n, s) in expect.items():
         assert final[uid].n_events == n
         assert final[uid].ewma == s, uid  # exact, not approximate
+
+
+def test_ewma_stream_multi_chunk_group_exact(spark, tmp_path):
+    """A group LARGER than one Arrow chunk still folds in (ts, event_id)
+    order: ``maxRecordsPerBatch=7`` splits a 100-row single-user group
+    into ~15 pandas chunks inside ONE micro-batch, and the staged file is
+    deliberately scrambled so delivery order ≠ event-time order.
+    Regression test for the per-chunk-sort bug (chunks must be
+    concatenated before sorting — cross-chunk rows otherwise fold in
+    delivery order)."""
+    from datetime import datetime, timedelta
+
+    from pyspark_streaming_base_spark.streaming.stateful import ewma_stream
+
+    n = 100
+    base = datetime(2024, 1, 1)
+    # ts offset is a permutation of 0..n-1 (gcd(37, 100) = 1), value varies
+    recs = [
+        (base + timedelta(seconds=(i * 37) % n), i, 1, float((i * 13) % 29))
+        for i in range(n)
+    ]
+    # scramble the physical row order with a deterministic integer mix
+    recs.sort(key=lambda r: (r[1] * 2654435761) % 1000003)
+    events = spark.createDataFrame(recs, "ts timestamp, event_id bigint, user_id bigint, value double")
+    staging = str(tmp_path / "stage")
+    events.coalesce(1).write.parquet(staging)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        reader = spark.readStream.schema(events.schema).parquet(staging)
+        q = (
+            ewma_stream(reader)
+            .writeStream.format("memory")
+            .queryName("ewma_chunks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
+
+    got = {r.user_id: r for r in spark.table("ewma_chunks").collect()}
+    s, cnt = 0.0, 0
+    for ts, eid, _, v in sorted(recs, key=lambda r: (r[0], r[1])):
+        s = v if cnt == 0 else 0.5 * v + 0.5 * s
+        cnt += 1
+    assert got[1].n_events == n
+    assert got[1].ewma == s  # bit-exact despite multi-chunk delivery
