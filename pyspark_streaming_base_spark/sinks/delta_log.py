@@ -35,9 +35,13 @@ put-if-absent, which the local-filesystem Delta LogStore also assumes):
    every JSON commit — O(files) state, not O(history)).
 
 Scale shape: per commit the driver handles one rename + one stat per
-staged file and never touches row data. At 100 TB the log is O(total
-files) metadata like any Delta deployment; checkpoints keep snapshot
-construction O(active files).
+staged file and never touches row data — including parquet FOOTERS: the
+per-file skipping ``stats`` are computed executor-side in one Spark job
+(:func:`_stats_for_staged`), so a thousand-file commit on object storage
+costs the driver a thousand renames of metadata, never a thousand remote
+footer reads (real Delta computes stats in the write task for the same
+reason). At 100 TB the log is O(total files) metadata like any Delta
+deployment; checkpoints keep snapshot construction O(active files).
 
 Timestamps in actions are taken from the data files' filesystem mtimes
 (no wall-clock reads of our own), and the table id is derived from the
@@ -107,6 +111,29 @@ def _file_stats(path: str) -> str:
         out["maxValues"] = maxs
         out["nullCount"] = nulls
     return json.dumps(out)
+
+
+def _stats_for_staged(spark, staged) -> Dict[str, str]:
+    """Per-staged-file ``stats`` JSON computed EXECUTOR-side in one Spark
+    job: the driver ships only the file paths and collects only the
+    O(files) stats strings — it never opens a parquet footer itself.
+    A driver-serial footer loop is harmless on a local FS but serializes
+    thousands of remote reads through one process on object storage; real
+    Delta writers fold stats into the write task for the same reason.
+
+    The executors run the SAME :func:`_file_stats` (pickled by module
+    reference), so the emitted JSON is byte-identical to a driver-side
+    computation — pinned in ``tests/test_delta_log_writer.py``. An RDD is
+    the right tool here (the one legitimate use: per-item imperative
+    metadata work over a small path list, no row data involved)."""
+    paths = [src for (_rel, _pv, src) in staged]
+    if not paths:
+        return {}
+    sc = spark.sparkContext
+    slices = min(len(paths), sc.defaultParallelism) or 1
+    return dict(
+        sc.parallelize(paths, slices).map(lambda p: (p, _file_stats(p))).collect()
+    )
 
 
 class DeltaLogTable:
@@ -206,8 +233,9 @@ class DeltaLogTable:
         writer.parquet(staging)
 
         staged = self._collect_staged(staging, pcols)
+        stats = _stats_for_staged(df.sparkSession, staged)
         try:
-            version = self._commit_staged(staged, snap, mode, txn)
+            version = self._commit_staged(staged, snap, mode, txn, stats)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         if (version + 1) % self.checkpoint_interval == 0:
@@ -395,6 +423,7 @@ class DeltaLogTable:
             writer = writer.partitionBy(*pcols)
         writer.parquet(staging)
         staged = self._collect_staged(staging, pcols)
+        stats = _stats_for_staged(spark, staged)
         try:
             v = self._latest_version() + 1
             adds, moved = [], []
@@ -414,7 +443,7 @@ class DeltaLogTable:
                             "size": st.st_size,
                             "modificationTime": int(st.st_mtime * 1000),
                             "dataChange": False,
-                            "stats": _file_stats(dest),
+                            "stats": stats[src],
                         }
                     }
                 )
@@ -542,7 +571,11 @@ class DeltaLogTable:
         snap: DeltaLogSnapshot,
         mode: str,
         txn: Optional[Tuple[str, int]],
+        stats: Dict[str, str],
     ) -> int:
+        """``stats`` maps staged src path → stats JSON, computed
+        executor-side by :func:`_stats_for_staged` BEFORE the rename —
+        the driver's only per-file work here is ``os.replace`` + stat."""
         v = self._latest_version() + 1
         adds = []
         moved = []
@@ -562,7 +595,7 @@ class DeltaLogTable:
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
                         "dataChange": True,
-                        "stats": _file_stats(dest),
+                        "stats": stats[src],
                     }
                 }
             )

@@ -459,3 +459,57 @@ def test_delta_log_table_matches_list_model(spark, tmp_path_factory, ops):
             t.checkpoint()
         got = sorted((r.id, r.color, r.score) for r in t.read(spark).collect())
         assert got == sorted(model), (kind, payload)
+
+
+def test_write_opens_zero_parquet_footers_on_driver(spark, tmp_path, monkeypatch):
+    """r4 scale seam: per-file skipping stats must be computed in the
+    WRITE JOB, never by a driver footer loop (on object storage that loop
+    serializes thousands of remote reads through one process). Sabotage
+    every driver-side footer open — the executors' python workers are
+    separate processes, so a commit that still succeeds WITH correct
+    stats proves the driver never opened a footer."""
+    import pyarrow.parquet as _pq
+
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA, partition_columns=["color"])
+
+    def _boom(*a, **k):
+        raise AssertionError("driver opened a parquet footer during write()")
+
+    monkeypatch.setattr(_pq, "ParquetFile", _boom)
+    v = t.append(_df(spark, [(1, "red", 10), (2, "blue", 20), (3, "red", 30)]))
+    monkeypatch.undo()
+
+    log = tmp_path / "t" / "_delta_log" / f"{v:020d}.json"
+    adds = [
+        json.loads(line)["add"]
+        for line in log.read_text().splitlines()
+        if "add" in json.loads(line)
+    ]
+    assert len(adds) == 2  # one file per color partition
+    for a in adds:
+        st = json.loads(a["stats"])
+        assert st["numRecords"] in (1, 2)
+        assert "minValues" in st and "id" in st["minValues"]
+    assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 3
+
+
+def test_executor_stats_byte_identical_to_driver_computation(spark, tmp_path):
+    """The executor-side stats job emits EXACTLY the JSON the old
+    driver-side loop produced — same ``_file_stats`` function, pickled by
+    module reference, byte-compared against a direct local call on every
+    committed file."""
+    from pyspark_streaming_base_spark.sinks.delta_log import _file_stats
+
+    t = DeltaLogTable(str(tmp_path / "t"))
+    t.create(SCHEMA)
+    t.append(_df(spark, [(i, "c" if i % 2 else None, i * 7) for i in range(50)]))
+    t.compact(spark, target_files=1)  # compact path uses the same job
+
+    snap = t.snapshot()
+    checked = 0
+    for rel in snap._active:
+        abs_path = os.path.join(str(tmp_path / "t"), rel)
+        assert snap._add_stats[rel] == _file_stats(abs_path)
+        checked += 1
+    assert checked >= 1
