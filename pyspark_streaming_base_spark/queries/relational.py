@@ -1115,18 +1115,20 @@ def q26_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (C7): Spark ``percentile`` and DuckDB
     ``quantile_cont`` both use linear interpolation — verified bit-exact.
 
-    Scale: exact percentile buffers each group's values; at 100 TB switch
-    to ``percentile_approx`` (t-digest sketch, O(compression) state) — the
-    approx twin is exercised rows-only alongside HLL in q11.
+    SIZE-GATED (``operators/histogram.py``): exact percentile buffers a
+    whole group's values in one aggregation buffer, so keys above the 4M
+    row gate flip IN-PLAN to ``percentile_approx`` (sketch state, merges
+    map-side) instead of OOMing a task. Every fixture key is far below
+    the gate, so the oracle checks the exact branch; q78 exercises the
+    sketch tier directly.
     """
-    return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
-            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        )
+    from pyspark_streaming_base_spark.operators.histogram import gated_percentiles
+
+    return gated_percentiles(
+        t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_extendedprice",
+        percentiles=(0.5, 0.9),
     )
 
 

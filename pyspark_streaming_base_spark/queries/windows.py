@@ -746,29 +746,24 @@ def q116_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal row count with their value bounds — the histogram shape
     optimizers and drift monitors want when the distribution is skewed
     (q39's fixed-WIDTH bins put 90% of rows in one bin under skew;
-    equal-depth bounds ARE the deciles). ``ntile`` assigns buckets by
-    row order — identical semantics on both engines given a total order,
-    which the (value, event_id) sort provides.
+    equal-depth bounds ARE the deciles).
 
-    Scale: one per-type sort (the window) + map-side-combined bounds
-    aggregate. ntile over a hot key is a single-partition sort — at
-    100 TB swap to `approx_percentile` cut points (q78's sketch) and
-    keep this exact form for bounded partitions.
+    SIZE-GATED (``operators/histogram.py``): keys at or under 4M rows
+    take the exact ``ntile`` path — a per-key sort over the (value,
+    event_id) total order, identical semantics on both engines, which is
+    what the oracle checks (every fixture key is far below the gate).
+    A hot key above the gate flips IN-PLAN to ``approx_percentile`` cut
+    points — O(accuracy) sketch state instead of a single-partition
+    sort, so 100× growth degrades to approximate bounds instead of one
+    straggler task (flat-wall-time evidence in ``tools/scale_smoke.py``).
     """
+    from pyspark_streaming_base_spark.operators.histogram import (
+        equidepth_histogram,
+    )
+
     ev = t(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        ev.select(
-            "event_type",
-            "value",
-            F.ntile(10).over(w).cast("bigint").alias("bucket"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        )
+    return equidepth_histogram(
+        ev, "event_type", "value", tie_col="event_id", n_buckets=10
     )
 
 

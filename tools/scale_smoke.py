@@ -127,6 +127,22 @@ def shapes(spark, n: int):
         F.max("t1").alias("t1"), F.max("t2").alias("t2")
     )
 
+    # q116's sketch branch: equi-depth histogram with the gate forced to
+    # the approx_percentile path (threshold 0 — every event_type is
+    # "hot"). The exact branch would single-partition-sort each key and
+    # grow linearly with N; the sketch is a map-side-mergeable aggregate
+    # and should stay near-flat.
+    from pyspark_streaming_base_spark.operators.histogram import (
+        equidepth_histogram,
+    )
+
+    ev_h = spark.read.parquet(*([f"{SF_DIR}/events.parquet"] * n)).select(
+        "event_type", "value", "event_id"
+    )
+    hist_sketch = equidepth_histogram(
+        ev_h, "event_type", "value", tie_col="event_id", exact_threshold=0
+    )
+
     return {
         "agg": agg,
         "broadcast_join_agg": join_agg,
@@ -134,6 +150,7 @@ def shapes(spark, n: int):
         "two_pass_prefix_sum": prefix,
         "span_dedup": span_dedup,
         "chained_funnel_windows": funnel,
+        "equidepth_sketch": hist_sketch,
     }
 
 
