@@ -13,15 +13,29 @@ guaranteed to be a candidate (no recall loss; proven by the
 brute-force-equivalence tests), and only candidates pay the O(length)
 exact verification.
 
-Hamming (not Levenshtein) is the deliberate distance here: with indels,
-segment positions shift and the plain pigeonhole guarantee breaks —
-PassJoin's full position-shifted substring enumeration restores it, but
-equal-length substitution distance covers the common fixed-format-key
-use case (ids, codes, normalized names) with a two-line blocking rule.
+Two distances, two blocking rules:
+
+* :func:`hamming_self_join` — equal-length substitution distance; the
+  plain pigeonhole applies (segments stay put), candidate keys are
+  ``(length, seg_idx, seg_value)``.
+* :func:`levenshtein_self_join` — full edit distance (PassJoin's
+  shifted-substring enumeration, Li/Deng/Feng PVLDB 2011): with indels
+  an unedited segment of ``s`` still appears as a substring of ``r``,
+  but shifted by the net indels before it — at most ``k`` positions.
+  So the probe side enumerates, for every indexable target length
+  ``l ∈ [|r|-k, |r|+k]`` and segment slot, the substrings of ``r``
+  starting within ±k of the segment's home position, and candidates are
+  again a pure EQUI-join on ``(l, seg_idx, substring)``. Every true
+  pair is admitted (the shift bound is exhaustive), so recall loss is
+  zero — proven by the brute-force-equivalence tests — and only
+  candidates pay the O(length²) exact verification.
 
 Scale shape: the only shuffle is the segment equi-join; bucket sizes are
 bounded by segment-value frequency (skew → AQE split like any equi-join),
-and verification is a JVM-side ``zip_with`` over candidate rows only.
+and verification is JVM-side (``zip_with`` char compare / built-in
+``levenshtein``) over deduplicated candidate rows only. Probe-side
+enumeration is a constant factor — (2k+1) lengths × (k+1) segments ×
+≤(2k+1) shifts ≈ 18 rows per string at k=1 — never O(n²).
 """
 
 from __future__ import annotations
@@ -113,6 +127,110 @@ def hamming_self_join(
     d = hamming_distance(F.col("_sa"), F.col("_sb"))
     return (
         cand.withColumn(dist_col, d.cast("bigint"))
+        .filter(F.col(dist_col) <= max_dist)
+        .select(out_a, out_b, dist_col)
+    )
+
+
+def levenshtein_self_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int,
+    out_a: str = "id_a",
+    out_b: str = "id_b",
+    dist_col: str = "dist",
+) -> DataFrame:
+    """All pairs ``(id_a < id_b)`` with ``levenshtein(str) <= max_dist``,
+    over strings of length ≥ ``max_dist + 1`` (shorter strings cannot
+    host a non-empty segment per slot; filter both sides identically in
+    any oracle). Exact — zero recall loss:
+
+    * index side: each string ``s`` split into ``k+1`` even segments,
+      keyed by ``(|s|, seg_idx, seg_value)``;
+    * probe side: each string ``r`` emits, for every target length
+      ``l ∈ [|r|-k, |r|+k]`` and segment slot of an ``l``-length string,
+      the substrings of ``r`` of that segment's length starting within
+      ±k of the segment's home position (net indel shift of an unedited
+      segment is bounded by the total edit budget k);
+    * pigeonhole: ≤ k edits over k+1 segments leaves one segment of
+      ``s`` untouched, and it appears among r's enumerated substrings —
+      so the equi-join admits every true pair, one direction sufficing
+      (the guarantee holds per ordered pair; ``id < id`` keeps probe=a,
+      index=b).
+
+    Verification is Spark's built-in ``levenshtein`` (JVM DP) on
+    deduplicated candidates only.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    k, n_seg = max_dist, max_dist + 1
+    base = df.select(F.col(id_col), F.col(str_col)).filter(
+        F.col(str_col).isNotNull() & (F.length(str_col) >= n_seg)
+    )
+    segs = _segments(base, id_col, str_col, n_seg)
+
+    L = F.length(F.col(str_col))
+    probes = (
+        base.select(
+            F.col(id_col),
+            F.col(str_col),
+            L.alias("_rlen"),
+            F.explode(F.sequence(L - k, L + k)).alias("_l"),
+        )
+        .filter(F.col("_l") >= n_seg)  # only lengths the index can hold
+        .select(
+            id_col,
+            str_col,
+            "_rlen",
+            "_l",
+            F.explode(F.sequence(F.lit(1), F.lit(n_seg))).alias("_seg_idx"),
+        )
+    )
+    # segment geometry of an _l-length string (same split as _segments)
+    q = (F.col("_l") / n_seg).cast("int")
+    r = F.col("_l") % n_seg
+    i = F.col("_seg_idx")
+    p = 1 + (i - 1) * q + F.least(i - 1, r)
+    seg_len = q + F.when(i <= r, 1).otherwise(0)
+    lo = F.greatest(F.lit(1), p - k)
+    hi = F.least(F.col("_rlen") - seg_len + 1, p + k)
+    probes = (
+        probes.withColumn("_seg_len", seg_len)
+        .withColumn(
+            "_w",
+            # sequence(lo, hi) with lo > hi would COUNT DOWN — emit an
+            # empty window instead (segment longer than the probe string)
+            F.explode(
+                F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ),
+        )
+        .withColumn("_sub", F.col(str_col).substr(F.col("_w"), F.col("_seg_len")))
+    )
+
+    cand = (
+        probes.alias("a")
+        .join(
+            segs.alias("b"),
+            (F.col("a._l") == F.col("b._len"))
+            & (F.col("a._seg_idx") == F.col("b._seg_idx"))
+            & (F.col("a._sub") == F.col("b._seg"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
+            F.col(f"a.{str_col}").alias("_sa"),
+            F.col(f"b.{str_col}").alias("_sb"),
+        )
+        # a pair can match via several (length, slot, shift) keys: dedup
+        # BEFORE the O(length²) DP so each candidate is verified once
+        .dropDuplicates([out_a, out_b])
+    )
+    return (
+        cand.withColumn(dist_col, F.levenshtein("_sa", "_sb").cast("bigint"))
         .filter(F.col(dist_col) <= max_dist)
         .select(out_a, out_b, dist_col)
     )

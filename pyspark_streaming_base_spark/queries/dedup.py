@@ -19,7 +19,10 @@ from pyspark_streaming_base_spark.functions.textops import (
     tokens as _tokens,
     word_shingles as _shingles,
 )
-from pyspark_streaming_base_spark.operators.fuzzyjoin import hamming_self_join
+from pyspark_streaming_base_spark.operators.fuzzyjoin import (
+    hamming_self_join,
+    levenshtein_self_join,
+)
 from pyspark_streaming_base_spark.queries import query
 from pyspark_streaming_base_spark.queries._exact import dround
 from pyspark_streaming_base_spark.queries._tables import t
@@ -594,6 +597,42 @@ def q108_fuzzy_hamming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
     return hamming_self_join(
         p, id_col="p_partkey", str_col="p_name", max_dist=2
+    )
+
+
+@query(
+    "q124_fuzzy_levenshtein_join",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_name IS NOT NULL AND len(p_name) >= 2
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a JOIN p b
+      ON a.p_partkey < b.p_partkey
+     AND abs(len(a.p_name) - len(b.p_name)) <= 1
+    WHERE levenshtein(a.p_name, b.p_name) <= 1
+    """,
+)
+def q124_fuzzy_levenshtein_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-join: part-name pairs within Levenshtein
+    distance 1 (C17/entity-resolution extension — the indel-tolerant
+    upgrade of q108's substitution-only Hamming join, closing the gap
+    ``operators/fuzzyjoin.py`` documented).
+
+    Candidate generation is PassJoin's shifted-substring blocking
+    (``levenshtein_self_join``): index strings split into k+1 segments,
+    probe strings enumerate length-targeted substrings within ±k of each
+    segment's home position — a pure EQUI-join on (length, slot,
+    substring), never all-pairs, with ZERO recall loss. The oracle is
+    the brute-force definition, so the hash match doubles as the
+    exactness proof at fixture scale; ``test_fuzzy_join.py`` re-proves
+    it on adversarial hypothesis inputs including indel-heavy strings.
+    """
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return levenshtein_self_join(
+        p, id_col="p_partkey", str_col="p_name", max_dist=1
     )
 
 
