@@ -45,12 +45,13 @@ REGISTRY: Dict[str, QuerySpec] = {}
 # remain fully checked by the stricter local mirror
 # (tools/check_correctness.py) and pytest.
 DRIVER_PRIORITY: tuple = (
-    # ROUND-4 ROTATION: 25 keepers (one per SURVEY §2 component family,
-    # headline queries included) + the 25 queries that had never received
-    # a driver CORRECTNESS row through r3 (q47–q105 extension waves).
-    # Long-green stalwarts rotated out (q06/q15-dups/q27/q34/q43/q46/q50-
-    # wave/q66/q74/q75/q77/q85-q87/q90 etc.) stay fully covered by the
-    # stricter local mirror (tools/check_correctness.py) and pytest.
+    # ROUND-5 ROTATION: the same 26-keeper component-covering core as r4
+    # (one per SURVEY §2 family incl. required reps q96/q47/q79/q98),
+    # plus the 14 queries that had never received a driver CORRECTNESS
+    # row (q106, q112–q123 from the r4 wave, and the new q124). The r4
+    # first-timers now long-green (q81/q82, q91–q95, q101–q105, q49,
+    # q110) rotate to the stricter local mirror
+    # (tools/check_correctness.py) and pytest, like every prior rotation.
     #
     # keepers: C1–C18 core relational + flagship extension reps
     "q01_pricing_summary",      # C6 agg (headline)
@@ -78,38 +79,34 @@ DRIVER_PRIORITY: tuple = (
     "q73_stream_static_join",   # C23
     "q80_binary_metadata",      # multimodal
     "q100_training_pipeline",   # capstone composition
-    # first-driver-check rotation: text analysis (C19)
+    # component-required reps (C19 text, C9 windows, C22 stateful,
+    # C25 Arrow tier) + r4 flagship extension keepers
     "q47_repetition_score",
-    "q49_train_split",
-    # round-4 additions, oracle-bearing first-timers (C19-extra variants
-    # q48/q53/q56 rotate to the local mirror to make room)
     "q107_dup_span_detection",
     "q108_fuzzy_hamming_join",
-    "q110_ewma_smoothing",
-    # windows/rollup/relational extensions (C8/C9)
     "q76_hier_rollup",
     "q96_min_cost_supplier",
     "q97_profit_by_nation_year",
     "q99_resample_interpolate",
-    # similarity (C18) + streaming (C22/C23) extensions
     "q68_label_centroids",
     "q79_late_data_audit",
     "q89_stream_stream_left_outer",
-    # multimodal decode path (rows-only: deterministic stub decoder)
-    "q81_decode_features",
-    "q82_frame_sample",
-    # LLM-pipeline wave (r2/r3 extensions, first driver rows)
-    "q91_pii_redaction",
-    "q92_int8_quantize",
-    "q93_unigram_lm_score",
-    "q94_kmeans_clusters",
-    "q95_dq_violations",
     "q98_arrow_digest",
-    "q101_langid_eval",
-    "q102_heavy_hitters",
-    "q103_pagerank_top20",
-    "q104_embedding_qa",
-    "q105_cohort_retention",
+    # ROUND-5 FIRST-TIMERS: the r4 wave that never had a driver row
+    "q106_stream_stream_full_outer",  # C23 FULL OUTER twin
+    "q112_robust_outliers",           # median/MAD anomaly rule
+    "q113_funnel_progression",        # single-exchange funnel
+    "q114_binational_volume",         # two-role dimension join
+    "q115_ohlc_bars",                 # min_by/max_by resample
+    "q116_equidepth_histogram",       # size-gated ntile/sketch deciles
+    "q117_cooccurrence_lift",         # bounded pair-space lift
+    "q118_trend_slope",               # exact-int OLS slope
+    "q119_variant_extract",           # Spark 4 VARIANT / JSON lake
+    "q120_scd2_intervals",            # gaps-and-islands SCD2
+    "q121_contamination_fraction",    # graded decontamination
+    "q122_cluster_representatives",   # keeper selection (rows-only)
+    "q123_hll_rollup",                # mergeable HLL (rows-only)
+    "q124_fuzzy_levenshtein_join",    # NEW r5: PassJoin edit-distance
 )
 
 
