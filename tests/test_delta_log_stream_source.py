@@ -439,3 +439,109 @@ def test_batch_scan_nullfills_pre_evolution_files(spark, tmp_path):
     df = spark.read.format("delta_log").option("path", str(tmp_path / "t")).load()
     rows = df.collect()
     assert [(r.id, r.color, r.score, r.extra) for r in rows] == [(1, "red", 10, None)]
+
+
+def test_soak_fifty_plus_commits_with_restarts_and_cleanup(spark, tmp_path):
+    """Soak (r4 verdict task 6): a delta_log stream is built for
+    thousands of micro-batches, not the handful the unit tests drive.
+    60 commits paged 2 versions per micro-batch through THREE checkpoint
+    restarts, with a log checkpoint + clean_log() AND a compaction
+    rewrite mid-soak. Asserts: exactly-once delivery of every row,
+    monotone non-decreasing offset versions in the streaming checkpoint,
+    zero stateful-operator rows (the feed is stateless), and monotone
+    batch ids across restarts."""
+    import json as _json
+    from collections import Counter
+
+    from pyspark_streaming_base_spark.sources.delta_log_stream import (
+        DeltaLogStreamDataSource,
+    )
+    from pyspark_streaming_base_spark.streaming import ProgressCapture
+
+    spark.dataSource.register(DeltaLogStreamDataSource)
+    t = DeltaLogTable(str(tmp_path / "t"), checkpoint_interval=25)
+    t.create(SCHEMA)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    expected: Counter = Counter()
+    next_id = 0
+
+    def commit(n_rows=2):
+        nonlocal next_id
+        rows = [(next_id + j, "c", next_id + j) for j in range(n_rows)]
+        next_id += n_rows
+        t.append(_df(spark, rows))
+        expected.update((i, "c", s) for (i, c, s) in rows)
+
+    cap = ProgressCapture(maxlen=512).attach(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_log")
+            .option("path", str(tmp_path / "t"))
+            .option("max_versions_per_batch", "2")
+            .load()
+            .writeStream.format("parquet")
+            .queryName("delta_soak")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        for _ in range(20):
+            commit()
+        drain()
+        for _ in range(15):
+            commit()
+        # mid-soak maintenance: log checkpoint + retention + compaction.
+        # The stream is DOWN at offset 20 with the log at 35 — retention
+        # must respect consumer lag (retain >= 15) or the restart
+        # legitimately dies with the documented below-horizon error
+        # (same contract as real Delta's logRetentionDuration).
+        t.checkpoint()
+        t.clean_log(retain_versions=20)
+        t.compact(spark, target_files=2)  # dataChange=false: invisible
+        for _ in range(10):
+            commit()
+        drain()
+        for _ in range(15):
+            commit()
+        drain()
+    finally:
+        cap.detach()
+
+    assert next_id == 120  # 60 commits x 2 rows
+    got = Counter(
+        (r.id, r.color, r.score)
+        for r in spark.read.schema(SCHEMA).parquet(out).collect()
+    )
+    assert got == expected  # exactly-once: nothing lost, nothing doubled
+
+    # streaming-checkpoint offsets: one file per micro-batch, each holding
+    # the last processed commit version — must be monotone non-decreasing
+    import os as _os
+
+    odir = _os.path.join(ck, "offsets")
+    versions = []
+    # skip .crc shadows and the .tmp files HDFSMetadataLog may leave
+    for name in sorted((n for n in _os.listdir(odir) if n.isdigit()), key=int):
+        with open(_os.path.join(odir, name)) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        off = _json.loads(lines[-1])
+        versions.append(int(off["version"]))
+    assert len(versions) >= 30  # 60 commits / 2 per batch, plus barriers
+    assert versions == sorted(versions)
+    assert versions[-1] == 61  # create=v0, 60 appends=v1..60, compact=v61
+
+    rows = cap.snapshot("delta_soak")
+    assert rows, "listener captured no progress"
+    batch_ids = [r["batchId"] for r in rows]
+    assert batch_ids == sorted(batch_ids)
+    assert all(r["stateRows"] == 0 for r in rows)  # stateless feed
+    # the compaction rewrite contributed NO input rows beyond the appends
+    assert sum(r["numInputRows"] for r in rows) == 120
