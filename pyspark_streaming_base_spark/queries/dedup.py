@@ -522,14 +522,25 @@ def q107_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (suffix-array variants find the same spans; rolling window hashes
     are the shuffle-friendly formulation).
 
-    Plan shape: tokens → per-row window-hash array (one higher-order
-    ``transform`` over ``sequence``, JVM-side) → ONE explode →
-    ``groupBy(hash)`` marking cross-doc hashes via ``min(doc) !=
-    max(doc)`` (no count-distinct state) → join back on the same hash
-    key (exchange reuse) → per-doc aggregate. No pairwise comparison
-    anywhere: cost is O(total windows), the classic scale shape for
-    100 TB span dedup. W=16 windows overlap, so the explode fans out
-    ~n_tokens rows per doc — bounded, linear, and partition-local.
+    Plan shape (JOIN-FREE — the r5 skew fix): tokens → per-row
+    window-hash array (one higher-order ``transform`` over ``sequence``,
+    JVM-side) → ONE explode → ``groupBy(hash)`` keeping (min doc, max
+    doc, window count). A hash is cross-doc-duplicated iff min ≠ max —
+    and when it is NOT, every one of its windows belongs to the one doc
+    ``min`` names, so per-doc UNIQUE-window counts fall straight out of
+    the hash-keyed aggregate with NO join back to the window multiset:
+    ``n_dup = n_windows − n_unique``. The only join left is a left join
+    of two doc-keyed aggregates (≤ one row per doc each).
+
+    Why this beats the textbook agg + join-back: a join-back on the hash
+    key re-shuffles the full window multiset AND concentrates a
+    boilerplate corpus's hot hashes in single join partitions that AQE
+    CANNOT split (skew-join rewriting requires bare shuffle children;
+    an aggregate-above-shuffle child disqualifies it — verified
+    empirically in ``test_aqe_skew.py``). Aggregates are immune: hot
+    keys partial-combine map-side. No pairwise comparison anywhere:
+    cost is O(total windows) — the shape that survives a 100 TB
+    boilerplate-heavy crawl.
     """
     toks = _tokens(F.col("text"))
     d = (
@@ -546,22 +557,29 @@ def q107_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    # shuffle_hash pin: `spans` is corpus-sized (one row per distinct
-    # window hash), so a broadcast pick here — which local size heuristics
-    # DO make at moderate replication (driver OOM measured at 16x in the
-    # scale smoke) — is the scale-killer; the hash join keys both sides on
-    # `h`, reusing the aggregate's exchange.
-    spans = wins.groupBy("h").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("dup")
-    ).hint("shuffle_hash")
-    n_dup = F.count(F.when(F.col("dup"), 1))
+    per_h = wins.groupBy("h").agg(
+        F.min("doc_id").alias("d0"),
+        F.max("doc_id").alias("d1"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    uniq = (
+        per_h.filter(F.col("d0") == F.col("d1"))
+        .groupBy(F.col("d0").alias("doc_id"))
+        .agg(F.sum("c").alias("n_uniq"))
+    )
+    totals = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    )
+    n_dup = (F.col("n_windows") - F.coalesce(F.col("n_uniq"), F.lit(0))).cast(
+        "bigint"
+    )
     return (
-        wins.join(spans, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
+        totals.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
             n_dup.alias("n_dup_windows"),
-            (n_dup.cast("double") / F.count(F.lit(1))).alias("dup_frac"),
+            (n_dup.cast("double") / F.col("n_windows")).alias("dup_frac"),
         )
     )
 

@@ -89,24 +89,54 @@ def shapes(spark, n: int):
     # only changes the dup-flag ratio, not the plan).
     docs = spark.read.parquet(*([f"{SF_DIR}/documents.parquet"] * n))
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    d = docs.select("doc_id", toks.alias("tk")).filter(F.size("tk") >= 16)
-    wins = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 15),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, 16))),
-            )
-        ).alias("h"),
+
+    def span_dedup_shape(doc_frame):
+        # q107's r5 JOIN-FREE formulation: hash-keyed agg attributes
+        # unique windows to their one owning doc, so per-doc dup counts
+        # need no join back to the window multiset — hot hashes are
+        # absorbed by map-side partial aggregation (the join-back
+        # alternative concentrates them in single join partitions AQE
+        # cannot split; see queries/dedup.py::q107 and test_aqe_skew.py).
+        d = doc_frame.select("doc_id", toks.alias("tk")).filter(F.size("tk") >= 16)
+        wins = d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - 15),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, 16))),
+                )
+            ).alias("h"),
+        )
+        per_h = wins.groupBy("h").agg(
+            F.min("doc_id").alias("d0"),
+            F.max("doc_id").alias("d1"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        uniq = (
+            per_h.filter(F.col("d0") == F.col("d1"))
+            .groupBy(F.col("d0").alias("doc_id"))
+            .agg(F.sum("c").alias("n_uniq"))
+        )
+        totals = wins.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+        return totals.join(uniq, "doc_id", "left").select(
+            "doc_id",
+            "nw",
+            (F.col("nw") - F.coalesce(F.col("n_uniq"), F.lit(0))).alias("nd"),
+        )
+
+    span_dedup = span_dedup_shape(docs)
+    # the same shape on a BOILERPLATE-HEAVY corpus: 30% of docs share one
+    # fixed text, so ~25 window-hash keys go 0.3·corpus hot — the real
+    # shape of web-scraped training data (uniform smoke inputs hide
+    # this). The hot keys land in the hash-keyed AGGREGATE, which
+    # partial-combines map-side — wall time should track linear input
+    # growth, not the hot keys' concentration.
+    boiler = " ".join(f"tok{i % 7}" for i in range(40))
+    docs_sk = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 < 3, F.lit(boiler)).otherwise(F.col("text")),
     )
-    spans = wins.groupBy("h").agg(
-        (F.min("doc_id") != F.max("doc_id")).alias("dup")
-    ).hint("shuffle_hash")  # corpus-sized: broadcast OOMs the driver at 16x
-    span_dedup = (
-        wins.join(spans, "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nw"), F.count(F.when(F.col("dup"), 1)).alias("nd"))
-    )
+    span_dedup_skewed = span_dedup_shape(docs_sk)
 
     # q113's shape: chained conditional-min windows on ONE partition spec —
     # must stay a single exchange however many events flow through it.
@@ -149,6 +179,7 @@ def shapes(spark, n: int):
         "window_topk": win,
         "two_pass_prefix_sum": prefix,
         "span_dedup": span_dedup,
+        "span_dedup_skewed": span_dedup_skewed,
         "chained_funnel_windows": funnel,
         "equidepth_sketch": hist_sketch,
     }
