@@ -5,6 +5,7 @@ driver-side recomputation over the same payloads."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import functions as F
 
@@ -213,3 +214,71 @@ def test_decode_features_with_real_bmp_backend(spark):
     assert (got[2].width, got[2].height) == (640, 480)
     assert got[3].width is None and got[3].height is None  # dead-lettered
     assert got[1].decoder == "bmp-header-v1"
+
+
+PNG_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_4x3.png")
+
+
+def test_png_fixture_is_structurally_valid():
+    """The committed PNG fixture (hand-crafted via zlib/struct, no
+    Pillow needed to build or check it) parses as a spec-valid PNG:
+    signature, IHDR geometry, per-chunk CRCs, and decompressed scanline
+    length. Runs EVERYWHERE, so the fixture can't rot while the PIL
+    decode test below env-skips."""
+    import struct
+    import zlib
+
+    data = open(PNG_FIXTURE, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks, idat = 8, [], b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+        assert crc == zlib.crc32(typ + payload) & 0xFFFFFFFF, typ
+        chunks.append(typ)
+        if typ == b"IDAT":
+            idat += payload
+        pos += 12 + ln
+    assert chunks == [b"IHDR", b"IDAT", b"IEND"]
+    w, h, depth, ctype = struct.unpack(">IIBB", data[16:26])
+    assert (w, h, depth, ctype) == (4, 3, 8, 2)  # 8-bit RGB
+    raw = zlib.decompress(idat)
+    assert len(raw) == h * (1 + 3 * w)  # filter byte + RGB per scanline
+
+
+def test_pil_decoder_committed_fixture():
+    """PILImageDecoder on the COMMITTED fixture — the real-backend path
+    executes wherever Pillow exists (env-skips here; the structural test
+    above keeps the fixture honest regardless)."""
+    import pytest
+
+    pytest.importorskip("PIL", reason="Pillow not installed")
+    from pyspark_streaming_base_spark.functions.multimodal import PILImageDecoder
+
+    meta = PILImageDecoder().decode(open(PNG_FIXTURE, "rb").read())
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (4, 3, 1)
+
+
+def test_decode_features_with_pil_backend_on_fixture(spark):
+    """decode_features through the REAL Pillow backend over a Spark
+    frame built from the committed fixture (env-skips without Pillow):
+    proves the mapInPandas plumbing works with a non-stub decoder."""
+    import pytest
+
+    pytest.importorskip("PIL", reason="Pillow not installed")
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        PILImageDecoder,
+        decode_features,
+    )
+
+    payload = open(PNG_FIXTURE, "rb").read()
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"not an image")], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in decode_features(
+        df, "payload", "doc_id", decoder=PILImageDecoder()
+    ).collect()}
+    assert (rows[1].width, rows[1].height) == (4, 3)
+    assert rows[2].width is None  # dead-letter, not a crash
