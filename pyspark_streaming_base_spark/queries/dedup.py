@@ -654,6 +654,91 @@ def q124_fuzzy_levenshtein_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q125_semantic_dedup", oracle=None)  # iterative k-means clusters
+def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (C17/C18 bridge — the
+    published embedding-space recipe: k-means the corpus, then remove
+    within-cluster near-duplicates by cosine similarity). Lexical dedup
+    (q40/q41) misses paraphrases; this catches them, and the CLUSTER is
+    the blocking key, so the pair space is Σ C(cluster_size, 2) — never
+    corpus², and at 100 TB k scales with the corpus to keep cluster
+    sizes bounded (the same contract as IVF cells).
+
+    Keeper policy: within a cluster, a vector is REMOVED iff some
+    lower-id vector in the same cluster is within the threshold —
+    deterministic, one pass, matches SemDeDup's keep-one semantics.
+    Rows-only for the driver (float Lloyd is engine-specific); the
+    pytest twin mirrors the whole pipeline in numpy bit-for-bit given
+    the q94-verified assignment.
+    """
+    from pyspark_streaming_base_spark.functions.vectorops import cosine, dvec
+    from pyspark_streaming_base_spark.queries.pipeline import kmeans_assign
+
+    tau = 0.35  # calibrated to the weakly-clustered synthetic fixture
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", dvec("embedding").alias("v")
+    )
+    assigned = kmeans_assign(spark, sf_dir).select("vec_id", "cid").join(emb, "vec_id")
+    x, y = assigned.alias("x"), assigned.alias("y")
+    removed = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .withColumn("cos_r", dround(cosine(F.col("x.v"), F.col("y.v")), 6))
+        .filter(F.col("cos_r") >= tau)
+        .select(F.col("y.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cluster"),
+            F.coalesce(~F.col("_rm"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+@query("q127_leakage_safe_split", oracle=None)  # clusters are iterative
+def q127_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (training-pipeline extension):
+    q49's md5-threshold split assigns each doc independently, which lets
+    two NEAR-DUPLICATES straddle train and test — the classic silent
+    leakage path benchmark-decontamination misses. Fix: split by the
+    doc's dedup-cluster CANONICAL id (q44's connected components), so an
+    entire near-dup family lands in one split; singletons are their own
+    canonical and reproduce q49's assignment exactly (pinned in pytest).
+
+    Scale: one left join of the corpus against the (small) clustered-doc
+    set plus the same hash-threshold expression as q49 — no new shuffle
+    class. Rows-only (clusters come from iterative label propagation).
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    clusters = q44_dedup_clusters(spark, sf_dir)
+    canon = F.coalesce(F.col("canonical"), F.col("doc_id"))
+    hk = F.md5(canon.cast("string")).substr(1, 4)
+    from pyspark_streaming_base_spark.queries.text import (
+        _SPLIT_TEST_HEX,
+        _SPLIT_VAL_HEX,
+    )
+
+    return (
+        d.join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            canon.cast("bigint").alias("canonical"),
+            F.when(hk < _SPLIT_VAL_HEX, "val")
+            .when(hk < _SPLIT_TEST_HEX, "test")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+
+
 @query("q122_cluster_representatives", oracle=None)  # clusters are iterative
 def q122_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-based keeper selection (the dedup DECISION step): for each

@@ -828,3 +828,56 @@ def q112_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "q126_mix_weights",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS rs
+      FROM c
+    ),
+    t AS (SELECT sum(rs) AS tot, sum(n) AS sn FROM r)
+    SELECT lang, n AS n_docs,
+           CAST(rs AS DOUBLE) / tot AS weight,
+           CAST(rs * sn AS DOUBLE) / (tot * n) AS oversample
+    FROM r CROSS JOIN t
+    """,
+)
+def q126_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based training-mix weights per source (the published
+    multilingual-sampling recipe: sample source i with probability
+    ∝ n_i^α, α = 1/2, so low-resource sources are UP-weighted relative
+    to their share — the standard fix for head-language domination).
+    Emits the normalized mix weight and the oversample factor
+    (weight / natural share) per lang.
+
+    Bit-exact across engines WITHOUT the usual float-sum trap: n^α is one
+    correctly-rounded IEEE sqrt per group, immediately quantized to a
+    6-dp int64 (``floor(sqrt(n)·10⁶ + 0.5)`` — pure IEEE on both
+    engines), so the normalizing SUM is integer arithmetic (order-free)
+    and each output is a single int-ratio division. Scale: one count
+    aggregate + a 1-row broadcast total.
+    """
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rs = F.floor(F.sqrt(F.col("n").cast("double")) * 1_000_000 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    r = c.select("lang", "n", rs.alias("rs"))
+    tot = r.agg(
+        F.sum("rs").alias("tot"), F.sum("n").alias("sn")
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        (F.col("rs").cast("double") / F.col("tot")).alias("weight"),
+        (
+            (F.col("rs") * F.col("sn")).cast("double")
+            / (F.col("tot") * F.col("n"))
+        ).alias("oversample"),
+    )

@@ -352,3 +352,101 @@ def test_cluster_representatives_keeper_invariants(spark):
         for r in R["q44_dedup_clusters"].fn(spark, SF_MEDIUM).collect()
     }
     assert {(r.doc_id, r.cluster) for r in rows} == q44
+
+
+def test_semantic_dedup_matches_numpy_mirror(spark):
+    """q125: given the (q94-numpy-pinned) k-means assignment, the
+    within-cluster remove set must equal an exact Python mirror of the
+    SemDeDup keeper policy (lower-id neighbor within tau removes you),
+    including the 6-dp cosine quantization."""
+    import math
+
+    from pyspark_streaming_base_spark.functions.vectorops import dvec
+    from pyspark_streaming_base_spark.queries.pipeline import kmeans_assign
+
+    tau = 0.35
+    assigned = (
+        kmeans_assign(spark, SF_SMALL)
+        .select("vec_id", "cid")
+        .join(
+            t(spark, SF_SMALL, "embeddings").select(
+                "vec_id", dvec("embedding").alias("v")
+            ),
+            "vec_id",
+        )
+        .collect()
+    )
+    by_cluster: dict = {}
+    for r in assigned:
+        by_cluster.setdefault(r.cid, []).append((r.vec_id, list(r.v)))
+
+    def cos(a, b):
+        # mirror functions/vectorops.cosine: sequential left-to-right fold
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    def dround6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect_removed = set()
+    for members in by_cluster.values():
+        members.sort()
+        for i, (ida, va) in enumerate(members):
+            for idb, vb in members[i + 1 :]:
+                if dround6(cos(va, vb)) >= tau:
+                    expect_removed.add(idb)
+
+    got = {r.vec_id: r.kept for r in R["q125_semantic_dedup"].fn(spark, SF_SMALL).collect()}
+    assert len(got) == len(assigned)
+    assert {v for v, kept in got.items() if not kept} == expect_removed
+    assert any(not kept for kept in got.values())  # non-trivial at tau=0.35
+
+
+def test_leakage_safe_split_invariants(spark):
+    """q127: (a) every near-dup cluster lands wholly in ONE split,
+    (b) singleton docs reproduce q49's per-doc assignment exactly,
+    (c) every document appears exactly once."""
+    from pyspark_streaming_base_spark.queries.text import q49_train_split
+
+    rows = R["q127_leakage_safe_split"].fn(spark, SF_MEDIUM).collect()
+    n_docs = t(spark, SF_MEDIUM, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+
+    by_canon: dict = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_canon.values())  # no straddling
+
+    # q49 assigns per doc_id; singletons (canonical == doc_id) must match.
+    # q49 emits (lang, split) aggregates, so recompute its per-doc rule:
+    hk = F.md5(F.col("doc_id").cast("string")).substr(1, 4)
+    from pyspark_streaming_base_spark.queries.text import (
+        _SPLIT_TEST_HEX,
+        _SPLIT_VAL_HEX,
+    )
+
+    per_doc = {
+        r.doc_id: r.split
+        for r in t(spark, SF_MEDIUM, "documents")
+        .select(
+            "doc_id",
+            F.when(hk < _SPLIT_VAL_HEX, "val")
+            .when(hk < _SPLIT_TEST_HEX, "test")
+            .otherwise("train")
+            .alias("split"),
+        )
+        .collect()
+    }
+    singletons = [r for r in rows if r.canonical == r.doc_id]
+    assert singletons
+    assert all(per_doc[r.doc_id] == r.split for r in singletons)
+    # and at least one clustered doc got REASSIGNED relative to q49's
+    # per-doc rule (the whole point of the operator) — if none differ the
+    # fixture has no multi-doc clusters and the test is vacuous
+    clustered = [r for r in rows if r.canonical != r.doc_id]
+    assert clustered

@@ -163,3 +163,21 @@ def test_ewma_matches_sequential_recursion(spark):
     assert {r.user_id for r in rows} == set(expect)
     for r in rows:
         assert abs(r.ewma - expect[r.user_id]) < 1e-9, r.user_id
+
+
+def test_mix_weights_invariants(spark):
+    """q126: weights are a probability vector, oversample is >1 exactly
+    for below-average sources (α=1/2 temperature up-weights the tail),
+    and the natural-share identity Σ(weight·oversample⁻¹·sn/n)… reduces
+    to Σ n·weight/oversample == Σ n — checked directly."""
+    rows = REGISTRY["q126_mix_weights"].fn(spark, SF_SMALL).collect()
+    assert rows
+    s = sum(r.weight for r in rows)
+    assert abs(s - 1.0) < 1e-9
+    n_tot = sum(r.n_docs for r in rows)
+    mean = n_tot / len(rows)
+    for r in rows:
+        # sqrt temperature: small sources oversampled, large undersampled
+        natural = r.n_docs / n_tot
+        assert (r.oversample > 1) == (r.weight > natural)
+        assert abs(r.oversample - r.weight / natural) < 1e-9

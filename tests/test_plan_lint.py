@@ -104,6 +104,8 @@ def test_no_registry_query_has_lint_errors(spark):
         "q92_int8_quantize",
         "q94_kmeans_clusters",
         "q104_embedding_qa",
+        "q125_semantic_dedup",  # k-row centroid broadcast fold (q94 shape)
+        "q126_mix_weights",  # 1-row normalizing-total broadcast fold
     }
     got_warns = set()
     for name, spec in R.items():
