@@ -803,18 +803,23 @@ def q112_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two aggregate passes over the events scan plus two 10-row
     broadcasts — no row-level shuffle at all (both groupBys map-side
-    partial on event_type). Exact percentile buffers per group at 100 TB
-    → swap ``percentile_approx`` exactly as q26 documents.
+    partial on event_type). Both medians route through the SIZE GATE
+    (``operators/histogram.py``, same as q26/q116): exact interpolated
+    percentile below 4M rows/key — what the oracle checks — flipping
+    in-plan to the sketch when a type goes hot, so the per-group value
+    buffer can never OOM a task.
     """
+    from pyspark_streaming_base_spark.operators.histogram import gated_percentiles
+
     ev = t(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    med = gated_percentiles(ev, "event_type", "value", percentiles=(0.5,)).select(
+        "event_type", F.col("p50").alias("med")
     )
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
+    mad = gated_percentiles(dev, "event_type", "adev", percentiles=(0.5,)).select(
+        "event_type", F.col("p50").alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -880,4 +885,64 @@ def q126_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rs") * F.col("sn")).cast("double")
             / (F.col("tot") * F.col("n"))
         ).alias("oversample"),
+    )
+
+
+@query(
+    "q128_per_source_cap",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    k AS (
+      SELECT d.doc_id, d.source, c.n,
+             CASE WHEN c.n <= 120 THEN TRUE
+                  ELSE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                       < printf('%04x', CAST(floor(120 * 65536.0 / c.n) AS BIGINT))
+             END AS kept
+      FROM documents d JOIN c USING (source)
+    )
+    SELECT source, max(n) AS n_docs,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE kept) AS DOUBLE) / max(n) AS kept_frac
+    FROM k GROUP BY source
+    """,
+)
+def q128_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap via deterministic hash-rate sampling (the
+    CommonCrawl-style per-domain cap, in its SCALABLE form): instead of
+    ranking every source's docs and keeping the top N — a per-source
+    sort whose hot domain is a straggler at 100 TB — each source keeps
+    docs whose md5 prefix falls under ``cap/n`` of the hash space. One
+    count aggregate, one broadcast join-back, a pure-function filter:
+    no sort, no window, reproducible under reshuffling, and the kept set
+    is STABLE as the corpus grows (a doc's fate depends only on its own
+    id and its source's count bucket — the q55 stratified-sample
+    property applied to cap enforcement). The realized count is binomial
+    around the cap — the accepted trade for sort-freedom (exact top-N
+    quality-ranked selection is q30/q122's job on bounded keys).
+
+    Bit-exact across engines: the threshold is an integer
+    (``floor(cap·65536/n)``) rendered as 4 lowercase hex digits, so the
+    comparison is a plain string compare both sides.
+    """
+    cap = 120
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    thr = F.format_string(
+        "%04x", F.floor(F.lit(cap) * 65536.0 / F.col("n")).cast("bigint")
+    )
+    hk = F.md5(F.col("doc_id").cast("string")).substr(1, 4)
+    kept = F.when(F.col("n") <= cap, F.lit(True)).otherwise(hk < thr)
+    return (
+        d.join(F.broadcast(c), "source")
+        .select("source", "n", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.count(F.when(F.col("kept"), 1)).cast("bigint").alias("n_kept"),
+            (
+                F.count(F.when(F.col("kept"), 1)).cast("double") / F.max("n")
+            ).alias("kept_frac"),
+        )
     )
