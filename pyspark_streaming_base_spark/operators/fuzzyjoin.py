@@ -177,7 +177,11 @@ def _attach_and_verify(
         cand.join(sa, out_a)
         .join(sb, out_b)
         .withColumn(dist_col, d.cast("bigint"))
-        .filter(F.col(dist_col) <= max_dist)
+        # >= 0 admits the threshold form of levenshtein, which returns
+        # -1 (after an early-exit banded DP) when the distance exceeds
+        # the bound; plain distances are always >= 0, so this is inert
+        # for them
+        .filter((F.col(dist_col) >= 0) & (F.col(dist_col) <= max_dist))
         .select(out_a, out_b, dist_col)
     )
 
@@ -298,7 +302,9 @@ def levenshtein_self_join(
         base,
         id_col,
         str_col,
-        lambda a, b: F.levenshtein(a, b),
+        # threshold form: banded DP that early-exits past max_dist and
+        # returns -1 — O(length·k) per verify instead of O(length²)
+        lambda a, b: F.levenshtein(a, b, max_dist),
         max_dist,
         out_a,
         out_b,
