@@ -4,6 +4,13 @@ Contract (driver): ``{"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec}, "sf": ...}`` at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
 
+Two tiers in one line: ``queries``/``value`` is the original 12-query
+HEADLINE (comparable across every round since r1), and ``extended``/
+``extended_value`` times the heavy extension paths (fuzzy joins, IVFADC,
+capstone pipeline) that previously had correctness rows but no tracked
+wall-time; ``delta_vs_prev.extended_pct`` tracks their round-over-round
+trend over the intersection of queries present in both records.
+
 Each query is materialized through the ``noop`` sink so every output column
 is actually computed (a bare ``count()`` would let Catalyst prune the
 projections we're trying to measure).

@@ -395,3 +395,102 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     assert removed > 0
     assert {r["v"] for r in tbl.read(spark).filter("k = 1").collect()} == {"v3"}
     assert {r["v"] for r in tbl.read(spark, as_of=0).filter("k = 1").collect()} != {"v1"}
+
+
+def test_soak_cdc_stream_with_restarts_compaction_and_deletes(spark, tmp_path):
+    """Storage-layer soak (r5): a CDC stream of 40 micro-batches with
+    upserts AND deletes driven through foreachBatch across three
+    restarts, with a mid-soak compact(+tombstone GC) and vacuum while
+    the stream is down. Asserts: final table == batch latest-per-key
+    with delete-wins semantics, bounded on-disk file count after
+    compaction (copy-on-write must not accumulate per-batch files
+    forever), and idempotent replay of the final batch."""
+    import os
+
+    src = str(tmp_path / "cdc_src")
+    cols = "k BIGINT, seq BIGINT, v STRING, del BOOLEAN"
+    rng_rows = []
+    seq = 0
+    for batch in range(40):
+        rows = []
+        for j in range(25):
+            k = (batch * 7 + j * 3) % 60
+            seq += 1
+            # every 11th change is a delete
+            is_del = (seq % 11) == 0
+            rows.append((k, seq, None if is_del else f"v{seq}", is_del))
+        rng_rows.append(rows)
+
+    tbl = UpsertTable(
+        str(tmp_path / "t"),
+        key_cols=["k"],
+        seq_col="seq",
+        delete_col="del",
+        n_buckets=8,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def stage(batches):
+        for rows in batches:
+            spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(cols)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(tbl.foreach_batch())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    stage(rng_rows[:15])
+    drain()
+    stage(rng_rows[15:30])
+    drain()
+    # maintenance while the stream is down: GC tombstones below a
+    # retention horizon every later change is above (seq 751+ arrives
+    # after), then drop superseded snapshot generations
+    tbl.compact(spark, drop_tombstones_before=500)
+    tbl.vacuum()
+    stage(rng_rows[30:])
+    drain()
+
+    all_rows = [r for rows in rng_rows for r in rows]
+    latest: dict = {}
+    for k, s, v, d in all_rows:
+        if k not in latest or s > latest[k][0] or (s == latest[k][0] and d):
+            latest[k] = (s, v, d)
+    expect = {k: (s, v) for k, (s, v, d) in latest.items() if not d}
+
+    got = {
+        r["k"]: (r["seq"], r["v"]) for r in tbl.read(spark).collect()
+    }
+    assert got == expect
+
+    # end-of-soak maintenance bounds storage: copy-on-write generations
+    # collapse to O(buckets) files, not O(batches) — and the table still
+    # reads identically afterwards
+    tbl.compact(spark, drop_tombstones_before=990)
+    tbl.vacuum()
+    assert {
+        r["k"]: (r["seq"], r["v"]) for r in tbl.read(spark).collect()
+    } == expect
+    n_files = sum(
+        1
+        for root, _d, names in os.walk(str(tmp_path / "t"))
+        for n in names
+        if n.endswith(".parquet")
+    )
+    assert n_files <= 8 * 2, n_files
+
+    # replaying the last committed micro-batch id is a no-op
+    before = got
+    tbl.foreach_batch()(spark.createDataFrame(rng_rows[-1], cols), 39)
+    assert {
+        r["k"]: (r["seq"], r["v"]) for r in tbl.read(spark).collect()
+    } == before
