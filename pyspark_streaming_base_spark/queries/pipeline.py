@@ -10,7 +10,7 @@ small sides (quantization params: 1 row; k-means centroids: k rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.functions.textops import redact, tokens
@@ -945,4 +945,41 @@ def q128_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.when(F.col("kept"), 1)).cast("double") / F.max("n")
             ).alias("kept_frac"),
         )
+    )
+
+
+@query(
+    "q129_stratified_k_sample",
+    oracle="""
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 16), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 20
+    """,
+)
+def q129_stratified_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic sample per stratum (eval-panel / few-shot
+    pool construction): the 20 docs per language whose md5 falls lowest
+    in hash order — a seedless, engine-portable "random" panel that
+    every rerun reproduces bit-for-bit. Complements q55's RATE-based
+    stratified sample (stable under corpus growth, but size only in
+    expectation) with the exact-size panel evaluation needs; the
+    membership-stability trade is documented, not hidden (a new doc
+    with a smaller hash displaces the panel's tail).
+
+    Scale: ``row_number() <= k`` plans ``WindowGroupLimit`` — each map
+    task pre-keeps 20 candidates per stratum before the sort-shuffle,
+    so the exchange carries O(k · strata · tasks) rows, not the corpus.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hk = F.md5(F.col("doc_id").cast("string")).substr(1, 16)
+    w = W.partitionBy("lang").orderBy(hk, "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("rn"))
+        .filter(F.col("rn") <= 20)
     )

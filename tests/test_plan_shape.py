@@ -65,6 +65,13 @@ def test_topk_group_limit_pushed(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_stratified_k_sample_group_limit_pushed(spark):
+    # q129's rn<=20 must plan WindowGroupLimit too: the exchange carries
+    # O(k * strata * tasks) candidates, never the corpus
+    plan = formatted_plan(R["q129_stratified_k_sample"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+
+
 def test_global_topk_avoids_total_sort(spark):
     # ORDER BY + LIMIT must plan TakeOrderedAndProject, not a global Sort
     plan = formatted_plan(R["q14_global_topk"].fn(spark, SF_SMALL))
