@@ -232,7 +232,60 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q44_dedup_clusters", oracle=None)  # iterative; union-find-verified in pytest
+#: q40's verified edge set as a reusable CTE body (same tokenization,
+#: blocking, and 0.8 threshold as the q40 oracle) + its symmetric
+#: closure — shared by the q44/q122/q127 oracles. ``AS MATERIALIZED`` is
+#: LOAD-BEARING: DuckDB 1.0 inlines multiply-referenced CTEs, so without
+#: it the recursive term re-runs the O(n²/lang) Jaccard join EVERY
+#: closure iteration (measured: >60 CPU-min at sf0.1 inlined vs ~2 min
+#: materialized).
+_CLUSTER_CLOSURE_SQL = """
+    pr AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM
+        (SELECT doc_id, lang,
+                list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+         FROM documents
+         WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0) a
+        JOIN
+        (SELECT doc_id, lang,
+                list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+         FROM documents
+         WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0) b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    ),
+    ed AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pr
+      UNION ALL SELECT doc_b, doc_a FROM pr
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM ed
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN ed e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    canon AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical FROM reach GROUP BY a
+    )
+"""
+
+
+@query(
+    "q44_dedup_clusters",
+    # connected components ARE SQL-expressible: the recursive transitive
+    # closure of the (small, dup-family-bounded) verified pair set — so
+    # the iterative Spark label propagation gets a full value-hash
+    # oracle, not just the union-find pytest (upgraded rows-only → oracle
+    # in r5; closure size is Σ|component|², bounded because components
+    # are dup families, not the corpus)
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CLOSURE_SQL}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(canonical AS BIGINT) AS canonical
+    FROM canon
+    """,
+)
 def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive dedup clustering (C17 final stage): near-dup pairs are
     not transitive (A~B, B~C without A~C), so keep-one-per-group needs
@@ -243,8 +296,10 @@ def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs come from q40's exact lang-blocked Jaccard (the verified edge
     set); components via iterative min-label propagation
     (``operators/components.py`` — O(E) shuffle per round, lineage
-    truncated per round, diameter-bounded). Rows-only driver check; the
-    pytest twin verifies against a driver-side union-find.
+    truncated per round, diameter-bounded). ORACLE-checked since r5: the
+    DuckDB twin computes the same components via a recursive
+    transitive-closure CTE, so the iterative Spark result is value-hash
+    verified, with the union-find pytest as a second witness.
     """
     from pyspark_streaming_base_spark.operators.components import (
         connected_components,
@@ -702,7 +757,31 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q127_leakage_safe_split", oracle=None)  # clusters are iterative
+from pyspark_streaming_base_spark.queries.text import (  # noqa: E402
+    _SPLIT_TEST_HEX as _TEST_HEX,
+    _SPLIT_VAL_HEX as _VAL_HEX,
+)
+
+
+@query(
+    "q127_leakage_safe_split",
+    # the canonical ids come from the SAME recursive-closure CTE as the
+    # q44 oracle (upgraded rows-only → oracle in r5), so the whole
+    # leakage-safe assignment is value-hash checked
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CLOSURE_SQL}
+    SELECT d.doc_id, d.lang,
+           CAST(COALESCE(c.canonical, d.doc_id) AS BIGINT) AS canonical,
+           CASE WHEN substring(md5(CAST(COALESCE(c.canonical, d.doc_id)
+                                        AS VARCHAR)), 1, 4) < '{_VAL_HEX}'
+                THEN 'val'
+                WHEN substring(md5(CAST(COALESCE(c.canonical, d.doc_id)
+                                        AS VARCHAR)), 1, 4) < '{_TEST_HEX}'
+                THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+    """,
+)
 def q127_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test split (training-pipeline extension):
     q49's md5-threshold split assigns each doc independently, which lets
@@ -714,7 +793,8 @@ def q127_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one left join of the corpus against the (small) clustered-doc
     set plus the same hash-threshold expression as q49 — no new shuffle
-    class. Rows-only (clusters come from iterative label propagation).
+    class. Oracle-checked since r5 via the recursive-closure canonical
+    CTE (q44's oracle), so the full assignment is value-hash verified.
     """
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
     clusters = q44_dedup_clusters(spark, sf_dir)
@@ -739,7 +819,43 @@ def q127_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q122_cluster_representatives", oracle=None)  # clusters are iterative
+@query(
+    "q122_cluster_representatives",
+    # closure CTE (q44's oracle) × q51's quality expression × a keeper
+    # window — upgraded rows-only → oracle in r5
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CLOSURE_SQL},
+    q AS (
+      SELECT doc_id,
+             0.45 * (CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                     / len(list_filter(string_split(text, ' '), x -> x <> '')))
+             + 0.35 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+             + 0.2 * (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 10
+                           THEN 1.0 ELSE 0.0 END) AS quality
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ),
+    scored AS (
+      SELECT c.doc_id, c.canonical, q.quality
+      FROM canon c JOIN q ON c.doc_id = q.doc_id
+    ),
+    k AS (
+      SELECT canonical, doc_id AS keeper_id,
+             ROW_NUMBER() OVER (PARTITION BY canonical
+                                ORDER BY quality DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY canonical) AS cluster_size
+      FROM scored
+    )
+    SELECT s.doc_id,
+           CAST(s.canonical AS BIGINT) AS cluster,
+           CAST(k.keeper_id AS BIGINT) AS keeper_id,
+           s.doc_id = k.keeper_id AS kept,
+           s.quality AS quality_score,
+           CAST(k.cluster_size AS BIGINT) AS cluster_size
+    FROM scored s JOIN (SELECT * FROM k WHERE rn = 1) k
+      ON s.canonical = k.canonical
+    """,
+)
 def q122_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-based keeper selection (the dedup DECISION step): for each
     near-dup cluster keep the HIGHEST-QUALITY member, not the lowest id
@@ -750,8 +866,9 @@ def q122_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition: q44's transitive clusters × q51's quality scores →
     ``max_by`` per component with a (score, -doc_id) tie-break. Emits
     every clustered doc with its cluster keeper and whether it survives.
-    Rows-only (clusters come from iterative label propagation); the
-    pytest twin proves one keeper per cluster and keeper-maximality.
+    Oracle-checked since r5 (closure CTE × q51's quality SQL × a keeper
+    window); the pytest twin additionally proves one keeper per cluster
+    and keeper-maximality.
     """
     from pyspark_streaming_base_spark.queries.text import q51_quality_score
 
