@@ -51,7 +51,26 @@ def q80_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q81_decode_features", oracle=None)  # mapInPandas plumbing; rows-only check
+@query(
+    "q81_decode_features",
+    # the stub decoder is PURE md5 arithmetic, so the whole Arrow-batched
+    # mapInPandas pipeline gets a value-hash oracle (upgraded rows-only →
+    # oracle in r5): DuckDB reproduces width/height/n_frames from the
+    # same digest math. '0x'-prefixed cast = hex-string → int.
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS payload_bytes,
+           md5(text) AS digest,
+           CAST(16 + ('0x' || substring(md5(text), 1, 4))::BIGINT % 4080
+                AS INTEGER) AS width,
+           CAST(16 + ('0x' || substring(md5(text), 5, 4))::BIGINT % 4080
+                AS INTEGER) AS height,
+           CAST(1 + ('0x' || substring(md5(text), 9, 4))::BIGINT % 120
+                AS INTEGER) AS n_frames,
+           'stub-md5-v1' AS decoder
+    FROM documents
+    """,
+)
 def q81_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode → feature-extract pipeline over binary payloads
     (multimodal slow path).
@@ -60,7 +79,9 @@ def q81_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``functions/multimodal.py`` — deterministic fake width/height/frames
     derived from the digest, so the pipeline shape (binary in, typed
     features out, batch-wise Arrow transfer) is fully exercised without
-    media libraries. Rows-only driver check.
+    media libraries — and because the stub is pure md5 arithmetic, the
+    whole Python pipeline is ORACLE-checked against a SQL mirror
+    (upgraded from rows-only in r5).
 
     Scale: decode parallelism = input partitions; payloads never hit the
     driver; batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
@@ -73,15 +94,52 @@ def q81_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(d, payload_col="payload", id_col="doc_id")
 
 
-@query("q82_frame_sample", oracle=None)  # row-expanding mapInPandas; rows-only check
+@query(
+    "q82_frame_sample",
+    # full SQL mirror of the stub decode + frame enumeration + resize
+    # geometry + md5 frame fingerprints (upgraded rows-only → oracle in
+    # r5): range(0, nf, 10) matches Python's range step; trunc() matches
+    # int()'s float truncation; the fp concat matches f"{digest}:{idx}".
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS digest,
+             16 + ('0x' || substring(md5(text), 1, 4))::BIGINT % 4080 AS w,
+             16 + ('0x' || substring(md5(text), 5, 4))::BIGINT % 4080 AS h,
+             1 + ('0x' || substring(md5(text), 9, 4))::BIGINT % 120 AS nf
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, digest, w, h, GREATEST(w, h) AS mx,
+             unnest(range(0, nf, 10)) AS idx
+      FROM m
+    ),
+    f AS (
+      SELECT doc_id, idx,
+             substring(md5(digest || ':' || CAST(idx AS VARCHAR)), 1, 16) AS fp,
+             CASE WHEN 256.0 / mx >= 1 THEN w
+                  ELSE CAST(trunc(w * (256.0 / mx)) AS BIGINT) END AS ow,
+             CASE WHEN 256.0 / mx >= 1 THEN h
+                  ELSE CAST(trunc(h * (256.0 / mx)) AS BIGINT) END AS oh
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(max(idx) AS INTEGER) AS last_idx,
+           min(fp) AS min_fp,
+           CAST(max(ow) AS INTEGER) AS out_w,
+           CAST(max(oh) AS INTEGER) AS out_h
+    FROM f GROUP BY doc_id
+    """,
+)
 def q82_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample + resize over binary video payloads (multimodal
     row-expanding path), then a per-document rollup of sampled-frame stats.
 
     Every 10th frame of each (stub-decoded) payload is kept and resized to
     a 256-px longest side; the rollup proves the typed frame rows compose
-    with ordinary relational ops. Rows-only driver check (the stub decoder
-    is engine-side); pytest pins exact fan-out and geometry.
+    with ordinary relational ops. ORACLE-checked since r5 (the stub
+    decode, frame enumeration, resize truncation, and fingerprints all
+    mirror in SQL); pytest additionally pins exact fan-out and geometry.
 
     Scale: fan-out happens executor-side batch-by-batch (no driver
     materialization), and the rollup shuffles only (doc_id, small ints).
