@@ -140,9 +140,17 @@ def shapes(spark, n: int):
 
     # q113's shape: chained conditional-min windows on ONE partition spec —
     # must stay a single exchange however many events flow through it.
-    ev = spark.read.parquet(*([f"{SF_DIR}/events.parquet"] * n)).select(
-        "user_id", "ts", "event_type"
-    )
+    # events.ts encoding drifts round-to-round (TIMESTAMP(NANOS) vs NTZ
+    # micros) — normalize exactly like queries/_tables.t() so the smoke
+    # survives either fixture encoding.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(*([f"{SF_DIR}/events.parquet"] * n))
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = ev.select("user_id", "ts", "event_type")
     wu = W.partitionBy("user_id")
     f1 = ev.withColumn(
         "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu)
