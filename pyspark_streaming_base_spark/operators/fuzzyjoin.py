@@ -30,24 +30,31 @@ Two distances, two blocking rules:
   zero — proven by the brute-force-equivalence tests — and only
   candidates pay the O(length²) exact verification.
 
-Scale shape: the only shuffles are the segment equi-join and the
-candidate dedup, and both carry KEYS ONLY — the segment join operates on
-(id, length, slot, segment) with the full strings projected away, and
-strings re-attach by id for the verify step only after the (id_a, id_b)
-dedup (the same keys-only-payload rule as the LSH probe join in
-``queries/similarity.py``). Dedup stays BEFORE verify: duplicate-heavy
-corpora concentrate the blocking-key multiplicity on exactly the pairs
-that pass verification, so verifying the raw multiset multiplies the
-distance work where it is densest (measured 3× slower). On a boilerplate-heavy corpus the candidate
-multiset is the big intermediate — 10⁷ pairs × 16 B of ids instead of
-10⁷ × full string payloads is the difference between a routine exchange
-and an executor OOM (measured: q108 at sf0.1 under a 1 GB heap OOMed
-with string payloads, runs clean keys-only). Bucket sizes are bounded by
-segment-value frequency (skew → AQE split like any equi-join), and
-verification is JVM-side (``zip_with`` char compare / built-in
-``levenshtein``) over deduplicated candidate rows only. Probe-side
-enumeration is a constant factor — (2k+1) lengths × (k+1) segments ×
-≤(2k+1) shifts ≈ 18 rows per string at k=1 — never O(n²).
+Scale shape, in order of leverage:
+
+1. **Distinct-string domain** (``_group_identical``): the blocking/
+   verify machinery runs on DISTINCT strings only; identical-string
+   groups expand back afterwards (``_expand_groups``), a double explode
+   whose fan-out IS the answer. On duplicate-heavy corpora candidate
+   volume shrinks quadratically with the duplication factor — measured
+   on part names at sf0.1 (20 000 rows, 64 distinct): 31M id-pair
+   candidates → ~2 000 string pairs, q108 19.5 s → 1.4 s and q124
+   37.5 s → 1.3 s with hash-identical output.
+2. **Keys only in the exchanges**: the segment join and pair dedup
+   carry (id, length, slot, segment) with the full strings projected
+   away; strings re-attach by id for verification only (the same
+   keys-only-payload rule as the LSH probe join in
+   ``queries/similarity.py``; string payloads in the exchange OOMed a
+   1 GB heap before this).
+3. **Dedup before verify**: a pair matching m blocking keys is verified
+   once, not m times (measured 3× faster on the pre-dedup domain).
+4. Bucket sizes are bounded by segment-value frequency — skewed
+   segments split like any AQE equi-join (proven in
+   ``test_aqe_skew.py``) — and verification is JVM-side (``zip_with``
+   char compare / banded built-in ``levenshtein``) over deduplicated
+   candidate rows only. Probe-side enumeration is a constant factor —
+   (2k+1) lengths × (k+1) segments × a tight ⌊(k±Δ)/2⌋ shift window —
+   never O(n²).
 """
 
 from __future__ import annotations
@@ -112,9 +119,12 @@ def hamming_self_join(
     base = df.select(F.col(id_col), F.col(str_col)).filter(
         F.col(str_col).isNotNull() & (F.length(str_col) >= n_seg)
     )
-    # keys-only candidate generation: the strings never enter the
-    # segment join or the pair dedup (see module docstring)
-    segs = _segments(base, id_col, str_col, n_seg).select(
+    groups = _group_identical(base, id_col, str_col)
+    reps = groups.select(F.col("_rep").alias(id_col), F.col(str_col))
+    # keys-only candidate generation OVER THE DISTINCT-STRING DOMAIN:
+    # the strings never enter the segment join or the pair dedup, and
+    # identical strings participate exactly once (see module docstring)
+    segs = _segments(reps, id_col, str_col, n_seg).select(
         id_col, "_len", "_seg_idx", "_seg"
     )
     a, b = segs.alias("a"), segs.alias("b")
@@ -133,13 +143,12 @@ def hamming_self_join(
         # a pair sharing m segments appears m times: dedup the KEYS-ONLY
         # multiset BEFORE attaching strings and verifying (measured: on
         # duplicate-heavy corpora the matching pairs are exactly the ones
-        # with dup factor k+1, so verify-first triples the distance work
-        # — 25 s vs 74 s for q108 at sf0.1)
+        # with dup factor k+1, so verify-first triples the distance work)
         .dropDuplicates([out_a, out_b])
     )
-    return _attach_and_verify(
+    rep_pairs = _attach_and_verify(
         cand,
-        base,
+        reps,
         id_col,
         str_col,
         hamming_distance,
@@ -148,6 +157,69 @@ def hamming_self_join(
         out_b,
         dist_col,
     )
+    return _expand_groups(rep_pairs, groups, out_a, out_b, dist_col)
+
+
+def _group_identical(base: DataFrame, id_col: str, str_col: str) -> DataFrame:
+    """(string, _rep = min id, _ids, _n): the identical-string groups.
+
+    The similarity machinery then runs on the DISTINCT-VALUE DOMAIN only
+    — the decisive optimization on duplicate-heavy corpora, where the
+    candidate pair space shrinks QUADRATICALLY with the duplication
+    factor (measured on part names at sf0.1: 20 000 rows but 64 distinct
+    strings → the segment join's 31M id-pair candidates collapse to
+    ~2 000 string pairs; the published similarity-join literature calls
+    this value-level deduplication). Group expansion afterwards is
+    O(output rows) — work proportional to the answer, which no algorithm
+    avoids."""
+    return base.groupBy(str_col).agg(
+        F.min(id_col).alias("_rep"),
+        F.collect_list(id_col).alias("_ids"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+
+
+def _expand_groups(
+    rep_pairs: DataFrame,
+    groups: DataFrame,
+    out_a: str,
+    out_b: str,
+    dist_col: str,
+) -> DataFrame:
+    """Expand representative-level pairs back to id-level pairs:
+
+    * WITHIN a group: identical strings are all at distance 0 — every
+      ``C(|g|, 2)`` id pair, generated by a double explode of the
+      group's id array (row fan-out equals the emitted pairs);
+    * ACROSS groups: each verified (rep_a, rep_b, dist) pair fans out to
+      ``|g_a| × |g_b|`` id pairs carrying the same distance (distinct
+      strings, so dist ≥ 1 and the pair cannot also arise within).
+
+    Ids interleave across groups, so the output order is normalized with
+    least/greatest. No dedup needed: the three sources are disjoint by
+    construction."""
+    within = (
+        groups.filter(F.col("_n") >= 2)
+        .select(F.col("_ids").alias("_arr"))
+        .select(F.explode("_arr").alias(out_a), F.col("_arr").alias("_arr2"))
+        .select(F.col(out_a), F.explode("_arr2").alias(out_b))
+        .filter(F.col(out_a) < F.col(out_b))
+        .withColumn(dist_col, F.lit(0).cast("bigint"))
+    )
+    ga = groups.select(F.col("_rep").alias(out_a), F.col("_ids").alias("_ids_a"))
+    gb = groups.select(F.col("_rep").alias(out_b), F.col("_ids").alias("_ids_b"))
+    cross = (
+        rep_pairs.join(ga, out_a)
+        .join(gb, out_b)
+        .select(F.explode("_ids_a").alias("_ia"), "_ids_b", dist_col)
+        .select("_ia", F.explode("_ids_b").alias("_ib"), dist_col)
+        .select(
+            F.least("_ia", "_ib").alias(out_a),
+            F.greatest("_ia", "_ib").alias(out_b),
+            dist_col,
+        )
+    )
+    return within.unionByName(cross)
 
 
 def _attach_and_verify(
@@ -222,13 +294,16 @@ def levenshtein_self_join(
     base = df.select(F.col(id_col), F.col(str_col)).filter(
         F.col(str_col).isNotNull() & (F.length(str_col) >= n_seg)
     )
-    segs = _segments(base, id_col, str_col, n_seg).select(
+    # distinct-string domain + group expansion (see _group_identical)
+    groups = _group_identical(base, id_col, str_col)
+    reps = groups.select(F.col("_rep").alias(id_col), F.col(str_col))
+    segs = _segments(reps, id_col, str_col, n_seg).select(
         id_col, "_len", "_seg_idx", "_seg"
     )
 
     L = F.length(F.col(str_col))
     probes = (
-        base.select(
+        reps.select(
             F.col(id_col),
             F.col(str_col),
             L.alias("_rlen"),
@@ -297,9 +372,9 @@ def levenshtein_self_join(
         # at sf0.1: 34 s vs 45 s)
         .dropDuplicates([out_a, out_b])
     )
-    return _attach_and_verify(
+    rep_pairs = _attach_and_verify(
         cand,
-        base,
+        reps,
         id_col,
         str_col,
         # threshold form: banded DP that early-exits past max_dist and
@@ -310,3 +385,4 @@ def levenshtein_self_join(
         out_b,
         dist_col,
     )
+    return _expand_groups(rep_pairs, groups, out_a, out_b, dist_col)
