@@ -157,11 +157,13 @@ def hamming_self_join(
         out_b,
         dist_col,
     )
-    return _expand_groups(rep_pairs, groups, out_a, out_b, dist_col)
+    return _expand_groups(
+        rep_pairs, base, groups, id_col, str_col, out_a, out_b, dist_col
+    )
 
 
 def _group_identical(base: DataFrame, id_col: str, str_col: str) -> DataFrame:
-    """(string, _rep = min id, _ids, _n): the identical-string groups.
+    """(string, _rep = min id): one row per distinct string value.
 
     The similarity machinery then runs on the DISTINCT-VALUE DOMAIN only
     — the decisive optimization on duplicate-heavy corpora, where the
@@ -171,48 +173,56 @@ def _group_identical(base: DataFrame, id_col: str, str_col: str) -> DataFrame:
     ~2 000 string pairs; the published similarity-join literature calls
     this value-level deduplication). Group expansion afterwards is
     O(output rows) — work proportional to the answer, which no algorithm
-    avoids."""
-    return base.groupBy(str_col).agg(
-        F.min(id_col).alias("_rep"),
-        F.collect_list(id_col).alias("_ids"),
-        F.count(F.lit(1)).alias("_n"),
-    )
+    avoids. Deliberately NO collect_list here: a 10⁸-duplicate value
+    would put a 10⁸-element array in one row — expansion uses joins
+    instead (:func:`_expand_groups`), keeping every row O(1)."""
+    return base.groupBy(str_col).agg(F.min(id_col).alias("_rep"))
 
 
 def _expand_groups(
     rep_pairs: DataFrame,
+    base: DataFrame,
     groups: DataFrame,
+    id_col: str,
+    str_col: str,
     out_a: str,
     out_b: str,
     dist_col: str,
 ) -> DataFrame:
-    """Expand representative-level pairs back to id-level pairs:
+    """Expand representative-level pairs back to id-level pairs, with
+    JOINS only (every row stays O(1) — no per-group id arrays):
 
-    * WITHIN a group: identical strings are all at distance 0 — every
-      ``C(|g|, 2)`` id pair, generated by a double explode of the
-      group's id array (row fan-out equals the emitted pairs);
-    * ACROSS groups: each verified (rep_a, rep_b, dist) pair fans out to
-      ``|g_a| × |g_b|`` id pairs carrying the same distance (distinct
-      strings, so dist ≥ 1 and the pair cannot also arise within).
+    * WITHIN a group: identical strings are all at distance 0 — a
+      self-equi-join of ``base`` on the string value with ``id < id``
+      emits every ``C(|g|, 2)`` pair; a hot value is a skewed equi-join
+      partition, exactly what AQE splits (bare shuffle children);
+    * ACROSS groups: each verified (rep_a, rep_b, dist) pair joins the
+      (id, rep) membership table twice, fanning out to ``|g_a| × |g_b|``
+      id pairs with the same distance (distinct strings, so dist ≥ 1 and
+      the pair cannot also arise within).
 
     Ids interleave across groups, so the output order is normalized with
-    least/greatest. No dedup needed: the three sources are disjoint by
+    least/greatest. No dedup needed: the sources are disjoint by
     construction."""
+    l, r = base.alias("l"), base.alias("r")
     within = (
-        groups.filter(F.col("_n") >= 2)
-        .select(F.col("_ids").alias("_arr"))
-        .select(F.explode("_arr").alias(out_a), F.col("_arr").alias("_arr2"))
-        .select(F.col(out_a), F.explode("_arr2").alias(out_b))
-        .filter(F.col(out_a) < F.col(out_b))
+        l.join(
+            r,
+            (F.col(f"l.{str_col}") == F.col(f"r.{str_col}"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias(out_a),
+            F.col(f"r.{id_col}").alias(out_b),
+        )
         .withColumn(dist_col, F.lit(0).cast("bigint"))
     )
-    ga = groups.select(F.col("_rep").alias(out_a), F.col("_ids").alias("_ids_a"))
-    gb = groups.select(F.col("_rep").alias(out_b), F.col("_ids").alias("_ids_b"))
+    memb = base.join(groups, str_col).select(F.col(id_col), F.col("_rep"))
+    ma = memb.select(F.col("_rep").alias(out_a), F.col(id_col).alias("_ia"))
+    mb = memb.select(F.col("_rep").alias(out_b), F.col(id_col).alias("_ib"))
     cross = (
-        rep_pairs.join(ga, out_a)
-        .join(gb, out_b)
-        .select(F.explode("_ids_a").alias("_ia"), "_ids_b", dist_col)
-        .select("_ia", F.explode("_ids_b").alias("_ib"), dist_col)
+        rep_pairs.join(ma, out_a)
+        .join(mb, out_b)
         .select(
             F.least("_ia", "_ib").alias(out_a),
             F.greatest("_ia", "_ib").alias(out_b),
@@ -385,4 +395,6 @@ def levenshtein_self_join(
         out_b,
         dist_col,
     )
-    return _expand_groups(rep_pairs, groups, out_a, out_b, dist_col)
+    return _expand_groups(
+        rep_pairs, base, groups, id_col, str_col, out_a, out_b, dist_col
+    )
