@@ -49,14 +49,21 @@ def _split_by_key_size(
     df: DataFrame, key_col: str, exact_threshold: int
 ) -> tuple[DataFrame, DataFrame]:
     """(small-key rows, big-key rows): one count-per-key aggregate, then
-    two broadcast semi-joins against the (tiny, one-row-per-key) count
-    frame. Every key lands in exactly one side."""
+    two semi-joins against the one-row-per-key count frame. Every key
+    lands in exactly one side.
+
+    Deliberately NO broadcast hint: the count frame is one row per
+    DISTINCT key — tiny for event_type/returnflag-style keys (where AQE
+    broadcasts it anyway) but potentially 10⁹ rows for a user_id-style
+    key, where a forced broadcast would kill the driver. AQE picks the
+    strategy from the observed size, which is the safe generic
+    contract."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
     small_keys = counts.filter(F.col("_n") <= exact_threshold).select(key_col)
     big_keys = counts.filter(F.col("_n") > exact_threshold).select(key_col)
     return (
-        df.join(F.broadcast(small_keys), key_col, "semi"),
-        df.join(F.broadcast(big_keys), key_col, "semi"),
+        df.join(small_keys, key_col, "semi"),
+        df.join(big_keys, key_col, "semi"),
     )
 
 
