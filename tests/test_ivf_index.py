@@ -90,3 +90,58 @@ def test_kmeans_refined_centroids_index(spark, tmp_path):
     }
     recall = len(ann & exact) / len(exact)
     assert recall >= 0.3  # nprobe/K of the corpus scanned; floor, not noise
+
+
+def test_streaming_query_vectors_probe_persisted_index(spark, tmp_path):
+    """Real-time retrieval: a STREAM of query vectors probes the
+    persisted index through foreachBatch, and the accumulated results
+    equal the one-shot batch probe of the same queries — the serving
+    path the index-once/probe-many contract exists for. Micro-batches
+    arrive one file at a time, so the index is probed repeatedly with
+    small query sets (the production shape: queries trickle, the corpus
+    side stays the materialized index)."""
+    emb = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, k=_IVF_K)
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    staging = str(tmp_path / "qstream")
+    # one file per query → one micro-batch per query
+    queries.repartition("qid").write.parquet(staging)
+
+    out = str(tmp_path / "results")
+
+    def probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        query_ivf_index(
+            spark, path, batch_df, nprobe=_IVF_NPROBE, top_k=_TOP_K
+        ).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.qid, r.vec_id, r.sim_r, r.rnk)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.qid, r.vec_id, r.sim_r, r.rnk)
+        for r in query_ivf_index(
+            spark, path, queries, nprobe=_IVF_NPROBE, top_k=_TOP_K
+        ).collect()
+    }
+    assert got == want  # stream-accumulated == batch, exactly
+    assert len({qid for (qid, *_rest) in got}) == _N_QUERIES
