@@ -426,6 +426,8 @@ _op = st.one_of(
     st.tuples(st.just("overwrite"), st.lists(st.integers(0, 50), min_size=1, max_size=4)),
     st.tuples(st.just("compact"), st.just(None)),
     st.tuples(st.just("checkpoint"), st.just(None)),
+    st.tuples(st.just("vacuum"), st.just(None)),
+    st.tuples(st.just("clean_log"), st.just(None)),
 )
 
 
@@ -436,10 +438,11 @@ _op = st.one_of(
 )
 @given(ops=st.lists(_op, min_size=1, max_size=5))
 def test_delta_log_table_matches_list_model(spark, tmp_path_factory, ops):
-    """Arbitrary append/overwrite/compact/checkpoint sequences: the table
-    must always read back exactly what a trivial in-memory list model
-    holds — the replay/compaction/checkpoint machinery can never change
-    WHAT is stored, only how."""
+    """Arbitrary append/overwrite/compact/checkpoint/vacuum/clean_log
+    sequences: the table must always read back exactly what a trivial
+    in-memory list model holds — replay, compaction, checkpointing, and
+    BOTH retention paths (data-file vacuum, metadata clean_log) can
+    never change WHAT is stored, only how."""
     base = tmp_path_factory.mktemp("dlt")
     t = DeltaLogTable(str(base / "t"), checkpoint_interval=1000)
     t.create(SCHEMA)
@@ -457,6 +460,11 @@ def test_delta_log_table_matches_list_model(spark, tmp_path_factory, ops):
             t.compact(spark, target_files=1)
         elif kind == "checkpoint":
             t.checkpoint()
+        elif kind == "vacuum":
+            t.vacuum()  # unreferenced files only — snapshot must survive
+        elif kind == "clean_log":
+            t.checkpoint()  # clean_log requires a checkpoint first
+            t.clean_log()
         got = sorted((r.id, r.color, r.score) for r in t.read(spark).collect())
         assert got == sorted(model), (kind, payload)
 
