@@ -1,6 +1,7 @@
 """Property test: UpsertTable equals a sequential dict-replay oracle for
 arbitrary CDC histories (inserts, updates, deletes, duplicate replays,
-out-of-order sequences) split across arbitrary batch boundaries."""
+out-of-order sequences) split across arbitrary batch boundaries, with
+compaction/vacuum maintenance interleaved arbitrarily between batches."""
 
 from __future__ import annotations
 
@@ -42,8 +43,16 @@ def oracle_replay(history):
 
 
 @SETTINGS
-@given(history=ops, n_batches=st.integers(min_value=1, max_value=4))
-def test_upsert_matches_dict_replay(spark, history, n_batches):
+@given(
+    history=ops,
+    n_batches=st.integers(min_value=1, max_value=4),
+    maint=st.lists(
+        st.sampled_from(["none", "compact", "vacuum", "both"]),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_upsert_matches_dict_replay(spark, history, n_batches, maint):
     # (key, seq, delete-flag) must determine the payload for determinism —
     # dedupe the generated history to its last occurrence per that triple.
     # A delete and a non-delete CAN share (key, seq): the engine resolves
@@ -59,12 +68,20 @@ def test_upsert_matches_dict_replay(spark, history, n_batches):
             root, key_cols=["k"], seq_col="seq", delete_col="del", n_buckets=4
         )
         size = max(1, len(history) // n_batches)
-        for i in range(0, len(history), size):
+        for bi, i in enumerate(range(0, len(history), size)):
             batch = history[i : i + size]
             df = spark.createDataFrame(
                 batch, "k BIGINT, seq BIGINT, v STRING, del BOOLEAN"
             )
-            tbl.apply(df, i // size)
+            tbl.apply(df, bi)
+            # interleaved maintenance must never change WHAT is stored:
+            # drop_tombstones_before=0 retains every tombstone (any seq
+            # may still arrive), vacuum drops superseded snapshots only
+            m = maint[bi % len(maint)]
+            if m in ("compact", "both"):
+                tbl.compact(spark, drop_tombstones_before=0)
+            if m in ("vacuum", "both"):
+                tbl.vacuum()
         got = {
             r["k"]: (r["seq"], r["v"])
             for r in tbl.read(spark).select("k", "seq", "v").collect()
