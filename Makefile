@@ -1,7 +1,7 @@
 # Developer entry points. All gates run on the preinstalled toolchain —
 # no network access assumed.
 
-.PHONY: test correctness correctness-sf01 bench lint plan-lint install smoke scale-smoke
+.PHONY: test correctness correctness-sf01 bench lint plan-lint plans install smoke scale-smoke
 
 test:
 	python -m pytest tests/ -q
@@ -25,6 +25,10 @@ lint:
 
 plan-lint:
 	python tools/lint_plans.py
+
+plans:
+	# regenerate PLANS.md (formatted physical plans for the audit set)
+	python tools/dump_plans.py
 
 install:
 	# normal toolchains: pip install -e .  — this container lacks the
