@@ -109,7 +109,19 @@ def pq_codebooks(emb: DataFrame, m: int, k: int, iters: int = 3) -> DataFrame:
         "sub", F.col("vec_id").cast("bigint").alias("cid"), F.col("sv").alias("cv")
     )
     for _ in range(iters):
-        assigned = _assign(subvecs, cent).join(subvecs, ["vec_id", "sub"])
+        # carry sv THROUGH the argmin aggregate instead of re-joining the
+        # subvector frame afterwards (sv is functionally determined by
+        # the (vec_id, sub) group key, so first() is deterministic) —
+        # one join per Lloyd round saved
+        assigned = (
+            subvecs.join(F.broadcast(cent), "sub")
+            .withColumn("d2", _d2("sv", "cv"))
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+                F.first("sv").alias("sv"),
+            )
+        )
         cent = (
             assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "val"))
             .groupBy("sub", "cid", "pos")

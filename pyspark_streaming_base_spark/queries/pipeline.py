@@ -231,12 +231,17 @@ def kmeans_centroids(
         )
 
     for _ in range(iters):
+        # carry v THROUGH the argmin aggregate instead of re-joining the
+        # corpus afterwards (v is functionally determined by the vec_id
+        # group key, so first() is deterministic) — one join per round
         assigned = (
             emb.crossJoin(F.broadcast(cent))
             .withColumn("d2", d2())
             .groupBy("vec_id")
-            .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-            .join(emb, "vec_id")
+            .agg(
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+                F.first("v").alias("v"),
+            )
         )
         cent = (
             assigned.select("cid", F.posexplode("v").alias("pos", "val"))
