@@ -30,3 +30,20 @@ def dot(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1).
+
+    Derived from a splitmix64-style integer mix of (plane, dim) — stable
+    across engines/runs, no RNG state (Date-free, seed-free by design).
+    The ONE plane-mix definition shared by every LSH consumer
+    (``queries/similarity.py`` hash tables, ``operators/semdedup.py``
+    sub-bucket signatures) — callers namespace their planes by offsetting
+    ``p`` so different consumers never share a hyperplane.
+    """
+    x = (p * 1_000_003 + d * 97 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+    x = x ^ (x >> 31)
+    return (x % 2_000_000) / 1_000_000.0 - 1.0

@@ -108,8 +108,13 @@ def equidepth_histogram(
         F.percentile_approx(value_col, qs, F.lit(accuracy)).alias("_cuts")
     )
     v = F.col(value_col)
+    # No forced broadcast on cuts: it has one row per OVER-threshold key —
+    # tiny at the default threshold (AQE broadcasts it from the observed
+    # size), but a caller-lowered exact_threshold on a high-cardinality
+    # key would make a forced broadcast the driver-OOM hazard
+    # _split_by_key_size's contract explicitly avoids.
     sketch = bounds(
-        big.join(F.broadcast(cuts), key_col)
+        big.join(cuts, key_col)
         .select(
             key_col,
             value_col,

@@ -45,13 +45,14 @@ REGISTRY: Dict[str, QuerySpec] = {}
 # remain fully checked by the stricter local mirror
 # (tools/check_correctness.py) and pytest.
 DRIVER_PRIORITY: tuple = (
-    # ROUND-5 ROTATION: the same 26-keeper component-covering core as r4
-    # (one per SURVEY §2 family incl. required reps q96/q47/q79/q98),
-    # plus the 14 queries that had never received a driver CORRECTNESS
-    # row (q106, q112–q123 from the r4 wave, and the new q124). The r4
-    # first-timers now long-green (q81/q82, q91–q95, q101–q105, q49,
-    # q110) rotate to the stricter local mirror
-    # (tools/check_correctness.py) and pytest, like every prior rotation.
+    # ROUND-6 ROTATION: same 26-keeper component-covering core, plus the
+    # SEVEN oracle-bearing queries that had never received a driver
+    # CORRECTNESS row in any round (q48/q53/q56 from the r1 text wave;
+    # q126–q129, which landed after the r5 prefix was pinned) — closing
+    # the r5 verdict's "never driver-checked" list. Seven r5 first-timers
+    # now driver-green (q106, q112–q115, q118, q119) rotate to the
+    # stricter local mirror (tools/check_correctness.py) and pytest,
+    # like every prior rotation.
     #
     # keepers: C1–C18 core relational + flagship extension reps
     "q01_pricing_summary",      # C6 agg (headline)
@@ -92,21 +93,23 @@ DRIVER_PRIORITY: tuple = (
     "q79_late_data_audit",
     "q89_stream_stream_left_outer",
     "q98_arrow_digest",
-    # ROUND-5 FIRST-TIMERS: the r4 wave that never had a driver row
-    "q106_stream_stream_full_outer",  # C23 FULL OUTER twin
-    "q112_robust_outliers",           # median/MAD anomaly rule
-    "q113_funnel_progression",        # single-exchange funnel
-    "q114_binational_volume",         # two-role dimension join
-    "q115_ohlc_bars",                 # min_by/max_by resample
+    # r5 keepers that stay one more round (heavy/gated paths worth a
+    # fresh driver row after this round's plan churn nearby)
     "q116_equidepth_histogram",       # size-gated ntile/sketch deciles
     "q117_cooccurrence_lift",         # bounded pair-space lift
-    "q118_trend_slope",               # exact-int OLS slope
-    "q119_variant_extract",           # Spark 4 VARIANT / JSON lake
     "q120_scd2_intervals",            # gaps-and-islands SCD2
     "q121_contamination_fraction",    # graded decontamination
-    "q122_cluster_representatives",   # keeper selection (rows-only)
+    "q122_cluster_representatives",   # keeper selection
     "q123_hll_rollup",                # mergeable HLL (rows-only)
-    "q124_fuzzy_levenshtein_join",    # NEW r5: PassJoin edit-distance
+    "q124_fuzzy_levenshtein_join",    # PassJoin edit-distance
+    # ROUND-6 FIRST-TIMERS: oracle-bearing, never driver-checked before
+    "q48_stopword_ratio",             # C19 quality-signal ratio
+    "q53_fingerprint",                # C19 document fingerprint
+    "q56_rolling_hash",               # C19 rolling-hash shingles
+    "q126_mix_weights",               # temperature training-mix weights
+    "q127_leakage_safe_split",        # cluster-canonical split
+    "q128_per_source_cap",            # hash-rate per-source cap
+    "q129_stratified_k_sample",       # exact-k WindowGroupLimit panel
 )
 
 

@@ -854,7 +854,8 @@ def q112_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT sum(rs) AS tot, sum(n) AS sn FROM r)
     SELECT lang, n AS n_docs,
            CAST(rs AS DOUBLE) / tot AS weight,
-           CAST(rs * sn AS DOUBLE) / (tot * n) AS oversample
+           (CAST(rs AS DOUBLE) * CAST(sn AS DOUBLE))
+             / (CAST(tot AS DOUBLE) * CAST(n AS DOUBLE)) AS oversample
     FROM r CROSS JOIN t
     """,
 )
@@ -886,9 +887,15 @@ def q126_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n").alias("n_docs"),
         (F.col("rs").cast("double") / F.col("tot")).alias("weight"),
+        # oversample = (rs·sn)/(tot·n) with EACH FACTOR cast to double
+        # before multiplying: rs ≈ 1e6·sqrt(n), so the int64 product
+        # rs·sn overflows around 1e11 docs (the 100 TB corpus range) —
+        # non-ANSI Spark would wrap silently while DuckDB errors. Double
+        # products are correctly-rounded IEEE on both engines, so the
+        # cross-engine hash match is preserved at every scale.
         (
-            (F.col("rs") * F.col("sn")).cast("double")
-            / (F.col("tot") * F.col("n"))
+            (F.col("rs").cast("double") * F.col("sn").cast("double"))
+            / (F.col("tot").cast("double") * F.col("n").cast("double"))
         ).alias("oversample"),
     )
 

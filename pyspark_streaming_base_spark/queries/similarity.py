@@ -100,17 +100,11 @@ _N_FLIP_PLANES = 2  # probe all subsets of the 2 lowest-margin planes
 _DIM = 64
 
 
-def _plane_component(p: int, d: int) -> float:
-    """Deterministic pseudo-random hyperplane component in [-1, 1).
-
-    Derived from a splitmix64-style integer mix of (plane, dim) — stable
-    across engines/runs, no RNG state (Date-free, seed-free by design).
-    """
-    x = (p * 1_000_003 + d * 97 + 0x9E3779B9) & 0xFFFFFFFFFFFFFFFF
-    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
-    x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
-    x = x ^ (x >> 31)
-    return (x % 2_000_000) / 1_000_000.0 - 1.0
+# the one deterministic plane-mix definition (functions/vectorops.py),
+# kept under its historical private name for this module's matrix builder
+from pyspark_streaming_base_spark.functions.vectorops import (  # noqa: E402
+    plane_component as _plane_component,
+)
 
 
 def _plane_matrix():
