@@ -1,0 +1,217 @@
+"""Size-gated semantic deduplication (SemDeDup) with a bounded pair space.
+
+The published SemDeDup recipe (Abbas et al., "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", 2023): k-means the
+embedding corpus, then drop within-cluster near-duplicates by cosine
+similarity. The cluster is the blocking key — but blocking alone does NOT
+bound the pair space: Σ C(cluster_size, 2) is ~n²/k at fixed k, and a
+skewed corpus (near-identical embeddings collapsing into one cell)
+recreates the quadratic blowup at ANY k. "k scales with the corpus" is a
+deployment note, not a guard.
+
+This operator makes the pair space bounded BY CONSTRUCTION, with the same
+per-key gating philosophy as ``operators/histogram.py`` (count first,
+branch per key inside one Catalyst plan, no driver decision):
+
+1. count members per cluster (one map-side-combinable aggregate);
+2. clusters at or under ``exact_threshold`` take the EXACT branch —
+   every within-cluster pair, bit-reproducible, mirror-checkable;
+3. oversized clusters are SUB-BLOCKED by deterministic LSH sign
+   signatures: each member gets a ``ceil(log2(n_c / threshold))``-bit
+   bucket from fixed hyperplanes (``functions/vectorops.plane_component``
+   mix — no RNG), so expected cell size falls back under the threshold;
+   pairs form within (cluster, cell) only;
+4. cells STILL over the threshold (the near-identical-mass pathology LSH
+   cannot split — identical vectors have identical signatures) collapse
+   exact-duplicate vectors first (md5 of the serialized vector; non-min
+   members of a value group pair only with their group min), then the
+   group minima STAR-pair against the cell minimum — O(cell) pairs.
+
+Total candidate pairs ≤ (threshold/2 + 1) · n — linear in the corpus at
+fixed threshold, whatever the skew. Every removal is backed by a VERIFIED
+pair (rounded cosine ≥ tau against an actual lower-id vector), so the
+gated result is always a SUBSET of the ungated policy's removals
+(sub-blocking can only lose cross-cell pairs, never invent similarity);
+exact-duplicate masses are collapsed losslessly in every tier. At fixture
+scales every cluster is far under the default threshold, so the oracle/
+mirror-checked result is the exact policy bit-for-bit.
+
+Keys-only exchanges throughout (the rule ``operators/fuzzyjoin.py``
+established after string payloads in the candidate exchange OOMed a 1 GB
+heap): the pair-generating self-joins shuffle (cluster, vec_id) longs —
+the 64-dim vectors never enter the pair exchange; they are re-attached
+per surviving CANDIDATE id for the cosine verify, an O(candidates)
+equi-join against the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from pyspark_streaming_base_spark.functions.vectorops import (
+    cosine,
+    plane_component,
+)
+from pyspark_streaming_base_spark.queries._exact import dround
+
+__all__ = ["semdedup_removed", "DEFAULT_EXACT_THRESHOLD"]
+
+#: default per-cluster member budget for the exact all-pairs branch.
+#: C(10k, 2) = 5·10⁷ id-pairs (~800 MB of 16 B rows spread over the
+#: shuffle) is comfortably spillable; fixture clusters are ≤ ~250
+#: members, so oracle/mirror-checked runs always take the exact branch.
+DEFAULT_EXACT_THRESHOLD = 10_000
+
+#: fixed signature width: 16 sign bits per vector, masked down to the
+#: per-cluster need (ceil(log2(n_c / threshold)) bits) JVM-side. 2^16
+#: sub-cells splits a 10⁹-member degenerate cluster to ~15k expected
+#: members per cell at the default threshold.
+_MAX_SUB_PLANES = 16
+
+#: plane-namespace offset: keeps these hyperplanes disjoint from
+#: queries/similarity.py's hash-table planes (which use p = tbl*101+i).
+_PLANE_NS = 7_777
+
+
+def _sig_udf():
+    """Pandas UDF: vector → 16-bit LSH sign signature (long).
+
+    Dense (batch × dim) @ (dim × 16) numpy matmul — the Arrow-vectorized
+    case where numpy beats ~16 interpreted expression folds per row. The
+    plane matrix is built once per worker from the deterministic mix for
+    whatever dimension the first batch carries.
+    """
+    powers = 1 << np.arange(_MAX_SUB_PLANES, dtype=np.int64)
+    cache: dict = {}
+
+    @F.pandas_udf(LongType())
+    def sig(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        dim = X.shape[1]
+        Wm = cache.get(dim)
+        if Wm is None:
+            Wm = np.array(
+                [
+                    [plane_component(_PLANE_NS + p, d) for p in range(_MAX_SUB_PLANES)]
+                    for d in range(dim)
+                ],
+                dtype=np.float64,
+            )
+            cache[dim] = Wm
+        return pd.Series(((X @ Wm >= 0) @ powers).astype(np.int64))
+
+    return sig
+
+
+def _pairs_within(members: DataFrame, keys: list[str]) -> DataFrame:
+    """(id_x < id_y) self-join pairs within a blocking key — ids only."""
+    x = members.select(*keys, F.col("vec_id").alias("id_x"))
+    y = members.select(*keys, F.col("vec_id").alias("id_y"))
+    return x.join(y, keys).filter(F.col("id_x") < F.col("id_y")).select("id_x", "id_y")
+
+
+def semdedup_removed(
+    assigned: DataFrame,
+    tau: float,
+    exact_threshold: int = DEFAULT_EXACT_THRESHOLD,
+) -> DataFrame:
+    """(vec_id) of every vector REMOVED by the SemDeDup keeper policy:
+    a vector is removed iff some lower-id vector in the same blocking
+    cell has rounded cosine ≥ ``tau`` to it.
+
+    ``assigned`` needs (vec_id, cid, v: array<double>). Blocking cell =
+    cluster for clusters ≤ ``exact_threshold`` members (the exact
+    policy), else (cluster, LSH sub-bucket) — see module docstring for
+    the tier structure and the boundedness argument.
+    """
+    if not 0.0 < tau <= 1.0:
+        # tau > 1 would silently break the exact-duplicate collapse
+        # (identical vectors have cosine exactly 1.0)
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    exact_threshold = max(1, exact_threshold)
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_nc"))
+    # no forced broadcast: one row per cluster — tiny for k-means-style
+    # cids (AQE broadcasts it from observed size), unbounded for
+    # caller-supplied blocking keys (same contract as histogram.py)
+    tagged = assigned.join(counts, "cid")
+
+    small = tagged.filter(F.col("_nc") <= exact_threshold).select("cid", "vec_id")
+    pairs_exact = _pairs_within(small, ["cid"])
+
+    # oversized clusters: mask the 16-bit signature down to the bits this
+    # cluster needs (expected cell size ≈ n_c / 2^bits ≤ threshold)
+    bits = F.least(
+        F.greatest(
+            F.ceil(F.log2(F.col("_nc") / F.lit(float(exact_threshold)))),
+            F.lit(1),
+        ),
+        F.lit(_MAX_SUB_PLANES),
+    ).cast("int")
+    # 2^bits - 1 as the signature mask (pow is exact for bits ≤ 16;
+    # shiftleft's bit-count argument cannot be a column)
+    mask = (F.pow(F.lit(2.0), bits).cast("long") - 1)
+    big = (
+        tagged.filter(F.col("_nc") > exact_threshold)
+        .withColumn("_sig", _sig_udf()(F.col("v")))
+        .select(
+            "cid",
+            "vec_id",
+            "v",
+            F.col("_sig").bitwiseAND(mask).alias("sub"),
+        )
+    )
+    cell_counts = big.groupBy("cid", "sub").agg(F.count(F.lit(1)).alias("_cn"))
+    cells = big.join(cell_counts, ["cid", "sub"])
+
+    mid = cells.filter(F.col("_cn") <= exact_threshold).select("cid", "sub", "vec_id")
+    pairs_mid = _pairs_within(mid, ["cid", "sub"])
+
+    # cells LSH cannot split under the threshold: collapse exact-dup
+    # vector values (md5 of the serialized vector — 128-bit, no
+    # same-cell collisions in practice), then star-pair group minima
+    # against the cell minimum. O(cell) pairs, and an identical-vector
+    # mass is handled LOSSLESSLY: every non-min copy pairs with its
+    # group min at cosine exactly 1.0 ≥ tau.
+    over = cells.filter(F.col("_cn") > exact_threshold).select(
+        "cid",
+        "sub",
+        "vec_id",
+        F.md5(F.concat_ws(",", F.transform("v", lambda x: x.cast("string")))).alias(
+            "_vh"
+        ),
+    )
+    gmin = over.groupBy("cid", "sub", "_vh").agg(F.min("vec_id").alias("gm"))
+    pairs_grp = (
+        over.join(gmin, ["cid", "sub", "_vh"])
+        .filter(F.col("vec_id") != F.col("gm"))
+        .select(F.col("gm").alias("id_x"), F.col("vec_id").alias("id_y"))
+    )
+    cmin = gmin.groupBy("cid", "sub").agg(F.min("gm").alias("cm"))
+    pairs_star = (
+        gmin.join(cmin, ["cid", "sub"])
+        .filter(F.col("gm") != F.col("cm"))
+        .select(F.col("cm").alias("id_x"), F.col("gm").alias("id_y"))
+    )
+
+    pairs = (
+        pairs_exact.unionByName(pairs_mid)
+        .unionByName(pairs_grp)
+        .unionByName(pairs_star)
+    )
+
+    # verify: re-attach vectors PER CANDIDATE (keys-only exchange rule) —
+    # two equi-joins against the corpus, O(candidates) rows of payload
+    vx = assigned.select(F.col("vec_id").alias("id_x"), F.col("v").alias("vx"))
+    vy = assigned.select(F.col("vec_id").alias("id_y"), F.col("v").alias("vy"))
+    return (
+        pairs.join(vx, "id_x")
+        .join(vy, "id_y")
+        .filter(dround(cosine(F.col("vx"), F.col("vy"))) >= F.lit(tau))
+        .select(F.col("id_y").alias("vec_id"))
+        .distinct()
+    )

@@ -714,19 +714,24 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (C17/C18 bridge — the
     published embedding-space recipe: k-means the corpus, then remove
     within-cluster near-duplicates by cosine similarity). Lexical dedup
-    (q40/q41) misses paraphrases; this catches them, and the CLUSTER is
-    the blocking key, so the pair space is Σ C(cluster_size, 2) — never
-    corpus², and at 100 TB k scales with the corpus to keep cluster
-    sizes bounded (the same contract as IVF cells).
+    (q40/q41) misses paraphrases; this catches them.
 
-    Keeper policy: within a cluster, a vector is REMOVED iff some
-    lower-id vector in the same cluster is within the threshold —
-    deterministic, one pass, matches SemDeDup's keep-one semantics.
-    Rows-only for the driver (float Lloyd is engine-specific); the
-    pytest twin mirrors the whole pipeline in numpy bit-for-bit given
-    the q94-verified assignment.
+    The pair machinery is ``operators/semdedup.py::semdedup_removed`` —
+    size-GATED so the candidate space is bounded by construction
+    (≤ (threshold/2 + 1)·n pairs whatever the cluster skew): clusters
+    over the member threshold are LSH-sub-bucketed, and cells even LSH
+    cannot split (identical-vector masses) collapse exact-dup values and
+    star-pair group minima. All pair exchanges are keys-only; vectors
+    re-attach per candidate. Fixture clusters are ≤ ~250 members — far
+    under the 10k default threshold — so this query IS the exact policy
+    (removed iff a lower-id same-cluster vector is within tau), which
+    the pytest twin mirrors in numpy bit-for-bit given the
+    q94-verified assignment; the gated tiers are pinned separately in
+    ``tests/test_semdedup.py`` and priced in ``tools/scale_smoke.py``.
+    Rows-only for the driver (float Lloyd is engine-specific).
     """
-    from pyspark_streaming_base_spark.functions.vectorops import cosine, dvec
+    from pyspark_streaming_base_spark.functions.vectorops import dvec
+    from pyspark_streaming_base_spark.operators.semdedup import semdedup_removed
     from pyspark_streaming_base_spark.queries.pipeline import kmeans_assign
 
     tau = 0.35  # calibrated to the weakly-clustered synthetic fixture
@@ -734,19 +739,7 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", dvec("embedding").alias("v")
     )
     assigned = kmeans_assign(spark, sf_dir).select("vec_id", "cid").join(emb, "vec_id")
-    x, y = assigned.alias("x"), assigned.alias("y")
-    removed = (
-        x.join(
-            y,
-            (F.col("x.cid") == F.col("y.cid"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .withColumn("cos_r", dround(cosine(F.col("x.v"), F.col("y.v")), 6))
-        .filter(F.col("cos_r") >= tau)
-        .select(F.col("y.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("_rm", F.lit(True))
-    )
+    removed = semdedup_removed(assigned, tau).withColumn("_rm", F.lit(True))
     return (
         assigned.join(removed, "vec_id", "left")
         .select(

@@ -181,6 +181,25 @@ def shapes(spark, n: int):
         ev_h, "event_type", "value", tie_col="event_id", exact_threshold=0
     )
 
+    # q125's gated machinery on the WORST-CASE skew: every vector in ONE
+    # cluster (the near-identical-mass pathology the r5 verdict flagged),
+    # with the member threshold forced low so the LSH sub-bucket and
+    # exact-dup-collapse tiers engage. Ungated, the pair space is
+    # C(2000·n, 2) — 512M pairs at n=16; gated it is ≤ (threshold/2+1)·n
+    # rows, so wall time should grow near-LINEARLY with n, not
+    # quadratically. (Replicas are identical vectors → exact-dup groups
+    # absorb them, the designed behavior for boilerplate embeddings.)
+    from pyspark_streaming_base_spark.functions.vectorops import dvec
+    from pyspark_streaming_base_spark.operators.semdedup import semdedup_removed
+
+    emb_n = spark.read.parquet(*([f"{SF_DIR}/embeddings.parquet"] * n))
+    hot = emb_n.select(
+        F.monotonically_increasing_id().alias("vec_id"),
+        F.lit(0).alias("cid"),
+        dvec("embedding").alias("v"),
+    )
+    semdedup_hot = semdedup_removed(hot, tau=0.35, exact_threshold=500)
+
     return {
         "agg": agg,
         "broadcast_join_agg": join_agg,
@@ -190,6 +209,7 @@ def shapes(spark, n: int):
         "span_dedup_skewed": span_dedup_skewed,
         "chained_funnel_windows": funnel,
         "equidepth_sketch": hist_sketch,
+        "semdedup_hot_cluster": semdedup_hot,
     }
 
 
