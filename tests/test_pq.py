@@ -237,3 +237,58 @@ def test_adc_survives_sparse_cids(spark):
     got = {r.vec_id: r.adc_r for r in pq_search(enc, cb, queries, m, top_k=3).collect()}
     # exact ADC distances from the query to each (on-codeword) vector
     assert got == {0: 0.0, 2: 4 * 4.0, 1: 4 * 25.0}
+
+
+def test_persisted_index_equals_inline_q111(spark, emb, tmp_path):
+    """build_pq_index/query_pq_index: the persisted IVFADC index answers
+    EXACTLY what the inline q111 composition computes (same deterministic
+    quantizers, same tie-breaks) — the index-backed == inline proof the
+    MinHash and IVF persisted indexes already carry."""
+    from pyspark_streaming_base_spark.operators.pq import (
+        build_pq_index,
+        query_pq_index,
+    )
+    from pyspark_streaming_base_spark.queries import load_all
+
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, m=M, k=K, iters=3, n_cells=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = {
+        (r.qid, r.rnk): (r.vec_id, r.d2_r)
+        for r in query_pq_index(
+            spark, path, queries, m=M, nprobe=4, shortlist=50, top_k=10
+        ).collect()
+    }
+    want = {
+        (r.qid, r.rnk): (r.vec_id, r.d2_r)
+        for r in load_all()["q111_ivfadc_ann"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert len(got) == 30
+
+
+def test_pq_probe_never_reads_corpus(spark, emb, tmp_path):
+    """The probe plan touches ONLY the persisted index tables: with the
+    query batch supplied as literal rows, no scan of embeddings.parquet
+    appears anywhere — cells, codes, and the re-rank's full-precision
+    vectors all come from the pre-joined index layout."""
+    from pyspark_streaming_base_spark.operators.pq import (
+        build_pq_index,
+        query_pq_index,
+    )
+    from pyspark_streaming_base_spark.plans import formatted_plan
+
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, m=M, k=K, iters=3, n_cells=8)
+    qrows = [
+        (int(r.vec_id), [float(x) for x in r.vec])
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+    queries = spark.createDataFrame(qrows, "qid long, qvec array<double>")
+    plan = formatted_plan(
+        query_pq_index(spark, path, queries, m=M, nprobe=2, shortlist=20, top_k=5)
+    )
+    assert "embeddings.parquet" not in plan
+    assert plan.count("/index") >= 1  # codes+vec read off the index table
