@@ -89,3 +89,68 @@ def connected_components(
         "component diameter exceeds the bound; raise max_iter or switch to "
         "the large-star/small-star variant"
     )
+
+
+def merge_components(
+    existing: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Fold a batch of new edges into a persisted (id, component) table
+    WITHOUT relabeling the whole corpus — the maintenance operation a
+    daily-crawl dedup pipeline needs (the MinHash index already supports
+    incremental candidate probes; this closes the loop so canonical/
+    cluster state is also incremental).
+
+    ``existing`` is a prior :func:`connected_components` result (or a
+    previous merge): (id, component) with component = min reachable id.
+    ``new_edges`` is the fresh candidate-pair batch (e.g.
+    ``operators/minhash.py::query_minhash_index`` output after verify) —
+    its endpoints may be brand-new ids, already-clustered ids, or both.
+
+    Only AFFECTED components are touched: a component is affected iff
+    one of its members is an endpoint of a new edge (a new edge is the
+    only way anything can change — components with no new endpoint
+    cannot gain or lose members or change their minimum). The label
+    propagation then runs on the affected SUBGRAPH only — existing
+    affected components enter as (id → component) star edges, so their
+    internal pair structure is never revisited — and the untouched rows
+    pass through by anti-join. Returns the full updated (id, component)
+    table, equal to a from-scratch run on the union graph (pinned in
+    ``tests/test_components_merge.py``).
+
+    Scale: two shuffles of the existing table (semi/anti join on
+    component) + CC iteration sized to the batch's neighborhood — a
+    daily batch touches O(batch) components, not O(corpus). Isolated
+    vertices follow the same contract as :func:`connected_components`
+    (absent from the table; callers union singletons back if needed).
+    """
+    e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ends = (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    affected = (
+        existing.join(ends, "id", "semi").select("component").distinct()
+    )
+    touched = existing.join(affected, "component", "semi")
+    untouched = existing.join(affected, "component", "anti")
+
+    # affected members enter as star edges to their old component label:
+    # O(members) rows that reproduce the old connectivity exactly (every
+    # member is reachable from the old minimum, which is itself a member)
+    star = touched.select(
+        F.col("id").alias("src"), F.col("component").alias("dst")
+    )
+    sub = connected_components(
+        star.unionByName(e.select(F.col("a").alias("src"), F.col("b").alias("dst"))),
+        max_iter=max_iter,
+    )
+    # pin (id, component) column ORDER: the USING-join above moves the
+    # join key first, and downstream positional consumers (parquet
+    # round-trips, createDataFrame re-materialization) must see the same
+    # layout connected_components emits
+    return untouched.select("id", "component").unionByName(sub)
