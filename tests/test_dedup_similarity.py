@@ -7,6 +7,7 @@ results are stable run-to-run, so the bounds are tight, not flaky.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -354,7 +355,11 @@ def test_cluster_representatives_keeper_invariants(spark):
     assert {(r.doc_id, r.cluster) for r in rows} == q44
 
 
-def test_semantic_dedup_matches_numpy_mirror(spark):
+# both fixture corpora (different vectors, same schema): the sf0.01 twin
+# guards the q122/q125/q127 consumer chain against larger-scale numeric
+# drift in the float-Lloyd + cosine path (r5 verdict task 6)
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MEDIUM])
+def test_semantic_dedup_matches_numpy_mirror(spark, sf_dir):
     """q125: given the (q94-numpy-pinned) k-means assignment, the
     within-cluster remove set must equal an exact Python mirror of the
     SemDeDup keeper policy (lower-id neighbor within tau removes you),
@@ -366,10 +371,10 @@ def test_semantic_dedup_matches_numpy_mirror(spark):
 
     tau = 0.35
     assigned = (
-        kmeans_assign(spark, SF_SMALL)
+        kmeans_assign(spark, sf_dir)
         .select("vec_id", "cid")
         .join(
-            t(spark, SF_SMALL, "embeddings").select(
+            t(spark, sf_dir, "embeddings").select(
                 "vec_id", dvec("embedding").alias("v")
             ),
             "vec_id",
@@ -400,7 +405,7 @@ def test_semantic_dedup_matches_numpy_mirror(spark):
                 if dround6(cos(va, vb)) >= tau:
                     expect_removed.add(idb)
 
-    got = {r.vec_id: r.kept for r in R["q125_semantic_dedup"].fn(spark, SF_SMALL).collect()}
+    got = {r.vec_id: r.kept for r in R["q125_semantic_dedup"].fn(spark, sf_dir).collect()}
     assert len(got) == len(assigned)
     assert {v for v, kept in got.items() if not kept} == expect_removed
     assert any(not kept for kept in got.values())  # non-trivial at tau=0.35

@@ -17,7 +17,7 @@ from pyspark_streaming_base_spark.functions.textops import PII_PATTERNS, redact
 from pyspark_streaming_base_spark.queries.pipeline import kmeans_assign
 from pyspark_streaming_base_spark.queries import load_all
 
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 REGISTRY = load_all()
 
@@ -83,14 +83,21 @@ def _numpy_lloyd(mat, k, iters):
     raise AssertionError("unreachable")
 
 
-def test_kmeans_matches_numpy_lloyd(spark):
+# sf0.01 is a genuinely different corpus (same vec_ids, different
+# vectors), and sf0.1 quadruples it: the float-Lloyd path now feeds
+# oracle-checked consumers (q122/q125/q127 chain), so a numeric drift at
+# larger scale must fail HERE, not as a confusing oracle failure there
+@pytest.mark.parametrize(
+    "sf_dir", [SF_SMALL, SF_MEDIUM, "/root/testdata/sf0.1"]
+)
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
     k, iters = 8, 3
-    pdf = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").sort_values("vec_id")
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     expect_assign, expect_d2 = _numpy_lloyd(mat, k, iters)
     expect_by_vec = dict(zip(pdf["vec_id"].astype(int), zip(expect_assign, expect_d2)))
 
-    rows = kmeans_assign(spark, SF_SMALL, k=k, iters=iters).collect()
+    rows = kmeans_assign(spark, sf_dir, k=k, iters=iters).collect()
     assert len(rows) == len(mat)
     mismatches = 0
     for r in rows:
@@ -106,7 +113,7 @@ def test_kmeans_matches_numpy_lloyd(spark):
 
     # inertia is non-increasing in the iteration count
     i1 = sum(
-        r["d2"] for r in kmeans_assign(spark, SF_SMALL, k=k, iters=1).collect()
+        r["d2"] for r in kmeans_assign(spark, sf_dir, k=k, iters=1).collect()
     )
     i3 = sum(r["d2"] for r in rows)
     assert i3 <= i1 + 1e-9
