@@ -3,13 +3,20 @@ dedup pipeline needs between "near-dup pairs" and "keep one canonical doc
 per group" (pairs are not transitive: A~B and B~C must land A,B,C in one
 group even when A~C was never emitted).
 
-Algorithm: iterative min-label propagation. Every vertex starts labeled
-with itself; each round, every vertex takes the minimum label in its
-closed neighborhood; converges when no label changes — at most
-O(component diameter) rounds. Near-dup graphs are unions of small dense
-clusters (diameter 2-3 typically), so a handful of rounds suffices; the
-``max_iter`` guard turns a pathological chain into an explicit error
-instead of a runaway job.
+Algorithm: iterative min-label propagation WITH pointer jumping. Every
+vertex starts labeled with itself; each round, every vertex takes the
+minimum label in its closed neighborhood, then follows its label's label
+(label(v) ← label(label(v)) — the path-halving shortcut from the
+published pointer-jumping/CC-in-MapReduce literature). Neighborhood
+minima alone need O(diameter) rounds — a chain-shaped component (HTML
+boilerplate picked up page-by-page builds exactly that) of length 100
+would blow the round budget; the jump halves the remaining label-tree
+depth each round, so convergence is O(log diameter) with one extra
+self-join per round (on the LABEL table, which is vertex-sized — cheap
+next to the edge shuffle). Near-dup graphs are typically unions of
+small dense clusters (diameter 2-3); the ``max_iter`` guard turns a
+truly pathological structure into an explicit error instead of a
+runaway job.
 
 Scale notes:
 
@@ -69,15 +76,33 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("nbr_label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("_old"),
+        )
+        # pointer jump: label(v) ← label(label(v)). Labels always point
+        # to REACHABLE smaller ids (min-propagation preserves this, and
+        # composing two reachable hops stays reachable), so the jump is
+        # sound; it halves the label-tree depth, turning O(diameter)
+        # rounds into O(log diameter). Left join: a label that is its
+        # own component minimum has label(label)=label (row exists —
+        # every label value is a vertex id in this table).
+        parent = stepped.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
+            stepped.join(parent, stepped["label"] == parent["_pid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
+                "_old",
             )
+            .withColumn("changed", F.col("label") < F.col("_old"))
             .localCheckpoint(eager=True)  # truncate lineage every round
         )
         n_changed = new_labels.filter(F.col("changed")).count()

@@ -123,3 +123,20 @@ def test_minhash_probe_feeds_incremental_merge(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0  # fixture corpus has near-dup families
+
+
+def test_high_diameter_chain_converges(spark):
+    """Pointer jumping: a 120-vertex path graph (diameter 119) must
+    converge inside the default 20-round budget — plain neighbor-min
+    propagation would need 119 rounds and raise. Chain components are
+    real (page-by-page boilerplate pickup links near-dups in a line),
+    so O(log diameter) convergence is a correctness property at scale,
+    not an optimization."""
+    chain = [(i, i + 1) for i in range(120)]
+    got = {
+        (r.id, r.component)
+        for r in connected_components(
+            spark.createDataFrame(chain, EDGE_SCHEMA)
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(121)}
