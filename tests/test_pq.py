@@ -292,3 +292,55 @@ def test_pq_probe_never_reads_corpus(spark, emb, tmp_path):
     )
     assert "embeddings.parquet" not in plan
     assert plan.count("/index") >= 1  # codes+vec read off the index table
+
+
+def test_streaming_query_vectors_probe_persisted_pq_index(spark, emb, tmp_path):
+    """Serving-path parity with the IVF index: a STREAM of query vectors
+    probes the persisted IVFADC index through foreachBatch (one
+    micro-batch per query file), and the accumulated results equal the
+    one-shot batch probe — the index is built once, probed many times,
+    and never retrained between batches."""
+    from pyspark_streaming_base_spark.operators.pq import (
+        build_pq_index,
+        query_pq_index,
+    )
+
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, m=M, k=K, iters=3, n_cells=8)
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    staging = str(tmp_path / "qstream")
+    queries.repartition("qid").write.parquet(staging)
+    out = str(tmp_path / "results")
+
+    def probe(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        query_pq_index(
+            spark, path, batch_df, m=M, nprobe=4, shortlist=50, top_k=10
+        ).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.qid, r.vec_id, r.d2_r, r.rnk) for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.qid, r.vec_id, r.d2_r, r.rnk)
+        for r in query_pq_index(
+            spark, path, queries, m=M, nprobe=4, shortlist=50, top_k=10
+        ).collect()
+    }
+    assert got == want
+    assert len({qid for (qid, *_rest) in got}) == 3
