@@ -23,6 +23,7 @@ from pyspark_streaming_base_spark.operators.ivf import (
     query_ivf_index,
 )
 from pyspark_streaming_base_spark.operators.minhash import (
+    append_minhash_index,
     build_minhash_index,
     minhash_bands,
     query_minhash_index,
@@ -33,7 +34,10 @@ from pyspark_streaming_base_spark.operators.fuzzyjoin import (
 )
 from pyspark_streaming_base_spark.operators.pagerank import pagerank
 from pyspark_streaming_base_spark.operators.pq import (
+    append_pq_index,
+    build_pq_index,
     pq_codebooks,
+    query_pq_index,
     pq_encode,
     pq_search,
     pq_search_rerank,
@@ -65,6 +69,9 @@ __all__ = [
     "banded_range_join",
     "hamming_distance",
     "hamming_self_join",
+    "append_pq_index",
+    "build_pq_index",
+    "query_pq_index",
     "pq_codebooks",
     "pq_encode",
     "pq_search",
@@ -79,6 +86,7 @@ __all__ = [
     "zorder_by",
     "union_aligned",
     "diff_schema",
+    "append_minhash_index",
     "minhash_bands",
     "build_minhash_index",
     "query_minhash_index",

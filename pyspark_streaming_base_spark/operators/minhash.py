@@ -75,6 +75,22 @@ def build_minhash_index(
     minhash_bands(docs, id_col, text_col).write.mode("overwrite").parquet(path)
 
 
+def append_minhash_index(
+    new_docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Fold a NEW batch into the persisted index without touching the
+    existing signatures: the batch is shingled/signed exactly like
+    :func:`build_minhash_index` does (the signature pipeline is pure
+    per-row expressions, so batch-then-append equals build-on-the-union
+    row for row) and appended to the parquet signature table. The
+    daily-crawl loop is therefore ``query_minhash_index`` (candidates vs
+    yesterday's corpus) → ``append_minhash_index`` (today's docs join the
+    corpus) → ``merge_components`` (clusters absorb the new edges) — each
+    step O(batch), never O(corpus). Callers must not append an id twice
+    (the same contract as the build input's id uniqueness)."""
+    minhash_bands(new_docs, id_col, text_col).write.mode("append").parquet(path)
+
+
 def query_minhash_index(
     spark: SparkSession,
     path: str,

@@ -353,6 +353,7 @@ def build_pq_index(
     iters: int = 3,
     n_cells: int = 0,
     centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> None:
     """Materialize the complete IVFADC index — the write-once half of the
     build/probe split ``operators/minhash.py`` and ``operators/ivf.py``
@@ -366,7 +367,10 @@ def build_pq_index(
       joint distributed Lloyd rounds;
     * ``centroids`` — (cent_id, cvec): the coarse quantizer (pass
       ``centroids`` e.g. k-means-refined, or ``n_cells`` for the
-      deterministic lowest-vec_id default);
+      deterministic lowest-vec_id default); pass ``codebooks`` to freeze
+      pre-trained fine codewords instead of training on ``emb`` (the
+      knob :func:`append_pq_index`'s parity test uses to prove the
+      append path equals a frozen-quantizer rebuild);
     * ``index`` — (vec_id, cell, codes, vec): ONE pre-joined row per
       corpus vector, exactly the layout the :func:`ivfadc_search`
       docstring prescribes for scale — probes read codes directly with
@@ -386,7 +390,7 @@ def build_pq_index(
         centroids = emb.filter(F.col("vec_id") < n_cells).select(
             F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
         )
-    cb = pq_codebooks(emb, m, k, iters=iters)
+    cb = codebooks if codebooks is not None else pq_codebooks(emb, m, k, iters=iters)
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     cb_saved = cb.sparkSession.read.parquet(f"{path}/codebooks")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -397,6 +401,33 @@ def build_pq_index(
         .join(enc, "vec_id")
         .select("vec_id", "cell", "codes", "vec")
         .write.mode("overwrite")
+        .parquet(f"{path}/index")
+    )
+
+
+def append_pq_index(spark, path: str, new_emb: DataFrame, m: int) -> None:
+    """Add a batch of NEW vectors to a persisted IVFADC index without
+    retraining: the frozen coarse centroids assign cells and the frozen
+    codebooks encode — exactly the semantics of an ANN library's
+    ``add()`` after ``train()`` (quantizers reflect the training-time
+    distribution; retrain+rebuild when drift warrants it). Cost is one
+    batch scan against ≤ M·K + n_cells broadcast centroid rows plus an
+    O(batch) parquet append; the existing index rows are untouched, so
+    the daily-crawl loop (probe → append) is O(batch) end to end.
+    Equality proof: with codebooks/centroids pinned, build(A) +
+    append(B) == build(A∪B, centroids=…, codebooks=…) row for row
+    (``tests/test_pq.py``). Callers must not append a vec_id twice."""
+    from pyspark_streaming_base_spark.operators.ivf import ivf_assign
+
+    cb = spark.read.parquet(f"{path}/codebooks")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    assigned = ivf_assign(new_emb, centroids).select("vec_id", "cell")
+    enc = pq_encode(new_emb, cb, m)
+    (
+        new_emb.join(assigned, "vec_id")
+        .join(enc, "vec_id")
+        .select("vec_id", "cell", "codes", "vec")
+        .write.mode("append")
         .parquet(f"{path}/index")
     )
 

@@ -64,3 +64,45 @@ def test_index_is_batch_proportional(spark, tmp_path):
     # the materialized index — the corpus text is never re-read/re-shingled
     assert plan.count("Scan parquet") == 4
     assert plan.count("documents.parquet") == 1
+
+
+def test_append_equals_build_on_union(spark, tmp_path):
+    """Incremental crawl: build on day-1 docs, append day-2 and day-3
+    batches — the signature table must equal build-on-the-union row for
+    row (the pipeline is pure per-row expressions), and a probe of the
+    appended index must return candidates among the appended docs."""
+    from pyspark_streaming_base_spark.operators.minhash import append_minhash_index
+
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    day1 = docs.filter(F.col("doc_id") % 3 == 0)
+    day2 = docs.filter(F.col("doc_id") % 3 == 1)
+    day3 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    path = str(tmp_path / "mh_inc")
+    build_minhash_index(day1, path)
+    append_minhash_index(day2, path)
+    append_minhash_index(day3, path)
+
+    path_full = str(tmp_path / "mh_full")
+    build_minhash_index(docs, path_full)
+
+    def rows(p):
+        return {
+            (r.doc_id, r.band_idx, r.band_hash)
+            for r in spark.read.parquet(p).collect()
+        }
+
+    assert rows(path) == rows(path_full)
+
+    batch = docs.filter(F.col("doc_id") < 100)
+    got = {
+        (r.query_id, r.index_id)
+        for r in query_minhash_index(spark, path, batch).collect()
+    }
+    want = {
+        (r.query_id, r.index_id)
+        for r in query_minhash_index(spark, path_full, batch).collect()
+    }
+    assert got == want and got
+    # candidates reach docs from every appended day
+    assert {i % 3 for _, i in got} == {0, 1, 2}
