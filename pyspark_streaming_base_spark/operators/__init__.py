@@ -17,6 +17,7 @@ from pyspark_streaming_base_spark.functions.textops import redact
 from pyspark_streaming_base_spark.operators.asof import asof_backward_join
 from pyspark_streaming_base_spark.operators.components import connected_components
 from pyspark_streaming_base_spark.operators.ivf import (
+    append_ivf_index,
     build_ivf_index,
     ivf_assign,
     ivf_search,
@@ -92,6 +93,7 @@ __all__ = [
     "query_minhash_index",
     "ivf_assign",
     "ivf_search",
+    "append_ivf_index",
     "build_ivf_index",
     "query_ivf_index",
     "pagerank",

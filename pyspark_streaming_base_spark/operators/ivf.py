@@ -72,6 +72,18 @@ def build_ivf_index(
     ivf_assign(emb, centroids).write.mode("overwrite").parquet(f"{path}/assignments")
 
 
+def append_ivf_index(spark: SparkSession, path: str, new_emb: DataFrame) -> None:
+    """Add a batch of NEW vectors under the FROZEN coarse quantizer:
+    assign cells against the persisted centroids and parquet-append the
+    assignments — O(batch) like ``append_minhash_index`` and
+    ``append_pq_index`` (the same add()-after-train() contract; retrain
+    + rebuild when the vector distribution drifts). Existing rows are
+    untouched, so append == build-on-union under pinned centroids row
+    for row. Callers must not append a vec_id twice."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    ivf_assign(new_emb, centroids).write.mode("append").parquet(f"{path}/assignments")
+
+
 def query_ivf_index(
     spark: SparkSession,
     path: str,

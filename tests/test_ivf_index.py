@@ -145,3 +145,54 @@ def test_streaming_query_vectors_probe_persisted_index(spark, tmp_path):
     }
     assert got == want  # stream-accumulated == batch, exactly
     assert len({qid for (qid, *_rest) in got}) == _N_QUERIES
+
+
+def test_append_equals_build_on_union(spark, tmp_path):
+    """append_ivf_index under the frozen centroids: assignments equal
+    build-on-union row for row, and index-backed search over the
+    appended layout equals search over the rebuilt one."""
+    from pyspark_streaming_base_spark.operators.ivf import append_ivf_index
+
+    emb = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    a = emb.filter(F.col("vec_id") % 4 != 0)
+    b = emb.filter(F.col("vec_id") % 4 == 0)
+
+    path = str(tmp_path / "ivf_inc")
+    # centroids drawn from the FULL id range so build(A) and the pinned
+    # rebuild agree on the quantizer (the k= default takes lowest ids,
+    # some of which sit in batch B)
+    cents = emb.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+    )
+    build_ivf_index(a, path, centroids=cents)
+    append_ivf_index(spark, path, b)
+
+    path_full = str(tmp_path / "ivf_full")
+    build_ivf_index(emb, path_full, centroids=cents)
+
+    def rows(p):
+        return {
+            (r.vec_id, r.cell, tuple(r.vec))
+            for r in spark.read.parquet(f"{p}/assignments").collect()
+        }
+
+    assert rows(path) == rows(path_full)
+
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = {
+        tuple(r)
+        for r in query_ivf_index(
+            spark, path, queries, nprobe=_IVF_NPROBE, top_k=_TOP_K
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in query_ivf_index(
+            spark, path_full, queries, nprobe=_IVF_NPROBE, top_k=_TOP_K
+        ).collect()
+    }
+    assert got == want and got
