@@ -140,3 +140,70 @@ def test_high_diameter_chain_converges(spark):
         ).collect()
     }
     assert got == {(i, 0) for i in range(121)}
+
+
+def test_streaming_crawl_loop_end_to_end(spark, tmp_path):
+    """The full incremental crawl loop as a STREAM: day-0 docs seed the
+    MinHash index and canonical table; each later day arrives as one
+    micro-batch that (1) appends its signatures to the index, (2) probes
+    the index for candidate pairs — new-vs-corpus AND within-batch, both
+    O(batch), (3) folds the edges into the persisted canonical table via
+    merge_components. After the stream drains, the canonical table must
+    equal a from-scratch connected_components over ALL candidate pairs
+    of the full corpus."""
+    from pyspark_streaming_base_spark.operators.minhash import (
+        append_minhash_index,
+    )
+
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    day0 = docs.filter(F.col("doc_id") % 3 == 0)
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(day0, idx)
+    seed_edges = query_minhash_index(spark, idx, day0).select(
+        F.col("query_id").alias("src"), F.col("index_id").alias("dst")
+    )
+    canon_dir = tmp_path / "canon"
+    connected_components(seed_edges).write.parquet(str(canon_dir / "v0"))
+    state = {"version": 0}
+
+    staging = str(tmp_path / "days")
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode("append").parquet(staging)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode("append").parquet(staging)
+
+    def crawl(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # append first so the probe also surfaces within-batch pairs
+        append_minhash_index(batch_df, idx)
+        edges = query_minhash_index(spark, idx, batch_df).select(
+            F.col("query_id").alias("src"), F.col("index_id").alias("dst")
+        )
+        existing = spark.read.parquet(str(canon_dir / f"v{state['version']}"))
+        updated = merge_components(existing, edges)
+        state["version"] += 1
+        updated.write.parquet(str(canon_dir / f"v{state['version']}"))
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(crawl)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert state["version"] == 2  # one merge per day file
+
+    got = {
+        (r.id, r.component)
+        for r in spark.read.parquet(str(canon_dir / "v2")).collect()
+    }
+    # from-scratch: the drained index holds the whole corpus, so probing
+    # it with every doc yields the complete candidate pair set
+    all_edges = query_minhash_index(spark, idx, docs).select(
+        F.col("query_id").alias("src"), F.col("index_id").alias("dst")
+    )
+    want = {(r.id, r.component) for r in connected_components(all_edges).collect()}
+    assert got == want and got
