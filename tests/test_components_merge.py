@@ -207,3 +207,33 @@ def test_streaming_crawl_loop_end_to_end(spark, tmp_path):
     )
     want = {(r.id, r.component) for r in connected_components(all_edges).collect()}
     assert got == want and got
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=24), st.integers(min_value=0, max_value=24)
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    base=st.lists(_edge, min_size=0, max_size=20),
+    batches=st.lists(st.lists(_edge, min_size=0, max_size=12), min_size=1, max_size=3),
+)
+def test_merge_property_random_graphs(spark, base, batches):
+    """Property: for ANY base graph and ANY sequence of new-edge batches
+    (self-loops, duplicate edges, brand-new ids, bridges between old
+    components — whatever hypothesis throws), sequentially merging each
+    batch equals connected_components over the whole union."""
+    state = connected_components(spark.createDataFrame(base, EDGE_SCHEMA))
+    for batch in batches:
+        state = merge_components(state, spark.createDataFrame(batch, EDGE_SCHEMA))
+    got = {(r.id, r.component) for r in state.collect()}
+    want = _cc(spark, base + [e for b in batches for e in b])
+    assert got == want
