@@ -213,6 +213,125 @@ def shapes(spark, n: int):
     }
 
 
+def _crawl_corpus(spark, n: int):
+    """n× document corpus for the DEDUP crawl smoke: replica i shifts
+    doc_ids and suffixes every token with ``_r{i}``, so replicas share NO
+    word 3-shingles — candidate pairs and components grow LINEARLY with
+    n (each replica reproduces the original corpus's internal pair
+    structure). Plain row replication would make every replica a
+    near-dup of every other and grow pairs quadratically — a workload
+    change, not a scale-up (same caveat as the header note)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    parts = []
+    for i in range(n):
+        if i == 0:
+            parts.append(docs)
+        else:
+            toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.transform(toks, lambda x: F.concat(x, F.lit(f"_r{i}"))),
+                    ).alias("text"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _band_pairs(sig):
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.hint("shuffle_hash")
+        .join(
+            r.hint("shuffle_hash"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst"))
+        .distinct()
+    )
+
+
+def crawl_smoke(spark, reps) -> None:
+    """Incremental crawl loop vs the from-scratch recompute it replaces,
+    as the corpus grows and the daily batch stays FIXED (the real
+    deployment shape: yesterday's corpus is n×, today's crawl is not).
+
+    crawl_rebuild: re-materialize the full signature index, band
+    self-join for candidate pairs, relabel every component — O(corpus);
+    should grow with n. crawl_incremental: append the batch signatures,
+    probe the index (broadcast batch side — the corpus-sized index
+    streams through its own join), merge_components into the persisted
+    canonical table — O(batch); should stay near-flat, crossing below
+    the rebuild as n grows (at 1× the 5k-doc fixture is fixed-cost
+    dominated and the comparison is a wash — that is WHY this lives in
+    the growth smoke and not in bench.py's fixed-scale tiers).
+    Yesterday's state (index + canonicals) is amortized prior work,
+    built outside the timers; per-run index copies keep appends from
+    compounding."""
+    import shutil
+    import tempfile
+
+    from pyspark_streaming_base_spark.operators.components import (
+        connected_components,
+        merge_components,
+    )
+    from pyspark_streaming_base_spark.operators.minhash import (
+        append_minhash_index,
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    batch = base.select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(toks, lambda x: F.concat(x, F.lit("_day")))
+        ).alias("text"),
+    )
+    for n in reps:
+        corpus = _crawl_corpus(spark, n)
+        root = tempfile.mkdtemp(prefix="crawl_smoke_")
+        try:
+            idx = f"{root}/idx"
+            build_minhash_index(corpus, idx)
+            canon = f"{root}/canon"
+            connected_components(
+                _band_pairs(spark.read.parquet(idx))
+            ).write.parquet(canon)
+
+            run_idx = f"{root}/idx_inc"
+            shutil.copytree(idx, run_idx)
+            t0 = time.perf_counter()
+            append_minhash_index(batch, run_idx)
+            edges = query_minhash_index(spark, run_idx, batch).select(
+                F.col("query_id").alias("src"), F.col("index_id").alias("dst")
+            )
+            merge_components(spark.read.parquet(canon), edges).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt_inc = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            full_idx = f"{root}/idx_full"
+            build_minhash_index(corpus.unionByName(batch), full_idx)
+            connected_components(
+                _band_pairs(spark.read.parquet(full_idx))
+            ).write.format("noop").mode("overwrite").save()
+            dt_reb = time.perf_counter() - t0
+            print(f"{'crawl_incremental':>20}  x{n:<3} {dt_inc:7.3f}s")
+            print(f"{'crawl_rebuild':>20}  x{n:<3} {dt_reb:7.3f}s")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     reps = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     spark = SessionFactory.local(app_name="scale-smoke")
@@ -227,6 +346,7 @@ def main() -> None:
             print(f"{name:>20}  x{n:<3} {dt:7.3f}s")
             # drop cached pass-1 data so replications don't stack heap
             spark.catalog.clearCache()
+    crawl_smoke(spark, reps)
 
 
 if __name__ == "__main__":
