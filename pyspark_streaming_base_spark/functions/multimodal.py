@@ -36,6 +36,7 @@ from typing import Iterator, Optional, Protocol, runtime_checkable
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 #: Output schema of the decode stage — typed features, no blobs.
 DECODE_SCHEMA = (
@@ -265,3 +266,116 @@ def sample_frames(
             )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+#: Output schema of the perceptual-hash stage: 64-bit aHash (nullable —
+#: undecodable payloads dead-letter) + the reader that produced it.
+AHASH_SCHEMA = "doc_id bigint, ahash bigint, hasher string"
+
+
+def bmp_gray_pixels(payload: bytes):
+    """REAL pixel decode of an uncompressed 24-bit BMP with no
+    third-party library: the format is public and fixed (pixel-array
+    offset at byte 10, BITMAPINFOHEADER dims at 18, bpp at 28,
+    compression at 30; rows are BGR, padded to 4 bytes, stored bottom-up
+    unless height is negative). Returns an (h, w) float64 grayscale
+    matrix (ITU-R BT.601 luma). Raises on anything it cannot decode —
+    callers dead-letter."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    header_size = struct.unpack_from("<I", b, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported DIB header size {header_size}")
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMPs (bpp={bpp} comp={comp})")
+    bottom_up, h, w = h > 0, abs(int(h)), abs(int(w))
+    if w == 0 or h == 0:
+        raise ValueError("empty image")
+    stride = (w * 3 + 3) & ~3
+    if off + stride * h > len(b):
+        raise ValueError("truncated pixel array")
+    px = (
+        np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+        .astype(np.float64)
+    )
+    if bottom_up:
+        px = px[::-1]
+    return px[..., 2] * 0.299 + px[..., 1] * 0.587 + px[..., 0] * 0.114
+
+
+def ahash64(gray) -> int:
+    """Average hash — the classic perceptual image fingerprint: mean-pool
+    the grayscale to an 8×8 grid (uneven cells split by integer
+    boundaries, so any size ≥ 8×8 works), threshold each cell at the
+    grid mean, pack row-major (MSB = top-left) into 64 bits, returned as
+    the SIGNED int64 with those two's-complement bits (Spark has no
+    unsigned type; consumers compare hashes with xor/bit_count, which is
+    sign-agnostic). Near-duplicate images — recompressed, lightly
+    edited, small noise — agree on most cells; structurally different
+    images disagree on ~half."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    if g.ndim != 2 or g.shape[0] < 8 or g.shape[1] < 8:
+        raise ValueError(f"need a 2-D image at least 8x8, got {g.shape}")
+    h, w = g.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = g[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (cells >= cells.mean()).ravel()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return int(np.uint64(v).astype(np.int64))
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    pixel_reader=None,
+) -> DataFrame:
+    """Perceptual-hash stage over binary image payloads: ``mapInPandas``
+    batches decode pixels executor-side (``pixel_reader``, default the
+    dependency-free :func:`bmp_gray_pixels`; a Pillow/ffmpeg reader is
+    one function returning a grayscale matrix) and emit
+    (doc_id, ahash, hasher) rows — 8 bytes per image downstream, blobs
+    never leave the scan. Per-payload failures (NULL, corrupt, non-image
+    bytes) dead-letter to a null ``ahash`` row, not a stage crash."""
+    reader = pixel_reader if pixel_reader is not None else bmp_gray_pixels
+    hasher = f"ahash64/{getattr(reader, '__name__', 'custom')}"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(doc_id)
+                try:
+                    hashes.append(ahash64(reader(p)) if p is not None else None)
+                except Exception:
+                    hashes.append(None)  # dead-letter, never a task failure
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                    "hasher": hasher,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(batches, schema=AHASH_SCHEMA)

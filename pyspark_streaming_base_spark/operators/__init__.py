@@ -23,6 +23,7 @@ from pyspark_streaming_base_spark.operators.ivf import (
     ivf_search,
     query_ivf_index,
 )
+from pyspark_streaming_base_spark.operators.imagededup import image_near_dup_pairs
 from pyspark_streaming_base_spark.operators.minhash import (
     append_minhash_index,
     build_minhash_index,
@@ -87,6 +88,7 @@ __all__ = [
     "zorder_by",
     "union_aligned",
     "diff_schema",
+    "image_near_dup_pairs",
     "append_minhash_index",
     "minhash_bands",
     "build_minhash_index",

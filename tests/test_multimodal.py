@@ -282,3 +282,117 @@ def test_decode_features_with_pil_backend_on_fixture(spark):
     ).collect()}
     assert (rows[1].width, rows[1].height) == (4, 3)
     assert rows[2].width is None  # dead-letter, not a crash
+
+
+# -- perceptual image near-dup (REAL pixel decode + aHash, no deps) ----------
+
+def _bmp_px(px) -> bytes:
+    """A real 24-bit BMP around an (h, w, 3) BGR uint8 array — rows
+    padded to 4 bytes and stored bottom-up, per the public format."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up
+        body += row.tobytes() + b"\x00" * (stride - w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + bytes(body)
+
+
+def test_bmp_gray_pixels_exact_decode():
+    import numpy as np
+
+    from pyspark_streaming_base_spark.functions.multimodal import bmp_gray_pixels
+
+    # 2x3 image with distinct corner values; stride padding exercised
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[0, 0] = (255, 0, 0)   # blue  -> luma 0.114*255
+    px[0, 2] = (0, 255, 0)   # green -> luma 0.587*255
+    px[1, 0] = (0, 0, 255)   # red   -> luma 0.299*255
+    px[1, 2] = (255, 255, 255)
+    g = bmp_gray_pixels(_bmp_px(px))
+    assert g.shape == (2, 3)
+    assert abs(g[0, 0] - 0.114 * 255) < 1e-9
+    assert abs(g[0, 2] - 0.587 * 255) < 1e-9
+    assert abs(g[1, 0] - 0.299 * 255) < 1e-9
+    assert abs(g[1, 2] - 255.0) < 1e-9
+    assert g[0, 1] == 0.0
+
+
+def test_ahash64_separates_structure_from_noise():
+    import numpy as np
+
+    from pyspark_streaming_base_spark.functions.multimodal import ahash64
+
+    rng = np.random.RandomState(7)
+    grad = np.tile(np.linspace(0, 255, 32), (32, 1))  # left-dark gradient
+    noisy = np.clip(grad + rng.normal(0, 4, grad.shape), 0, 255)
+    inverted = 255.0 - grad
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    a, a2, inv = ahash64(grad), ahash64(noisy), ahash64(inverted)
+    assert ham(a, a2) <= 6          # near-dup: light noise
+    assert ham(a, inv) >= 50        # structural opposite
+    # bit layout: a gradient dark on the left has its HIGH (left) cells
+    # below the mean -> leading bits 0, trailing bits 1
+    assert (np.uint64(a) >> np.uint64(63)) & np.uint64(1) == 0
+
+
+def test_image_near_dup_pairs_end_to_end(spark):
+    import numpy as np
+
+    from pyspark_streaming_base_spark.operators.imagededup import (
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(42)
+    base = rng.randint(0, 256, (24, 24, 3)).astype("uint8")
+    near = base.copy()
+    near[10:12, 10:12] = 0  # small edit
+    other = rng.randint(0, 256, (24, 24, 3)).astype("uint8")
+    rows = [
+        (1, _bmp_px(base)),
+        (2, _bmp_px(near)),
+        (3, _bmp_px(other)),
+        (4, b"not an image"),  # dead-letters, never pairs
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = image_near_dup_pairs(
+        df, payload_col="payload", id_col="media_id", max_dist=10
+    )
+    got = {(r.id_a, r.id_b): r.dist for r in pairs.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] <= 10
+
+
+def test_image_ahash_matches_driver_recompute(spark):
+    import numpy as np
+
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        ahash64,
+        bmp_gray_pixels,
+        image_ahash,
+    )
+
+    rng = np.random.RandomState(3)
+    payloads = [
+        (i, _bmp_px(rng.randint(0, 256, (16, 16, 3)).astype("uint8")))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    got = {
+        r.doc_id: (r.ahash, r.hasher)
+        for r in image_ahash(df, payload_col="payload", id_col="media_id").collect()
+    }
+    want = {i: ahash64(bmp_gray_pixels(p)) for i, p in payloads}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(v[1] == "ahash64/bmp_gray_pixels" for v in got.values())
