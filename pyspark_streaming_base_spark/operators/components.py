@@ -76,12 +76,22 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("nbr_label").alias("nbr_label"))
         )
-        stepped = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
-            F.col("label").alias("_old"),
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+            # materialize BEFORE the self-join below: both sides of the
+            # pointer jump read this frame, and without the checkpoint
+            # the O(E) neighbor-min join re-executes once per side
+            # (ReusedExchange is not guaranteed to cover it) — the
+            # docstring's "one extra self-join on the vertex-sized
+            # label table" cost claim holds only with this cut
+            .localCheckpoint(eager=True)
         )
         # pointer jump: label(v) ← label(label(v)). Labels always point
         # to REACHABLE smaller ids (min-propagation preserves this, and

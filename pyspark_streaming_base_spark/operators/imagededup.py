@@ -41,6 +41,12 @@ def image_near_dup_pairs(
     most ``max_dist`` of 64 bits. Undecodable payloads dead-letter out
     of the hash stage (null ``ahash``) and never pair. ``dist`` is the
     exact bit-Hamming distance of the two hashes."""
+    if not 0 <= max_dist <= 63:
+        # the pigeonhole blocking needs max_dist + 1 segments out of a
+        # 64-char bit string; out of range would silently emit ZERO
+        # pairs (hamming_self_join drops strings shorter than the
+        # segment count) instead of all-pairs semantics
+        raise ValueError(f"max_dist must be in [0, 63], got {max_dist}")
     hashed = image_ahash(df, payload_col=payload_col, id_col=id_col,
                          pixel_reader=pixel_reader)
     # F.bin renders the int64's two's-complement bits (Long.toBinaryString,

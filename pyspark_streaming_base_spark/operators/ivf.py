@@ -65,8 +65,13 @@ def build_ivf_index(
     if centroids is None:
         if k <= 0:
             raise ValueError("need centroids or k > 0")
-        centroids = emb.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+        # true lowest-k ids (TakeOrderedAndProject), not `vec_id < k`:
+        # sparse/offset id spaces would silently under-populate the
+        # quantizer (same fix as operators/pq.py::build_pq_index)
+        centroids = (
+            emb.orderBy("vec_id")
+            .limit(k)
+            .select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec"))
         )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     ivf_assign(emb, centroids).write.mode("overwrite").parquet(f"{path}/assignments")

@@ -107,7 +107,11 @@ def pq_codebooks(emb: DataFrame, m: int, k: int, iters: int = 3) -> DataFrame:
             "the tail dimensions would be silently dropped"
         )
     subvecs = pq_subvectors(emb, m)
-    cent = subvecs.filter(F.col("vec_id") < k).select(
+    # the TRUE lowest-k ids (not `vec_id < k`, which under-populates the
+    # init on sparse/offset id spaces — same ADVICE-r6 fix as the coarse
+    # quantizer in build_pq_index); identical selection on dense-from-0 ids
+    low = emb.orderBy("vec_id").limit(k).select("vec_id")
+    cent = subvecs.join(F.broadcast(low), "vec_id").select(
         "sub", F.col("vec_id").cast("bigint").alias("cid"), F.col("sv").alias("cv")
     )
     for _ in range(iters):
@@ -387,8 +391,14 @@ def build_pq_index(
     if centroids is None:
         if n_cells <= 0:
             raise ValueError("need centroids or n_cells > 0")
-        centroids = emb.filter(F.col("vec_id") < n_cells).select(
-            F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec")
+        # the TRUE lowest n_cells ids (TakeOrderedAndProject — per-task
+        # partial top-k, one k-row merge), not `vec_id < n_cells`: a
+        # sparse or offset id space would silently yield fewer (possibly
+        # zero) centroids and a degenerate index
+        centroids = (
+            emb.orderBy("vec_id")
+            .limit(n_cells)
+            .select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec"))
         )
     cb = codebooks if codebooks is not None else pq_codebooks(emb, m, k, iters=iters)
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")

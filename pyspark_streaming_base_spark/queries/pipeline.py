@@ -219,8 +219,13 @@ def kmeans_centroids(
     (``build_ivf_index(..., centroids=...)``). Same loop as
     :func:`kmeans_assign` (which consumes this and assigns)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", dvec("embedding").alias("v"))
-    cent = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("bigint").alias("cid"), F.col("v").alias("cv")
+    # true lowest-k ids (identical to the old `vec_id < k` on the
+    # dense-from-0 fixtures the numpy twin mirrors; robust to sparse
+    # id spaces — the ADVICE-r6 quantizer fix applied uniformly)
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").cast("bigint").alias("cid"), F.col("v").alias("cv"))
     )
 
     def d2() -> F.Column:

@@ -196,3 +196,22 @@ def test_append_equals_build_on_union(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_default_quantizer_survives_offset_id_space(spark, tmp_path):
+    """Same ADVICE-r6 fix as operators/pq.py: the default k-centroid
+    selection must be the true lowest-k ids, not `vec_id < k`."""
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.functions.vectorops import dvec
+    from pyspark_streaming_base_spark.operators.ivf import build_ivf_index
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select((F.col("vec_id") + 5_000).alias("vec_id"), dvec("embedding").alias("vec"))
+    )
+    path = str(tmp_path / "ivf_offset")
+    build_ivf_index(emb, path, k=8)
+    cent = spark.read.parquet(f"{path}/centroids")
+    assert cent.count() == 8
+    assert {r.cent_id for r in cent.collect()} == set(range(5_000, 5_008))

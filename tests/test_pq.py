@@ -396,3 +396,23 @@ def test_append_pq_index_equals_frozen_rebuild(spark, emb, tmp_path):
         if r.rnk == 1 and r.d2_r == 0.0 and r.vec_id == r.qid - 1000000
     }
     assert hits == {r.vec_id for r in queries.select((F.col("qid") - 1000000).alias("vec_id")).collect()}
+
+
+def test_default_quantizer_survives_offset_id_space(spark, emb, tmp_path):
+    """ADVICE r6: `vec_id < n_cells` as the default coarse quantizer
+    silently yields fewer (possibly zero) centroids on a sparse/offset id
+    space. The fix selects the TRUE lowest n_cells ids, so an index built
+    from ids starting at 10_000 still gets a full quantizer — and for the
+    dense-from-0 fixtures the selection is unchanged (ids 0..n_cells-1)."""
+    from pyspark_streaming_base_spark.operators.pq import build_pq_index
+
+    shifted = emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "vec")
+    path = str(tmp_path / "pq_offset")
+    build_pq_index(shifted, path, m=M, k=4, iters=1, n_cells=8)
+    cent = spark.read.parquet(f"{path}/centroids")
+    assert cent.count() == 8
+    assert {r.cent_id for r in cent.collect()} == set(range(10_000, 10_008))
+    # every corpus vector landed in a real cell
+    idx = spark.read.parquet(f"{path}/index")
+    assert idx.count() == shifted.count()
+    assert idx.filter(F.col("cell").isNull()).count() == 0
