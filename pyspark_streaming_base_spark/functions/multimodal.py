@@ -379,3 +379,95 @@ def image_ahash(
     return df.select(
         F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
     ).mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+#: Output schema of the synthetic media stage (media_id = doc_id * 2 for
+#: originals, doc_id * 2 + 1 for planted near-dup copies).
+MEDIA_SCHEMA = "media_id bigint, payload binary"
+
+
+def bmp_encode_gray(gray) -> bytes:
+    """Encode an (h, w) uint8 grayscale matrix as an uncompressed 24-bit
+    BMP (the exact public layout :func:`bmp_gray_pixels` decodes:
+    bottom-up BGR rows padded to 4 bytes). Dependency-free — the inverse
+    pair lets tests and synthetic corpora round-trip pixels exactly."""
+    import struct
+
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.uint8)
+    if g.ndim != 2:
+        raise ValueError(f"need a 2-D gray matrix, got shape {g.shape}")
+    h, w = g.shape
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+    body = b"".join(
+        np.repeat(row, 3).tobytes() + pad for row in g[::-1]  # bottom-up BGR
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+_M64 = (1 << 64) - 1
+
+
+def synth_gray_pixels(doc_id: int, h: int = 16, w: int = 16):
+    """Deterministic pseudo-random (h, w) uint8 gray matrix for
+    ``doc_id`` — a splitmix64-style INTEGER MIX over (doc_id, pixel
+    index), not a seeded RNG (repo determinism rule: no RNG/seeds; same
+    convention as the LSH planes). Distinct ids yield structurally
+    unrelated images (aHash distance ~32); the matrix is bit-identical
+    on every engine, partition, and run."""
+    import numpy as np
+
+    idx = np.arange(h * w, dtype=np.uint64) + np.uint64((int(doc_id) + 1) * h * w)
+    x = (idx + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(_M64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x & np.uint64(0xFF)).astype(np.uint8).reshape(h, w)
+
+
+def synthetic_image_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    dup_every: int = 25,
+    h: int = 16,
+    w: int = 16,
+) -> DataFrame:
+    """Deterministic BMP corpus over an id column: one 24-bit BMP per id
+    (``media_id = id * 2``), plus — for ids divisible by ``dup_every`` —
+    a planted near-duplicate copy (``media_id = id * 2 + 1``) with a
+    small dark patch over one aHash cell (a light edit: the two hashes
+    differ in only a few of 64 bits, the classic near-dup signature).
+
+    The test tables carry no real media; this synthesizes REAL image
+    bytes executor-side (Arrow batch at a time, blobs never on the
+    driver) so the full decode → perceptual-hash → blocked-join pipeline
+    runs on every engine with zero media libraries. Scale: output is
+    O(input rows), generation is embarrassingly parallel, and media_id
+    preserves the input's partitioning-by-id locality."""
+    if dup_every < 1:
+        raise ValueError(f"dup_every must be >= 1, got {dup_every}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                px = synth_gray_pixels(d, h, w)
+                ids.append(d * 2)
+                payloads.append(bmp_encode_gray(px))
+                if d % dup_every == 0:
+                    near = px.copy()
+                    # one 8x8-grid cell of the h x w image; flips ~1 hash bit
+                    near[6 * h // 16 : 8 * h // 16, 6 * w // 16 : 8 * w // 16] = 0
+                    ids.append(d * 2 + 1)
+                    payloads.append(bmp_encode_gray(near))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(batches, schema=MEDIA_SCHEMA)

@@ -45,16 +45,19 @@ REGISTRY: Dict[str, QuerySpec] = {}
 # remain fully checked by the stricter local mirror
 # (tools/check_correctness.py) and pytest.
 DRIVER_PRIORITY: tuple = (
-    # ROUND-6 ROTATION: same 26-keeper component-covering core, plus the
-    # SEVEN oracle-bearing queries that had never received a driver
-    # CORRECTNESS row in any round (q48/q53/q56 from the r1 text wave;
-    # q126–q129, which landed after the r5 prefix was pinned) — closing
-    # the r5 verdict's "never driver-checked" list. Seven r5 first-timers
-    # now driver-green (q106, q112–q115, q118, q119) rotate to the
-    # stricter local mirror (tools/check_correctness.py) and pytest,
-    # like every prior rotation.
+    # ROUND-7 ROTATION: same 26-keeper component-covering core. With the
+    # r6 "never driver-checked" list closed, this round's budget goes to
+    # EVIDENCE FRESHNESS: the 13 oracle queries whose last driver row
+    # dates to r1-r3 (q06/q08/q09/q12-q14/q19-q21/q23/q24/q26/q27 —
+    # plenty of shared helper code churned since), q44 (its
+    # connected-components engine gained a localCheckpoint cut this
+    # round), and the NEW q130 image near-dup (previously the one
+    # dedup-family operator with no driver row). The 14 r5/r6
+    # first-timers that just went driver-green (q48/q53/q56, q76, q116/
+    # q117/q120-q123, q126-q129) rotate to the stricter local mirror
+    # (tools/check_correctness.py) and pytest, like every prior rotation.
     #
-    # keepers: C1–C18 core relational + flagship extension reps
+    # keepers: C1-C18 core relational + flagship extension reps
     "q01_pricing_summary",      # C6 agg (headline)
     "q02_filter_pushdown",      # C1
     "q03_derived_projection",   # C2
@@ -81,35 +84,34 @@ DRIVER_PRIORITY: tuple = (
     "q80_binary_metadata",      # multimodal
     "q100_training_pipeline",   # capstone composition
     # component-required reps (C19 text, C9 windows, C22 stateful,
-    # C25 Arrow tier) + r4 flagship extension keepers
+    # C25 Arrow tier) + flagship extension keepers
     "q47_repetition_score",
     "q107_dup_span_detection",
     "q108_fuzzy_hamming_join",
-    "q76_hier_rollup",
+    "q124_fuzzy_levenshtein_join",
     "q96_min_cost_supplier",
     "q97_profit_by_nation_year",
     "q99_resample_interpolate",
-    "q68_label_centroids",
     "q79_late_data_audit",
     "q89_stream_stream_left_outer",
     "q98_arrow_digest",
-    # r5 keepers that stay one more round (heavy/gated paths worth a
-    # fresh driver row after this round's plan churn nearby)
-    "q116_equidepth_histogram",       # size-gated ntile/sketch deciles
-    "q117_cooccurrence_lift",         # bounded pair-space lift
-    "q120_scd2_intervals",            # gaps-and-islands SCD2
-    "q121_contamination_fraction",    # graded decontamination
-    "q122_cluster_representatives",   # keeper selection
-    "q123_hll_rollup",                # mergeable HLL (rows-only)
-    "q124_fuzzy_levenshtein_join",    # PassJoin edit-distance
-    # ROUND-6 FIRST-TIMERS: oracle-bearing, never driver-checked before
-    "q48_stopword_ratio",             # C19 quality-signal ratio
-    "q53_fingerprint",                # C19 document fingerprint
-    "q56_rolling_hash",               # C19 rolling-hash shingles
-    "q126_mix_weights",               # temperature training-mix weights
-    "q127_leakage_safe_split",        # cluster-canonical split
-    "q128_per_source_cap",            # hash-rate per-source cap
-    "q129_stratified_k_sample",       # exact-k WindowGroupLimit panel
+    # ROUND-7 FIRST-TIMER: the image near-dup operator's first driver row
+    "q130_image_neardup",
+    # evidence-freshness set: oldest driver rows in the registry (r1-r3)
+    "q06_anti_join",
+    "q08_late_ship_priority",
+    "q09_distinct",
+    "q12_rollup",
+    "q13_cube",
+    "q14_global_topk",
+    "q19_conditional_agg",
+    "q20_json_extract",
+    "q21_explode_terms",
+    "q23_above_avg_parts",
+    "q24_pivot_event_types",
+    "q26_percentile",
+    "q27_array_ops",
+    "q44_dedup_clusters",       # components engine churned this round
 )
 
 

@@ -157,3 +157,38 @@ def q82_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("out_width").cast("int").alias("out_w"),
         F.max("out_height").cast("int").alias("out_h"),
     )
+
+
+@query(
+    "q130_image_neardup",
+    # rows-only by design: DuckDB cannot decode BMP pixel arrays, so no
+    # SQL oracle exists for the perceptual hash. Exactness is pinned in
+    # pytest instead (tests/test_multimodal.py): a driver-side numpy twin
+    # recomputes every aHash from the same BMP bytes and brute-forces ALL
+    # pairs — the blocked join must match it pair-for-pair, distance-for-
+    # distance (the pigeonhole blocking is exact, zero recall loss).
+)
+def q130_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-duplicate pairs (the multimodal member of
+    the dedup family): synthesize one real 24-bit BMP per document
+    executor-side (plus a planted lightly-edited copy for every 25th id),
+    decode pixels → 64-bit average hash → exact bit-Hamming blocked
+    self-join at distance ≤ 8.
+
+    Scale: the blob is reduced to 8 BYTES at the scan (pixels never
+    enter an exchange); candidates come from the pigeonhole segment
+    equi-join over the distinct-hash domain (``operators/fuzzyjoin.py``),
+    never an all-pairs comparison; the pair exchange is keys-only.
+    """
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        synthetic_image_corpus,
+    )
+    from pyspark_streaming_base_spark.operators.imagededup import (
+        image_near_dup_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    media = synthetic_image_corpus(docs, id_col="doc_id", dup_every=25)
+    return image_near_dup_pairs(
+        media, payload_col="payload", id_col="media_id", max_dist=8
+    )
