@@ -83,7 +83,13 @@ def lint(df: DataFrame) -> List[Finding]:
     # NOTE: no chained-exchange rule — Catalyst already collapses adjacent
     # repartitions (verified in tests), so Exchange→Exchange can't survive
     # optimization; a surviving SinglePartition exchange is the real smell.
-    if re.search(r"SinglePartition", plan) and len(ops) > 4:
+    # The >4-operator guard skips trivial driver-side folds (tiny final
+    # collects), but NEVER when a Window is present: a global window whose
+    # rank-filter rewrite (WindowGroupLimit / TakeOrderedAndProject)
+    # failed to fire is exactly the serialized-stage bug the rule exists
+    # for, and localCheckpoint lineage truncation (q103) can shrink such
+    # a plan below the operator-count bar.
+    if re.search(r"SinglePartition", plan) and (len(ops) > 4 or "Window" in ops):
         findings.append(
             Finding(
                 "single-partition-exchange",

@@ -271,3 +271,28 @@ def test_funnel_progression_single_exchange(spark):
     assert shuffle_count(df) == 1
     plan = formatted_plan(df)
     assert plan.count("Window") >= 3
+
+
+def test_global_rank_filter_rewrites_to_take_ordered(spark):
+    """q103 (PageRank top-20) and q102 (heavy hitters) end in a GLOBAL
+    row_number window (ORDER BY, no PARTITION BY) + rank filter. That is
+    safe at scale ONLY because Catalyst's rank-filter rewrite plans a
+    TakeOrderedAndProject (per-task partial top-k, one k-row merge)
+    BEFORE the Window — no SinglePartition exchange ever carries the
+    corpus. Pin the rewrite: editing the idiom (e.g. filtering on a
+    column derived from the rank) silently reverts to a single-partition
+    sort, and q103's localCheckpoint lineage truncation shrinks the plan
+    below the lint rule's old operator-count bar."""
+    import re
+
+    for name in ("q103_pagerank_top20", "q102_heavy_hitters"):
+        plan = formatted_plan(R[name].fn(spark, SF_SMALL))
+        ops = re.findall(r"^\s*(?:[:+\-\s]*)\(\d+\)\s+([A-Za-z]+)", plan, re.M)
+        assert "SinglePartition" not in plan, name
+        assert "TakeOrderedAndProject" in ops and "Window" in ops, (name, ops)
+        # formatted_plan numbers operators bottom-up: the TakeOrdered
+        # node must be UNDER the Window it guards
+        assert ops.index("TakeOrderedAndProject") < ops.index("Window"), (
+            name,
+            ops,
+        )
