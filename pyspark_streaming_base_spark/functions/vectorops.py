@@ -32,6 +32,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance — the ONE definition shared by
+    Lloyd's assign step (``queries/pipeline.py``) and the frozen-centroid
+    assignment (``operators/semdedup.py``), so incremental and
+    from-scratch assignments are bit-identical by construction."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def plane_component(p: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1).
 

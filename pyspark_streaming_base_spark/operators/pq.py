@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from pyspark_streaming_base_spark.functions.vectorops import l2sq
+
 __all__ = [
     "pq_subvectors",
     "pq_codebooks",
@@ -74,11 +76,7 @@ def pq_subvectors(emb: DataFrame, m: int, id_col: str = "vec_id", vec_col: str =
 
 
 def _d2(a: str, b: str) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    return l2sq(F.col(a), F.col(b))
 
 
 def _assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:

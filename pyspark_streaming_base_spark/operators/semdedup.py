@@ -49,17 +49,25 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from pyspark_streaming_base_spark.functions.vectorops import (
     cosine,
+    l2sq,
     plane_component,
 )
 from pyspark_streaming_base_spark.queries._exact import dround
 
-__all__ = ["semdedup_removed", "DEFAULT_EXACT_THRESHOLD"]
+__all__ = [
+    "semdedup_removed",
+    "DEFAULT_EXACT_THRESHOLD",
+    "assign_to_centroids",
+    "build_semdedup_index",
+    "append_semdedup_index",
+    "semdedup_removed_from_index",
+]
 
 #: default per-cluster member budget for the exact all-pairs branch.
 #: C(10k, 2) = 5·10⁷ id-pairs (~800 MB of 16 B rows spread over the
@@ -215,3 +223,88 @@ def semdedup_removed(
         .select(F.col("id_y").alias("vec_id"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted blocking index — the incremental path for the semantic family.
+#
+# The lexical dedup family got write-once/append-many state in r5/r6
+# (``operators/minhash.py``, ``operators/ivf.py``, ``operators/pq.py``,
+# ``operators/components.py::merge_components``); this closes the last
+# O(corpus)-per-run recomputation: the SemDeDup BLOCKING KEY. Train the
+# Lloyd centroids once (``queries/pipeline.py::kmeans_centroids``), freeze
+# them in the index, and every subsequent crawl batch is assigned in
+# O(batch) — the corpus is never re-clustered. Same add()-after-train()
+# contract as the ANN indexes: retrain + rebuild when the embedding
+# distribution drifts.
+# ---------------------------------------------------------------------------
+
+
+def assign_to_centroids(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid, d2): nearest-centroid L2 assignment under FROZEN
+    centroids — a k-row broadcast join + ``min_by`` argmin with the
+    (d2, cid) tie-break, the corpus never shuffles. The ONE assignment
+    definition: Lloyd's assign step (``queries/pipeline.py::
+    kmeans_assign``) and the persisted index both call it, so
+    incremental assignment == from-scratch is true by construction
+    (and pinned in ``tests/test_semdedup.py``).
+
+    ``emb`` needs (vec_id, v: array<double>); ``centroids`` (cid, cv).
+    """
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", l2sq(F.col("v"), F.col("cv")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+            F.min("d2").alias("d2"),
+        )
+    )
+
+
+def build_semdedup_index(emb: DataFrame, path: str, centroids: DataFrame) -> None:
+    """Materialize the semantic-dedup blocking index:
+
+    * ``<path>/centroids``   — (cid, cv): the frozen refined quantizer
+      (pass ``queries/pipeline.py::kmeans_centroids`` output, or any
+      (cid, cv) table — the builder does NOT retrain);
+    * ``<path>/assignments`` — (vec_id, cid): every corpus vector's
+      blocking cell. Keys-only — vectors re-attach from the corpus when
+      the dedup policy runs (:func:`semdedup_removed_from_index`).
+    """
+    centroids.select("cid", "cv").write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    assign_to_centroids(emb, centroids).select("vec_id", "cid").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/assignments")
+
+
+def append_semdedup_index(
+    spark: SparkSession, path: str, new_emb: DataFrame
+) -> None:
+    """Assign a batch of NEW vectors under the frozen centroids and
+    parquet-append the assignments — O(batch): the existing corpus is
+    never re-read or re-clustered. append == build-on-union row-for-row
+    under pinned centroids (pytest parity, same contract as
+    ``append_ivf_index``/``append_pq_index``). Callers must not append a
+    vec_id twice."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    assign_to_centroids(new_emb, cent).select("vec_id", "cid").write.mode(
+        "append"
+    ).parquet(f"{path}/assignments")
+
+
+def semdedup_removed_from_index(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    tau: float,
+    exact_threshold: int = DEFAULT_EXACT_THRESHOLD,
+) -> DataFrame:
+    """:func:`semdedup_removed` over the PERSISTED blocking index: the
+    (vec_id, cid) cells come from ``<path>/assignments`` (never
+    recomputed); ``emb`` (vec_id, v) re-attaches vectors for the pair
+    verify — one equi-join, O(corpus rows) but O(1) clustering work."""
+    assigned = spark.read.parquet(f"{path}/assignments").join(emb, "vec_id")
+    return semdedup_removed(assigned, tau, exact_threshold)

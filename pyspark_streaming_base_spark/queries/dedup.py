@@ -729,6 +729,14 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q94-verified assignment; the gated tiers are pinned separately in
     ``tests/test_semdedup.py`` and priced in ``tools/scale_smoke.py``.
     Rows-only for the driver (float Lloyd is engine-specific).
+
+    Incremental deployments don't rerun this Lloyd loop per crawl batch:
+    ``operators/semdedup.py::build_semdedup_index`` freezes the refined
+    centroids once and ``append_semdedup_index`` assigns ONLY new
+    vectors (O(batch)), with incremental == from-scratch pinned in
+    ``tests/test_semdedup.py`` — the same add()-after-train() contract
+    as the MinHash/IVF/IVFADC indexes. This query IS the from-scratch
+    definition the index parity is proven against.
     """
     from pyspark_streaming_base_spark.functions.vectorops import dvec
     from pyspark_streaming_base_spark.operators.semdedup import semdedup_removed

@@ -228,12 +228,10 @@ def kmeans_centroids(
         .select(F.col("vec_id").cast("bigint").alias("cid"), F.col("v").alias("cv"))
     )
 
+    from pyspark_streaming_base_spark.functions.vectorops import l2sq
+
     def d2() -> F.Column:
-        return F.aggregate(
-            F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        return l2sq(F.col("v"), F.col("cv"))
 
     for _ in range(iters):
         # carry v THROUGH the argmin aggregate instead of re-joining the
@@ -275,22 +273,17 @@ def kmeans_assign(
       truncate lineage — no driver ``collect``, same pattern as
       ``operators/components.py``.
     """
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        assign_to_centroids,
+    )
+
     emb = t(spark, sf_dir, "embeddings").select("vec_id", dvec("embedding").alias("v"))
     cent = kmeans_centroids(spark, sf_dir, k=k, iters=iters)
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("d2", d2)
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
-            F.min("d2").alias("d2"),
-        )
-    )
+    # the ONE frozen-centroid assignment definition — shared with the
+    # persisted semantic-dedup blocking index, so the incremental path
+    # (build_semdedup_index + append_semdedup_index) matches this
+    # from-scratch assignment by construction
+    return assign_to_centroids(emb, cent)
 
 
 @query("q94_kmeans_clusters")  # iterative float refinement — rows-only by design

@@ -124,3 +124,108 @@ def test_default_threshold_equals_exact_policy(spark, corpus_df):
 def test_tau_out_of_range_rejected(corpus_df):
     with pytest.raises(ValueError):
         semdedup_removed(corpus_df, 1.5)
+
+
+# ---------------------------------------------------------------------------
+# Persisted blocking index (the incremental path — r7)
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, sf_dir="/root/testdata/sf0.001"):
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.functions.vectorops import dvec
+    from pyspark_streaming_base_spark.queries._tables import t
+
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id", dvec("embedding").alias("v")
+    )
+
+
+def test_build_index_matches_from_scratch_assignment(spark, tmp_path):
+    """build_semdedup_index under the q94 Lloyd centroids must reproduce
+    kmeans_assign's (vec_id, cid) EXACTLY — the blocking key the
+    incremental path freezes is the same one q125 computes from
+    scratch."""
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        build_semdedup_index,
+    )
+    from pyspark_streaming_base_spark.queries.pipeline import (
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cent = kmeans_centroids(spark, sf)
+    path = str(tmp_path / "semdx")
+    build_semdedup_index(_emb(spark, sf), path, cent)
+    got = {
+        (r.vec_id, r.cid)
+        for r in spark.read.parquet(f"{path}/assignments").collect()
+    }
+    want = {
+        (r.vec_id, r.cid)
+        for r in kmeans_assign(spark, sf).select("vec_id", "cid").collect()
+    }
+    assert got == want and got
+
+
+def test_append_equals_build_on_union_under_pinned_centroids(spark, tmp_path):
+    """add()-after-train() parity (the append_pq_index pattern): freeze
+    centroids, build on batch A, append batch B — identical row set to
+    building on A ∪ B under the same frozen centroids. The corpus is
+    never re-clustered: append assigns ONLY the new batch."""
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        append_semdedup_index,
+        build_semdedup_index,
+    )
+    from pyspark_streaming_base_spark.queries.pipeline import kmeans_centroids
+
+    sf = "/root/testdata/sf0.001"
+    emb = _emb(spark, sf)
+    cent = kmeans_centroids(spark, sf)
+    a = emb.filter(F.col("vec_id") % 3 != 0)
+    b = emb.filter(F.col("vec_id") % 3 == 0)
+
+    inc = str(tmp_path / "inc")
+    build_semdedup_index(a, inc, cent)
+    append_semdedup_index(spark, inc, b)
+
+    full = str(tmp_path / "full")
+    build_semdedup_index(emb, full, cent)
+
+    got = {
+        (r.vec_id, r.cid)
+        for r in spark.read.parquet(f"{inc}/assignments").collect()
+    }
+    want = {
+        (r.vec_id, r.cid)
+        for r in spark.read.parquet(f"{full}/assignments").collect()
+    }
+    assert got == want and got
+
+
+def test_index_backed_policy_matches_q125(spark, tmp_path):
+    """semdedup_removed_from_index == the inline q125 kept/removed
+    partition at fixture scale: persisting the blocking key loses
+    nothing."""
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        build_semdedup_index,
+        semdedup_removed_from_index,
+    )
+    from pyspark_streaming_base_spark.queries import load_all
+    from pyspark_streaming_base_spark.queries.pipeline import kmeans_centroids
+
+    sf = "/root/testdata/sf0.001"
+    emb = _emb(spark, sf)
+    path = str(tmp_path / "semdx")
+    build_semdedup_index(emb, path, kmeans_centroids(spark, sf))
+    removed = {
+        r.vec_id
+        for r in semdedup_removed_from_index(spark, path, emb, tau=0.35).collect()
+    }
+    q125 = load_all()["q125_semantic_dedup"].fn(spark, sf).collect()
+    assert removed == {r.vec_id for r in q125 if not r.kept}
+    assert {r.vec_id for r in q125} > removed  # some vectors kept
