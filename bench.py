@@ -120,6 +120,7 @@ def main() -> None:
     else:
         ext = time_set(EXTENDED, min(runs, 2))
         ext.update(_time_pq_index_tier(spark, sf_dir, min(runs, 2)))
+        ext.update(_time_crawl_loop_tier(spark, sf_dir, min(runs, 2)))
     total = round(sum(timings.values()), 3)
     try:
         load1 = round(os.getloadavg()[0], 2)  # ambient-load context for
@@ -187,6 +188,92 @@ def _time_pq_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
         out["q111_ivfadc_probe"] = round(best, 3)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def _time_crawl_loop_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
+    """The incremental crawl loop's recurring costs — the repo's flagship
+    O(batch) story (probe the MinHash index with today's batch, append
+    the batch signatures, fold the new edges into the persisted cluster
+    table), priced per-round so a regression in any step's O(batch)
+    property shows up in the BENCH trend, not just the growth smoke
+    (``tools/scale_smoke.py::crawl_smoke`` proves the vs-rebuild
+    crossover; this tracks the absolute step costs at fixed sf).
+
+    Yesterday's state (signature index + canonical components) is
+    amortized prior work, built OUTSIDE the timers; the probe's edge
+    output is pre-materialized so crawl_merge prices the merge alone.
+    The batch is every 50th document with offset ids and token-suffixed
+    text (same near-dup construction as the growth smoke) so real
+    candidate edges flow through every step."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.operators.components import (
+        connected_components,
+        merge_components,
+    )
+    from pyspark_streaming_base_spark.operators.minhash import (
+        append_minhash_index,
+        build_minhash_index,
+        index_band_pairs,
+        query_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    batch = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(toks, lambda x: F.concat(x, F.lit("_day")))
+        ).alias("text"),
+    )
+    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    out: dict[str, float] = {}
+    try:
+        idx = f"{root}/idx"
+        build_minhash_index(docs, idx)
+        canon = f"{root}/canon"
+        connected_components(
+            index_band_pairs(spark.read.parquet(idx))
+        ).write.parquet(canon)
+        edges_path = f"{root}/edges"
+        query_minhash_index(spark, idx, batch).select(
+            F.col("query_id").alias("src"), F.col("index_id").alias("dst")
+        ).write.parquet(edges_path)
+
+        best = float("inf")
+        for _ in range(max(1, n_runs)):
+            t0 = time.perf_counter()
+            query_minhash_index(spark, idx, batch).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        out["crawl_probe"] = round(best, 3)
+
+        best = float("inf")
+        for i in range(max(1, n_runs)):
+            run_idx = f"{root}/idx_run{i}"  # fresh copy: appends don't compound
+            shutil.copytree(idx, run_idx)
+            t0 = time.perf_counter()
+            append_minhash_index(batch, run_idx)
+            best = min(best, time.perf_counter() - t0)
+        out["crawl_append"] = round(best, 3)
+
+        best = float("inf")
+        for _ in range(max(1, n_runs)):
+            t0 = time.perf_counter()
+            merge_components(
+                spark.read.parquet(canon), spark.read.parquet(edges_path)
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out["crawl_merge"] = round(best, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 

@@ -123,3 +123,25 @@ def query_minhash_index(
         .select("query_id", "index_id")
         .distinct()
     )
+
+
+def index_band_pairs(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate (src < dst) pairs from a persisted signature table — the
+    band self-join used to (re)build cluster state from the index (the
+    from-scratch arm of the crawl loop; the incremental arm probes with
+    :func:`query_minhash_index` and folds edges via
+    ``operators/components.py::merge_components``). SHUFFLE_HASH on both
+    sides: band buckets are near-unique so neither side is broadcastable,
+    and sort-merge would pay two sorts for a bag-of-buckets join."""
+    l, r = index.alias("l"), index.alias("r")
+    return (
+        l.hint("shuffle_hash")
+        .join(
+            r.hint("shuffle_hash"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("src"), F.col(f"r.{id_col}").alias("dst"))
+        .distinct()
+    )

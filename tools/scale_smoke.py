@@ -244,18 +244,9 @@ def _crawl_corpus(spark, n: int):
 
 
 def _band_pairs(sig):
-    l, r = sig.alias("l"), sig.alias("r")
-    return (
-        l.hint("shuffle_hash")
-        .join(
-            r.hint("shuffle_hash"),
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("src"), F.col("r.doc_id").alias("dst"))
-        .distinct()
-    )
+    from pyspark_streaming_base_spark.operators.minhash import index_band_pairs
+
+    return index_band_pairs(sig)
 
 
 def crawl_smoke(spark, reps) -> None:
