@@ -68,6 +68,7 @@ EXTENDED = [
     "q107_dup_span_detection",     # window-hash explode + join-back
     "q108_fuzzy_hamming_join",     # segment-blocked fuzzy self-join
     "q124_fuzzy_levenshtein_join", # PassJoin shifted-substring join
+    "q130_image_neardup",          # BMP decode → aHash → blocked join (r7)
 ]
 # r6: the inline q111_ivfadc_ann entry (5.5 s at r5, dominated by
 # re-training codebooks + re-encoding the corpus inside the query) is

@@ -308,3 +308,62 @@ def semdedup_removed_from_index(
     verify — one equi-join, O(corpus rows) but O(1) clustering work."""
     assigned = spark.read.parquet(f"{path}/assignments").join(emb, "vec_id")
     return semdedup_removed(assigned, tau, exact_threshold)
+
+
+def merge_semdedup_removed(
+    spark: SparkSession,
+    path: str,
+    emb: DataFrame,
+    new_emb: DataFrame,
+    prior_removed: DataFrame,
+    tau: float,
+    exact_threshold: int = DEFAULT_EXACT_THRESHOLD,
+) -> DataFrame:
+    """Fold a new vector batch into a maintained removal set WITHOUT
+    re-running the dedup policy over the whole corpus — the semantic
+    analogue of ``operators/components.py::merge_components``, closing
+    the crawl loop for this family (append the blocking index, then
+    merge the policy output).
+
+    Correct by per-cell independence: :func:`semdedup_removed` decides
+    every removal inside ONE blocking cluster (cid) — the member count,
+    the gating tier, the sub-buckets, and every candidate pair are
+    functions of that cluster's members alone. A cluster that receives
+    no new member therefore keeps its removal set verbatim, at ANY
+    gating tier; clusters the batch touches are recomputed from their
+    (old ∪ new) members under the exact union-state policy. The result
+    equals a from-scratch run on the union, pinned in
+    ``tests/test_semdedup.py`` (including a threshold-crossing case
+    where the batch pushes a cluster from the exact tier into the gated
+    tiers).
+
+    Call AFTER :func:`append_semdedup_index` has folded the batch in
+    (the same order as the lexical loop: probe/assign → append →
+    merge). ``emb`` must cover every assigned vec_id (old and new);
+    ``prior_removed`` is the previous (vec_id) removal table.
+
+    Scale: one semi-join of the assignments on the affected cids
+    (O(batch) cids, broadcast from observed size by AQE), the policy on
+    the affected members only, and an anti-join pass-through of the
+    prior removals — no step is O(corpus pairs).
+    """
+    assignments = spark.read.parquet(f"{path}/assignments")
+    # the batch's cells, read straight off the already-appended index
+    # (no re-assignment): a cid is affected iff a new vec_id landed in it
+    affected = (
+        assignments.join(new_emb.select("vec_id"), "vec_id", "semi")
+        .select("cid")
+        .distinct()
+    )
+    touched = assignments.join(affected, "cid", "semi")
+    recomputed = semdedup_removed(
+        touched.join(emb, "vec_id"), tau, exact_threshold
+    )
+    # prior removals in untouched clusters pass through verbatim
+    untouched_removed = (
+        prior_removed.select("vec_id")
+        .join(assignments, "vec_id")
+        .join(affected, "cid", "anti")
+        .select("vec_id")
+    )
+    return untouched_removed.unionByName(recomputed.select("vec_id"))

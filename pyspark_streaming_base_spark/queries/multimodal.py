@@ -173,12 +173,17 @@ def q130_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family): synthesize one real 24-bit BMP per document
     executor-side (plus a planted lightly-edited copy for every 25th id),
     decode pixels → 64-bit average hash → exact bit-Hamming blocked
-    self-join at distance ≤ 8.
+    self-join at distance ≤ 4 (a light edit moves ≤ 3 bits by the
+    corpus construction; 5 pigeonhole segments of ~13 bits keep random
+    64-bit hashes from colliding into the candidate join).
 
     Scale: the blob is reduced to 8 BYTES at the scan (pixels never
     enter an exchange); candidates come from the pigeonhole segment
     equi-join over the distinct-hash domain (``operators/fuzzyjoin.py``),
-    never an all-pairs comparison; the pair exchange is keys-only.
+    never an all-pairs comparison; the pair exchange is keys-only. The
+    id repartition spreads generation/decode across all cores — the
+    fixture is ONE parquet file, and at 100 TB the input's own splits
+    provide this parallelism for free.
     """
     from pyspark_streaming_base_spark.functions.multimodal import (
         synthetic_image_corpus,
@@ -187,8 +192,12 @@ def q130_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_near_dup_pairs,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
     media = synthetic_image_corpus(docs, id_col="doc_id", dup_every=25)
     return image_near_dup_pairs(
-        media, payload_col="payload", id_col="media_id", max_dist=8
+        media, payload_col="payload", id_col="media_id", max_dist=4
     )

@@ -229,3 +229,85 @@ def test_index_backed_policy_matches_q125(spark, tmp_path):
     q125 = load_all()["q125_semantic_dedup"].fn(spark, sf).collect()
     assert removed == {r.vec_id for r in q125 if not r.kept}
     assert {r.vec_id for r in q125} > removed  # some vectors kept
+
+
+def test_merge_removed_equals_from_scratch_across_tiers(spark, tmp_path):
+    """merge_semdedup_removed == from-scratch semdedup_removed on the
+    union, at a LOW threshold so the batch pushes one cluster across the
+    exact→gated tier boundary (per-cell independence must hold at any
+    tier, not just the exact branch): cluster 0 has 15 members before /
+    25 after (tier crossing), cluster 1 is untouched (its removals must
+    pass through verbatim), cluster 2 is new-only."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        merge_semdedup_removed,
+        semdedup_removed,
+    )
+
+    rng = np.random.RandomState(11)
+    threshold, tau = 20, 0.8
+
+    def near(a):
+        return [float(x) for x in (a + 0.05 * rng.randn(a.shape[0]))]
+
+    old_rows, new_rows = [], []
+    # cluster 0: 15 old members (5 anchor+near pairs + 5 spread)
+    for j in range(5):
+        a = rng.randn(16)
+        old_rows.append((100 + 2 * j, 0, [float(x) for x in a]))
+        old_rows.append((100 + 2 * j + 1, 0, near(a)))
+    for j in range(5):
+        old_rows.append((150 + j, 0, [float(x) for x in rng.randn(16)]))
+    # batch: 10 more into cluster 0 (crosses the threshold), incl. dups
+    # of old anchors so NEW removals of old vectors' copies appear
+    for j in range(5):
+        a = np.array(old_rows[2 * j][2])
+        new_rows.append((500 + j, 0, near(a)))
+    for j in range(5):
+        new_rows.append((550 + j, 0, [float(x) for x in rng.randn(16)]))
+    # cluster 1: untouched, with one planted removal pair
+    b = rng.randn(16)
+    old_rows += [
+        (200, 1, [float(x) for x in b]),
+        (201, 1, near(b)),
+        (202, 1, [float(x) for x in rng.randn(16)]),
+    ]
+    # cluster 2: new-only, one planted pair
+    c = rng.randn(16)
+    new_rows += [
+        (600, 2, [float(x) for x in c]),
+        (601, 2, near(c)),
+    ]
+
+    schema = "vec_id long, cid long, v array<double>"
+    old_df = spark.createDataFrame(old_rows, schema)
+    new_df = spark.createDataFrame(new_rows, schema)
+    union_df = old_df.unionByName(new_df)
+
+    path = str(tmp_path / "semdx")
+    # post-append index state: assignments cover old ∪ new
+    union_df.select("vec_id", "cid").write.parquet(f"{path}/assignments")
+
+    prior = semdedup_removed(old_df, tau, threshold)
+    assert {r.vec_id for r in prior.collect()} >= {201}  # cluster 1 seeded
+
+    got = {
+        r.vec_id
+        for r in merge_semdedup_removed(
+            spark,
+            path,
+            union_df.select("vec_id", "v"),
+            new_df.select("vec_id", "v"),
+            prior,
+            tau,
+            threshold,
+        ).collect()
+    }
+    want = {r.vec_id for r in semdedup_removed(union_df, tau, threshold).collect()}
+    assert got == want
+    assert 201 in got          # untouched cluster passed through
+    assert 601 in got          # new-only cluster recomputed
+    assert got & set(range(500, 505))  # new dups of old anchors removed
