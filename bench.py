@@ -275,6 +275,69 @@ def _time_crawl_loop_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
         out["crawl_merge"] = round(best, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    out.update(_time_semdedup_loop_tier(spark, sf_dir, n_runs))
+    return out
+
+
+def _time_semdedup_loop_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
+    """The SEMANTIC crawl loop's recurring costs (the r7 incremental
+    story): assign-and-append a new vector batch under the frozen Lloyd
+    centroids, then fold its effect into the maintained removal set.
+    Same methodology as the lexical crawl tier: yesterday's state
+    (centroids + assignments + removal set) is amortized prior work
+    built outside the timers; the batch is every 50th vector with offset
+    ids so it lands in real occupied clusters."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.functions.vectorops import dvec
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        append_semdedup_index,
+        build_semdedup_index,
+        merge_semdedup_removed,
+        semdedup_removed_from_index,
+    )
+    from pyspark_streaming_base_spark.queries.pipeline import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", dvec("embedding").alias("v")
+    )
+    batch = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 900_000_000).alias("vec_id"), "v"
+    )
+    union = emb.unionByName(batch)
+    tau = 0.35  # q125's calibration for this fixture
+    root = tempfile.mkdtemp(prefix="bench_sem_")
+    out: dict[str, float] = {}
+    try:
+        idx = f"{root}/idx"
+        cent = kmeans_centroids(spark, sf_dir).localCheckpoint(eager=True)
+        build_semdedup_index(emb, idx, cent)
+        prior = f"{root}/removed"
+        semdedup_removed_from_index(spark, idx, emb, tau).write.parquet(prior)
+
+        best = float("inf")
+        for i in range(max(1, n_runs)):
+            run_idx = f"{root}/idx_run{i}"  # fresh copy: appends don't compound
+            shutil.copytree(idx, run_idx)
+            t0 = time.perf_counter()
+            append_semdedup_index(spark, run_idx, batch)
+            best = min(best, time.perf_counter() - t0)
+        out["semdedup_append"] = round(best, 3)
+
+        appended = f"{root}/idx_run0"  # post-append state for the merge
+        best = float("inf")
+        for _ in range(max(1, n_runs)):
+            t0 = time.perf_counter()
+            merge_semdedup_removed(
+                spark, appended, union, batch, spark.read.parquet(prior), tau
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out["semdedup_merge"] = round(best, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 

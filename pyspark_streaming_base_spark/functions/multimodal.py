@@ -454,6 +454,10 @@ def synthetic_image_corpus(
     preserves the input's partitioning-by-id locality."""
     if dup_every < 1:
         raise ValueError(f"dup_every must be >= 1, got {dup_every}")
+    if h < 8 or w < 8:
+        # smaller images fail the 8x8 aHash downstream — every payload
+        # would dead-letter and the corpus would silently yield no pairs
+        raise ValueError(f"need h, w >= 8 for an 8x8 aHash grid, got {h}x{w}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -345,7 +345,13 @@ def merge_semdedup_removed(
     Scale: one semi-join of the assignments on the affected cids
     (O(batch) cids, broadcast from observed size by AQE), the policy on
     the affected members only, and an anti-join pass-through of the
-    prior removals — no step is O(corpus pairs).
+    prior removals. The saving is the UNTOUCHED fraction: SemDeDup
+    deployments size k with the corpus (~n / cluster budget), so a daily
+    batch touches O(batch) of the k cells and the recompute is
+    O(batch · cluster budget) pairs. At a tiny fixture k (q125's k=8)
+    every cluster is touched and the merge legitimately costs
+    ~from-scratch — the bench entry (``semdedup_merge``) prices that
+    floor, not the large-k asymptote.
     """
     assignments = spark.read.parquet(f"{path}/assignments")
     # the batch's cells, read straight off the already-appended index

@@ -311,3 +311,80 @@ def test_merge_removed_equals_from_scratch_across_tiers(spark, tmp_path):
     assert 201 in got          # untouched cluster passed through
     assert 601 in got          # new-only cluster recomputed
     assert got & set(range(500, 505))  # new dups of old anchors removed
+
+
+def test_streaming_semantic_crawl_loop_end_to_end(spark, tmp_path):
+    """The semantic crawl loop as a STREAM (the embedding-space mirror of
+    the lexical loop in test_components_merge.py): day-0 vectors seed the
+    frozen-centroid index and removal set; each later day arrives as one
+    micro-batch that (1) appends its assignments under the frozen
+    centroids, (2) folds its effect into the maintained removal set via
+    merge_semdedup_removed — both O(batch). After the stream drains, the
+    removal set must equal a from-scratch semdedup_removed over the full
+    corpus under the same frozen centroids."""
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        append_semdedup_index,
+        build_semdedup_index,
+        merge_semdedup_removed,
+        semdedup_removed,
+        semdedup_removed_from_index,
+    )
+    from pyspark_streaming_base_spark.queries.pipeline import kmeans_centroids
+
+    sf = "/root/testdata/sf0.001"
+    tau = 0.35
+    emb = _emb(spark, sf)
+    cent = kmeans_centroids(spark, sf).localCheckpoint(eager=True)  # frozen
+    day0 = emb.filter(F.col("vec_id") % 3 == 0)
+
+    idx = str(tmp_path / "semdx")
+    build_semdedup_index(day0, idx, cent)
+    removed_dir = tmp_path / "removed"
+    semdedup_removed_from_index(spark, idx, emb, tau).write.parquet(
+        str(removed_dir / "v0")
+    )
+    state = {"version": 0}
+
+    staging = str(tmp_path / "days")
+    emb.filter(F.col("vec_id") % 3 == 1).coalesce(1).write.mode("append").parquet(staging)
+    emb.filter(F.col("vec_id") % 3 == 2).coalesce(1).write.mode("append").parquet(staging)
+
+    def crawl(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        append_semdedup_index(spark, idx, batch_df)
+        prior = spark.read.parquet(str(removed_dir / f"v{state['version']}"))
+        updated = merge_semdedup_removed(
+            spark, idx, emb, batch_df, prior, tau
+        )
+        state["version"] += 1
+        updated.write.parquet(str(removed_dir / f"v{state['version']}"))
+
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(crawl)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert state["version"] == 2  # one merge per day file
+
+    got = {
+        r.vec_id
+        for r in spark.read.parquet(str(removed_dir / "v2")).collect()
+    }
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        assign_to_centroids,
+    )
+
+    scratch = semdedup_removed(
+        assign_to_centroids(emb, cent).select("vec_id", "cid").join(emb, "vec_id"),
+        tau,
+    )
+    want = {r.vec_id for r in scratch.collect()}
+    assert got == want and got
