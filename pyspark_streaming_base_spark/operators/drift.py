@@ -1,0 +1,159 @@
+"""Quantizer drift monitoring — the "when to retrain" half of the
+frozen-quantizer contract.
+
+Every persisted vector index in this repo freezes its quantizer at build
+time and appends new batches under it (``operators/ivf.py``,
+``operators/pq.py``, ``operators/semdedup.py`` — the add()-after-train()
+contract), with the caveat "retrain + rebuild when the distribution
+drifts". This operator turns that caveat into a measured number, the way
+production ANN deployments do: compare a new batch's quantization
+quality against the build-time baseline.
+
+Two signals, both cheap and both computed with the index's own frozen
+centroids (one broadcast assign of the batch — no corpus access):
+
+* **quantization-error ratio** — mean squared distance to the nearest
+  centroid, batch vs baseline. A shifted or scaled embedding
+  distribution lands farther from every frozen centroid, so the ratio
+  climbs above 1;
+* **occupancy shift** — L1 distance between the per-cell assignment
+  fractions (½·Σ|p_batch − p_base|, the total-variation distance). A
+  distribution that rotated toward a subspace keeps its error low but
+  piles into few cells — the failure mode the error ratio alone misses
+  (and vice versa: a uniform inflation keeps occupancy flat while the
+  error ratio climbs).
+
+Baselines are per-cell (cid, n, sum_d2) partials — mergeable, so an
+append can fold its own batch into the baseline after passing the check.
+The oracle-checked q131 (``queries/similarity.py``) pins the same
+per-cell statistics against DuckDB with exact cross-engine math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.operators.semdedup import assign_to_centroids
+
+__all__ = ["write_drift_baseline", "drift_report", "merge_drift_baseline"]
+
+
+def _cell_stats(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(cid, n, sum_d2) under the frozen centroids — one broadcast
+    assign + a map-side-combinable aggregate."""
+    return (
+        assign_to_centroids(emb, centroids)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("d2").alias("sum_d2"),
+        )
+    )
+
+
+def write_drift_baseline(spark: SparkSession, path: str, emb: DataFrame) -> None:
+    """Materialize the build-time quantization baseline for the index at
+    ``path`` (any index with a ``<path>/centroids`` (cid, cv) table —
+    the ``build_semdedup_index`` convention): per-cell (cid, n, sum_d2)
+    partials → ``<path>/drift_baseline``. Call once at build time with
+    the same corpus the index was built on."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    _cell_stats(emb, cent).write.mode("overwrite").parquet(
+        f"{path}/drift_baseline"
+    )
+
+
+def merge_drift_baseline(
+    spark: SparkSession, path: str, new_emb: DataFrame
+) -> None:
+    """Fold an ACCEPTED batch into the baseline (call after the batch
+    passed :func:`drift_report` and was appended to the index): the
+    per-cell partials are sums, so the merge is one small aggregate —
+    the baseline tracks the corpus the index actually holds."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    merged = (
+        spark.read.parquet(f"{path}/drift_baseline")
+        .unionByName(_cell_stats(new_emb, cent))
+        .groupBy("cid")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_d2").alias("sum_d2"),
+        )
+    )
+    # parquet overwrite would delete the input mid-plan; stage through
+    # a local checkpoint (cells × 3 columns — tiny)
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{path}/drift_baseline"
+    )
+
+
+def drift_report(
+    spark: SparkSession,
+    path: str,
+    new_emb: DataFrame,
+    error_ratio_threshold: float = 2.0,
+    occupancy_l1_threshold: float = 0.5,
+) -> DataFrame:
+    """ONE-row drift report for a batch against the stored baseline:
+
+    ``(n_base, n_batch, base_mean_d2, batch_mean_d2, error_ratio,
+    occupancy_l1, drifted)`` — ``drifted`` is true when either signal
+    crosses its threshold. Cost: one broadcast assign of the BATCH plus
+    a cells-sized join; the corpus is never read.
+    """
+    if error_ratio_threshold <= 0 or not 0 < occupancy_l1_threshold <= 1:
+        raise ValueError(
+            "error_ratio_threshold must be > 0 and occupancy_l1_threshold "
+            f"in (0, 1], got {error_ratio_threshold}, {occupancy_l1_threshold}"
+        )
+    cent = spark.read.parquet(f"{path}/centroids")
+    base = spark.read.parquet(f"{path}/drift_baseline").select(
+        "cid", F.col("n").alias("n0"), F.col("sum_d2").alias("s0")
+    )
+    batch = _cell_stats(new_emb, cent).select(
+        "cid", F.col("n").alias("n1"), F.col("sum_d2").alias("s1")
+    )
+    cells = base.join(batch, "cid", "full").fillna(
+        0, subset=["n0", "n1"]
+    ).fillna(0.0, subset=["s0", "s1"])
+    # occupancy L1 needs the totals per side before the per-cell |Δp|
+    # fold — two tiny aggregates over the cells table
+    totals = cells.agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    occ = (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            (
+                F.abs(
+                    F.col("n1") / F.col("t1") - F.col("n0") / F.col("t0")
+                )
+            ).alias("dp")
+        )
+        .agg((0.5 * F.sum("dp")).alias("occupancy_l1"))
+    )
+    summary = (
+        cells.agg(
+            F.sum("n0").cast("bigint").alias("n_base"),
+            F.sum("n1").cast("bigint").alias("n_batch"),
+            (F.sum("s0") / F.sum("n0")).alias("base_mean_d2"),
+            (F.sum("s1") / F.sum("n1")).alias("batch_mean_d2"),
+        )
+        .crossJoin(F.broadcast(occ))
+    )
+    return summary.select(
+        "n_base",
+        "n_batch",
+        "base_mean_d2",
+        "batch_mean_d2",
+        (F.col("batch_mean_d2") / F.col("base_mean_d2")).alias("error_ratio"),
+        "occupancy_l1",
+        (
+            (
+                F.col("batch_mean_d2") / F.col("base_mean_d2")
+                > F.lit(error_ratio_threshold)
+            )
+            | (F.col("occupancy_l1") > F.lit(occupancy_l1_threshold))
+        ).alias("drifted"),
+    )

@@ -460,3 +460,158 @@ def q111_ivfadc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=_PQ_SHORTLIST,
         top_k=_TOP_K,
     )
+
+
+#: q131 drift-demo parameters: 8 frozen cells, every-10th-id batch with a
+#: deterministic affine shift (x*1.2 + 0.1) — enough to move every drift
+#: statistic without leaving the exact-math grid.
+_DRIFT_K = 8
+
+_Q131_D2 = (
+    "(list_dot_product({a}.v, {a}.v) - 2 * list_dot_product({a}.v, c.cv))"
+    " + list_dot_product(c.cv, c.cv)"
+)
+
+
+def _q131_oracle() -> str:
+    from pyspark_streaming_base_spark.queries._exact import sql_dround, sql_dsum
+
+    mean0 = sql_dround("bs.s0 / bs.n_base")
+    mean1 = sql_dround("ts.s1 / ts.n_batch")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {_DRIFT_K}
+    ),
+    base_d AS (
+      SELECT e.vec_id, c.cid, {_Q131_D2.format(a='e')} AS d2
+      FROM e CROSS JOIN cent c
+    ),
+    base AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM base_d
+      ) WHERE rn = 1
+    ),
+    bt0 AS (
+      SELECT vec_id, list_transform(v, x -> x * 1.2 + 0.1) AS v
+      FROM e WHERE vec_id % 10 = 0
+    ),
+    bt_d AS (
+      SELECT b.vec_id, c.cid, {_Q131_D2.format(a='b')} AS d2
+      FROM bt0 b CROSS JOIN cent c
+    ),
+    bt AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM bt_d
+      ) WHERE rn = 1
+    ),
+    bs AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_base,
+             {sql_dsum(sql_dround('d2'))} AS s0
+      FROM base GROUP BY cid
+    ),
+    ts AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_batch,
+             {sql_dsum(sql_dround('d2'))} AS s1
+      FROM bt GROUP BY cid
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n_base) FROM bs) AS t0,
+             (SELECT SUM(n_batch) FROM ts) AS t1
+    )
+    SELECT bs.cid, bs.n_base,
+           COALESCE(ts.n_batch, 0) AS n_batch,
+           {mean0} AS mean_d2_base_r,
+           COALESCE({mean1}, 0.0) AS mean_d2_batch_r,
+           COALESCE({sql_dround(f"({mean1}) / ({mean0})")}, 0.0)
+             AS drift_ratio_r,
+           {sql_dround('CAST(bs.n_base AS DOUBLE) / t0')} AS occ_base_r,
+           {sql_dround('CAST(COALESCE(ts.n_batch, 0) AS DOUBLE) / t1')}
+             AS occ_batch_r
+    FROM bs LEFT JOIN ts ON bs.cid = ts.cid CROSS JOIN tot
+    """
+
+
+@query("q131_embedding_drift", oracle=_q131_oracle())
+def q131_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer drift statistics (C18 index lifecycle — the exact twin
+    of ``operators/drift.py``'s monitor): per frozen cell, member count,
+    mean quantization error, error ratio, and occupancy for the corpus
+    vs a deterministically shifted batch (every 10th vector, x·1.2+0.1 —
+    a stand-in for tomorrow's drifted crawl).
+
+    Exact cross-engine math throughout: d2 is the dot-product expansion
+    (three sequential folds, each bit-identical to DuckDB's
+    ``list_dot_product``), the argmin tie-breaks on (d2, cid) with
+    IDENTICAL doubles on both engines, and every mean/ratio goes through
+    dround/dsum (per-row round → scaled-int sum → round the quotient).
+
+    Scale: the centroid table broadcasts (k rows); both assigns are one
+    corpus/batch scan with a map-side-combinable struct-min argmin —
+    the same shape as ``assign_to_centroids``; the report joins k-row
+    aggregates. The production monitor reads its baseline from the
+    persisted index instead of recomputing it (``write_drift_baseline``
+    at build, ``merge_drift_baseline`` per accepted batch).
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dvec("embedding").alias("v")
+    )
+    cent = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(_DRIFT_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    d2 = (
+        dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), F.col("cv"))
+    ) + dot(F.col("cv"), F.col("cv"))
+
+    def assign(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(cent)
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+        )
+
+    base = assign(emb)
+    batch = assign(
+        emb.filter(F.col("vec_id") % 10 == 0).select(
+            "vec_id", F.transform("v", lambda x: x * 1.2 + 0.1).alias("v")
+        )
+    )
+    bs = base.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base"),
+        dsum(dround(F.col("d2"))).alias("s0"),
+    )
+    ts = batch.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        dsum(dround(F.col("d2"))).alias("s1"),
+    )
+    tot0 = bs.agg(F.sum("n_base").alias("t0"))
+    tot1 = ts.agg(F.sum("n_batch").alias("t1"))
+    mean0 = dround(F.col("s0") / F.col("n_base"))
+    mean1 = dround(F.col("s1") / F.col("n_batch"))
+    return (
+        bs.join(ts, "cid", "left")
+        .crossJoin(F.broadcast(tot0))
+        .crossJoin(F.broadcast(tot1))
+        .select(
+            F.col("cid").cast("bigint").alias("cid"),
+            "n_base",
+            F.coalesce(F.col("n_batch"), F.lit(0)).cast("bigint").alias("n_batch"),
+            mean0.alias("mean_d2_base_r"),
+            F.coalesce(mean1, F.lit(0.0)).alias("mean_d2_batch_r"),
+            F.coalesce(dround(mean1 / mean0), F.lit(0.0)).alias("drift_ratio_r"),
+            dround(F.col("n_base").cast("double") / F.col("t0")).alias("occ_base_r"),
+            dround(
+                F.coalesce(F.col("n_batch"), F.lit(0)).cast("double") / F.col("t1")
+            ).alias("occ_batch_r"),
+        )
+    )
