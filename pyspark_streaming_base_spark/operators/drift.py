@@ -39,6 +39,22 @@ from pyspark_streaming_base_spark.operators.semdedup import assign_to_centroids
 __all__ = ["write_drift_baseline", "drift_report", "merge_drift_baseline"]
 
 
+def _centroids(spark: SparkSession, path: str) -> DataFrame:
+    """The index's frozen centroids as (cid, cv) — normalizing the two
+    on-disk conventions so ONE monitor serves every vector index family:
+    ``build_semdedup_index`` writes (cid, cv); ``build_ivf_index`` /
+    ``build_pq_index`` write (cent_id, cvec). The monitor's statistic is
+    its own L2 assignment under those centroids — consistent across
+    baseline and batch, which is what a drift SIGNAL needs (for the
+    cosine-assigned IVF index the monitor's cells are not the index's
+    cells; the error ratio and occupancy shift remain valid drift
+    statistics because both sides use the same rule)."""
+    c = spark.read.parquet(f"{path}/centroids")
+    if "cent_id" in c.columns:
+        c = c.select(F.col("cent_id").alias("cid"), F.col("cvec").alias("cv"))
+    return c
+
+
 def _cell_stats(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(cid, n, sum_d2) under the frozen centroids — one broadcast
     assign + a map-side-combinable aggregate."""
@@ -58,7 +74,7 @@ def write_drift_baseline(spark: SparkSession, path: str, emb: DataFrame) -> None
     the ``build_semdedup_index`` convention): per-cell (cid, n, sum_d2)
     partials → ``<path>/drift_baseline``. Call once at build time with
     the same corpus the index was built on."""
-    cent = spark.read.parquet(f"{path}/centroids")
+    cent = _centroids(spark, path)
     _cell_stats(emb, cent).write.mode("overwrite").parquet(
         f"{path}/drift_baseline"
     )
@@ -71,7 +87,7 @@ def merge_drift_baseline(
     passed :func:`drift_report` and was appended to the index): the
     per-cell partials are sums, so the merge is one small aggregate —
     the baseline tracks the corpus the index actually holds."""
-    cent = spark.read.parquet(f"{path}/centroids")
+    cent = _centroids(spark, path)
     merged = (
         spark.read.parquet(f"{path}/drift_baseline")
         .unionByName(_cell_stats(new_emb, cent))
@@ -107,7 +123,7 @@ def drift_report(
             "error_ratio_threshold must be > 0 and occupancy_l1_threshold "
             f"in (0, 1], got {error_ratio_threshold}, {occupancy_l1_threshold}"
         )
-    cent = spark.read.parquet(f"{path}/centroids")
+    cent = _centroids(spark, path)
     base = spark.read.parquet(f"{path}/drift_baseline").select(
         "cid", F.col("n").alias("n0"), F.col("sum_d2").alias("s0")
     )

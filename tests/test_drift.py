@@ -103,3 +103,23 @@ def test_thresholds_validated(spark, indexed):
     for er, occ in ((0.0, 0.5), (2.0, 0.0), (2.0, 1.5)):
         with pytest.raises(ValueError, match="threshold"):
             drift_report(spark, path, emb, er, occ)
+
+
+def test_monitor_serves_ivf_and_pq_index_conventions(spark, tmp_path):
+    """One monitor for every vector index family: build_ivf_index and
+    build_pq_index write (cent_id, cvec) centroids; the monitor
+    normalizes the convention and the same baseline/report/merge cycle
+    runs against their paths."""
+    from pyspark_streaming_base_spark.operators.ivf import build_ivf_index
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    path = str(tmp_path / "ivfidx")
+    build_ivf_index(emb, path, k=8)
+    as_v = emb.select("vec_id", F.col("vec").alias("v"))
+    write_drift_baseline(spark, path, as_v)
+    r = drift_report(spark, path, as_v.filter(F.col("vec_id") % 7 == 0)).collect()[0]
+    assert not r.drifted and 0.8 <= r.error_ratio <= 1.25
+    shifted = as_v.select("vec_id", F.transform("v", lambda x: x * 3.0 + 1.0).alias("v"))
+    assert drift_report(spark, path, shifted).collect()[0].drifted
