@@ -95,8 +95,12 @@ DRIVER_PRIORITY: tuple = (
     "q79_late_data_audit",
     "q89_stream_stream_left_outer",
     "q98_arrow_digest",
-    # ROUND-7 FIRST-TIMER: the image near-dup operator's first driver row
+    # ROUND-7 FIRST-TIMERS: the image near-dup operator's and the
+    # embedding-drift monitor's first driver rows (a brand-new
+    # oracle-bearing operator outranks one more stale-evidence refresh —
+    # q27 stays on the local mirror; its code is unchanged since r3)
     "q130_image_neardup",
+    "q131_embedding_drift",
     # evidence-freshness set: oldest driver rows in the registry (r1-r3)
     "q06_anti_join",
     "q08_late_ship_priority",
@@ -110,7 +114,6 @@ DRIVER_PRIORITY: tuple = (
     "q23_above_avg_parts",
     "q24_pivot_event_types",
     "q26_percentile",
-    "q27_array_ops",
     "q44_dedup_clusters",       # components engine churned this round
 )
 
