@@ -141,10 +141,11 @@ def drift_report(
     occ = (
         cells.crossJoin(F.broadcast(totals))
         .select(
-            (
-                F.abs(
-                    F.col("n1") / F.col("t1") - F.col("n0") / F.col("t0")
-                )
+            # try_divide: an empty side (t=0) yields null fractions, not
+            # an ANSI divide-by-zero crash — the report stays total
+            F.abs(
+                F.try_divide(F.col("n1"), F.col("t1"))
+                - F.try_divide(F.col("n0"), F.col("t0"))
             ).alias("dp")
         )
         .agg((0.5 * F.sum("dp")).alias("occupancy_l1"))
@@ -153,8 +154,8 @@ def drift_report(
         cells.agg(
             F.sum("n0").cast("bigint").alias("n_base"),
             F.sum("n1").cast("bigint").alias("n_batch"),
-            (F.sum("s0") / F.sum("n0")).alias("base_mean_d2"),
-            (F.sum("s1") / F.sum("n1")).alias("batch_mean_d2"),
+            F.try_divide(F.sum("s0"), F.sum("n0")).alias("base_mean_d2"),
+            F.try_divide(F.sum("s1"), F.sum("n1")).alias("batch_mean_d2"),
         )
         .crossJoin(F.broadcast(occ))
     )
@@ -163,13 +164,18 @@ def drift_report(
         "n_batch",
         "base_mean_d2",
         "batch_mean_d2",
-        (F.col("batch_mean_d2") / F.col("base_mean_d2")).alias("error_ratio"),
+        F.try_divide(F.col("batch_mean_d2"), F.col("base_mean_d2")).alias(
+            "error_ratio"
+        ),
         "occupancy_l1",
-        (
+        # an EMPTY batch carries no evidence of drift: the means/ratio go
+        # null (0/0) and a null flag would read as "unknown" — pin False
+        F.coalesce(
             (
-                F.col("batch_mean_d2") / F.col("base_mean_d2")
+                F.try_divide(F.col("batch_mean_d2"), F.col("base_mean_d2"))
                 > F.lit(error_ratio_threshold)
             )
-            | (F.col("occupancy_l1") > F.lit(occupancy_l1_threshold))
+            | (F.col("occupancy_l1") > F.lit(occupancy_l1_threshold)),
+            F.lit(False),
         ).alias("drifted"),
     )

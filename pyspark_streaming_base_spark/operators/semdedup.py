@@ -272,6 +272,12 @@ def build_semdedup_index(emb: DataFrame, path: str, centroids: DataFrame) -> Non
       blocking cell. Keys-only — vectors re-attach from the corpus when
       the dedup policy runs (:func:`semdedup_removed_from_index`).
     """
+    if centroids.limit(1).isEmpty():
+        # assign_to_centroids against zero centroids drops EVERY row —
+        # the index would be silently empty (the r6 quantizer-
+        # under-population lesson, applied to the caller-supplied table);
+        # one tiny action at write-once build time buys the loud failure
+        raise ValueError("centroids table is empty — cannot build index")
     centroids.select("cid", "cv").write.mode("overwrite").parquet(
         f"{path}/centroids"
     )

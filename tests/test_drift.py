@@ -123,3 +123,14 @@ def test_monitor_serves_ivf_and_pq_index_conventions(spark, tmp_path):
     assert not r.drifted and 0.8 <= r.error_ratio <= 1.25
     shifted = as_v.select("vec_id", F.transform("v", lambda x: x * 3.0 + 1.0).alias("v"))
     assert drift_report(spark, path, shifted).collect()[0].drifted
+
+
+def test_empty_batch_reports_not_drifted(spark, indexed):
+    """Zero new vectors carry no evidence of drift: counts are 0, the
+    undefined means stay null, and the flag is pinned False (a null
+    would read as 'unknown' downstream)."""
+    path, emb = indexed
+    r = drift_report(spark, path, emb.filter(F.lit(False))).collect()[0]
+    assert r.n_batch == 0
+    assert r.batch_mean_d2 is None and r.error_ratio is None
+    assert r.drifted is False

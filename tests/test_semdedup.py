@@ -388,3 +388,19 @@ def test_streaming_semantic_crawl_loop_end_to_end(spark, tmp_path):
     )
     want = {r.vec_id for r in scratch.collect()}
     assert got == want and got
+
+
+def test_build_index_rejects_empty_centroids(spark, tmp_path):
+    """An empty caller-supplied centroid table must fail loudly — the
+    assignment join would otherwise drop every row and the index would
+    be silently empty (the r6 quantizer-under-population lesson)."""
+    import pytest as _pytest
+
+    emb = _emb(spark)
+    empty = emb.limit(0).selectExpr("vec_id AS cid", "v AS cv")
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        build_semdedup_index,
+    )
+
+    with _pytest.raises(ValueError, match="empty"):
+        build_semdedup_index(emb, str(tmp_path / "x"), empty)
