@@ -134,3 +134,66 @@ def test_empty_batch_reports_not_drifted(spark, indexed):
     assert r.n_batch == 0
     assert r.batch_mean_d2 is None and r.error_ratio is None
     assert r.drifted is False
+
+
+def test_full_index_lifecycle_drift_triggers_rebuild(spark, tmp_path):
+    """The complete frozen-quantizer lifecycle the operators document:
+    build + baseline → in-distribution batch appends cleanly (merge
+    keeps the baseline honest) → a drifted batch TRIPS the monitor →
+    retrain on the drifted corpus + rebuild → the monitor is clean again
+    for the new distribution. This is the runbook the 'retrain + rebuild
+    when the distribution drifts' contract implies, executed end to end."""
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        append_semdedup_index,
+        build_semdedup_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", dvec("embedding").alias("v")
+    )
+    path = str(tmp_path / "idx")
+    cent = kmeans_centroids(spark, SF).localCheckpoint(eager=True)
+    build_semdedup_index(emb, path, cent)
+    write_drift_baseline(spark, path, emb)
+
+    # day 1: in-distribution batch — passes, appends, folds into baseline
+    day1 = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "v"
+    )
+    assert not drift_report(spark, path, day1).collect()[0].drifted
+    append_semdedup_index(spark, path, day1)
+    merge_drift_baseline(spark, path, day1)
+
+    # day 2: the embedding model changed — affine-shifted vectors trip
+    # the monitor, so this batch is NOT appended under the old quantizer
+    day2 = emb.select(
+        (F.col("vec_id") + 600_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 3.0 + 1.0).alias("v"),
+    )
+    assert drift_report(spark, path, day2).collect()[0].drifted
+
+    # an embedding-model change means the WHOLE corpus is re-embedded
+    # (two embedding spaces cannot share one index): rebuild the index
+    # and its baseline in the new space, quantizer retrained there
+    def reembed(df):
+        return df.select("vec_id", F.transform("v", lambda x: x * 3.0 + 1.0).alias("v"))
+
+    current = reembed(emb.unionByName(day1)).localCheckpoint(eager=True)
+    new_cent = current.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    rebuilt = str(tmp_path / "idx2")
+    build_semdedup_index(current, rebuilt, new_cent)
+    write_drift_baseline(spark, rebuilt, current)
+
+    # the monitor is clean again: tomorrow's batch from the NEW space
+    # probes the rebuilt index without tripping either signal, and the
+    # rebuilt index covers the re-embedded corpus exactly
+    day3 = reembed(
+        emb.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 700_000).alias("vec_id"), "v"
+        )
+    )
+    assert not drift_report(spark, rebuilt, day3).collect()[0].drifted
+    n = spark.read.parquet(f"{rebuilt}/assignments").count()
+    assert n == current.count()
