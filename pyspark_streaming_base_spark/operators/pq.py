@@ -90,10 +90,27 @@ def _assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:
     )
 
 
-def pq_codebooks(emb: DataFrame, m: int, k: int, iters: int = 3) -> DataFrame:
+def pq_codebooks(
+    emb: DataFrame, m: int, k: int, iters: int = 3, train_cap: int = 65_536
+) -> DataFrame:
     """(sub, cid, cv): K codewords per subspace after ``iters`` joint
     Lloyd rounds. ``emb`` needs (vec_id, vec: array<double>); init is
-    the subvectors of the K lowest vec_ids (deterministic, no RNG).
+    the subvectors of the K lowest vec_ids of the TRAINING SET
+    (deterministic, no RNG).
+
+    Training set: production PQ trains codebooks on a BOUNDED sample
+    (the FAISS convention — M·K codewords saturate long before 10⁵
+    training points, so Lloyd over 10⁹ vectors buys nothing but 10⁴×
+    the scan cost). When the corpus exceeds ``train_cap`` rows the
+    training set is the ``train_cap`` lowest xxhash64(vec_id) values —
+    a deterministic, order-free uniform sample selected by one
+    per-task partial top-k. The capped training subvectors are
+    localCheckpoint-ed (≤ train_cap·m rows BY CONSTRUCTION — safe to
+    pin at any corpus scale), so the Lloyd rounds never re-scan the
+    corpus; encoding still covers every vector (``pq_encode``).
+    ``train_cap <= 0`` trains on everything (the pre-r7 behavior). At
+    fixture scales (n < cap) the training set IS the corpus, so
+    results are unchanged.
 
     The dimension must divide evenly by ``m`` — checked here at index
     build time (one 1-row driver action; otherwise ``slice`` would
@@ -104,11 +121,21 @@ def pq_codebooks(emb: DataFrame, m: int, k: int, iters: int = 3) -> DataFrame:
             f"vector dimension {probe.d} is not divisible by m={m}; "
             "the tail dimensions would be silently dropped"
         )
-    subvecs = pq_subvectors(emb, m)
+    train = emb
+    if train_cap > 0:
+        train = emb.orderBy(F.xxhash64("vec_id"), "vec_id").limit(train_cap)
+    subvecs = pq_subvectors(train, m)
+    if train_cap > 0:
+        # repartition restores parallelism after limit's single
+        # partition; the checkpoint pins the bounded training set so
+        # the per-round assign join reads memory, not the corpus
+        subvecs = subvecs.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+        ).localCheckpoint(eager=True)
     # the TRUE lowest-k ids (not `vec_id < k`, which under-populates the
     # init on sparse/offset id spaces — same ADVICE-r6 fix as the coarse
     # quantizer in build_pq_index); identical selection on dense-from-0 ids
-    low = emb.orderBy("vec_id").limit(k).select("vec_id")
+    low = train.orderBy("vec_id").limit(k).select("vec_id")
     cent = subvecs.join(F.broadcast(low), "vec_id").select(
         "sub", F.col("vec_id").cast("bigint").alias("cid"), F.col("sv").alias("cv")
     )
