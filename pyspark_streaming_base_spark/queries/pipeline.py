@@ -212,18 +212,38 @@ _KMEANS_ITERS = 3
 
 
 def kmeans_centroids(
-    spark: SparkSession, sf_dir: str, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    train_cap: int = 65_536,
 ) -> DataFrame:
     """The refined (cid, cv) centroid table after ``iters`` Lloyd rounds —
     the production coarse quantizer for ``operators/ivf.py``'s index
     (``build_ivf_index(..., centroids=...)``). Same loop as
-    :func:`kmeans_assign` (which consumes this and assigns)."""
+    :func:`kmeans_assign` (which consumes this and assigns).
+
+    Training set: bounded to the ``train_cap`` lowest xxhash64(vec_id)
+    rows when the corpus is larger (the ``pq_codebooks`` convention — k
+    centroids saturate long before 10⁵ training points; Lloyd over the
+    full corpus at 100 TB is pure waste), pinned via localCheckpoint so
+    the rounds never re-scan the corpus. At fixture scales (n < cap)
+    the training set IS the corpus — the numpy twins are unaffected.
+    The ASSIGN pass (:func:`kmeans_assign`) always covers every vector."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", dvec("embedding").alias("v"))
+    train = emb
+    if train_cap > 0:
+        train = (
+            emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(train_cap)
+            .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+            .localCheckpoint(eager=True)
+        )
     # true lowest-k ids (identical to the old `vec_id < k` on the
     # dense-from-0 fixtures the numpy twin mirrors; robust to sparse
     # id spaces — the ADVICE-r6 quantizer fix applied uniformly)
     cent = (
-        emb.orderBy("vec_id")
+        train.orderBy("vec_id")
         .limit(k)
         .select(F.col("vec_id").cast("bigint").alias("cid"), F.col("v").alias("cv"))
     )
@@ -238,7 +258,7 @@ def kmeans_centroids(
         # corpus afterwards (v is functionally determined by the vec_id
         # group key, so first() is deterministic) — one join per round
         assigned = (
-            emb.crossJoin(F.broadcast(cent))
+            train.crossJoin(F.broadcast(cent))
             .withColumn("d2", d2())
             .groupBy("vec_id")
             .agg(
