@@ -134,6 +134,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "load_avg_1m": load1,
+        "host_calibration": _calibrate(spark),
         "extended": ext,
         "extended_value": round(sum(ext.values()), 3),
         # r6 bisect of the r5 +8.1% headline move (unchanged query code):
@@ -141,14 +142,58 @@ def main() -> None:
         # measured 6.615 vs 6.662 s — no heap effect; five repeated runs
         # at load 1.8-2.3 spanned 6.61-7.25 s. Root cause: ambient
         # scheduling variance on this shared host (±5% band), not a code
-        # or session change. Compare rounds via the band, not the point.
+        # or session change.
+        # r7 follow-up: the whole HOST drifted — the untouched r6 snapshot
+        # itself re-measured 8.16-9.39 s (vs its recorded 7.09) interleaved
+        # with HEAD at 8.68-9.09 s on an idle-load start, with untouched
+        # queries (q01, q60) inflating in lockstep. Hence host_calibration:
+        # fixed JVM + numpy probes run with every bench so cross-round
+        # deltas can be read against measured host speed, not assumed
+        # constant. Compare rounds via calib-normalized numbers.
         "variance_note": "repeated identical runs span ~±5% on this host; "
-        "r5 +8.1% bisected to ambient (heap A/B 1g=6.615 8g=6.662)",
+        "r5 +8.1% bisected to ambient (heap A/B 1g=6.615 8g=6.662); "
+        "r7: r6 snapshot itself re-measured +15-32% (host drift) — use "
+        "host_calibration to normalize cross-round deltas",
     }
     prev = _delta_vs_prev(total, timings, ext)
     if prev is not None:
+        pc = prev.pop("_prev_calib", None)
+        cc = out["host_calibration"]
+        if pc and pc.get("calib_jvm_sec"):
+            # host-speed drift between the two records; divide total_pct's
+            # implied ratio by (1 + host_drift) to isolate the code effect
+            prev["host_drift_pct"] = {
+                k: round(100.0 * (cc[k] - pc[k]) / pc[k], 1)
+                for k in ("calib_jvm_sec", "calib_numpy_sec")
+                if pc.get(k)
+            }
         out["delta_vs_prev"] = prev
     print(json.dumps(out))
+
+
+def _calibrate(spark) -> dict[str, float]:
+    """Fixed-work host-speed probes, best-of-3 each: a JVM-side codegen
+    aggregate (tracks executor-thread throughput) and a single-threaded
+    numpy reduction (tracks raw core speed, immune to Spark config).
+    Identical work every round ⇒ the ratio between two rounds' probes IS
+    the host-speed drift; divide headline deltas by it before reading
+    them as code changes (motivated by the r7 finding that the untouched
+    r6 snapshot re-measured +15-32% on the same machine)."""
+    import numpy as np
+
+    jvm = py = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 7)"
+        ).collect()
+        jvm = min(jvm, time.perf_counter() - t0)
+    arr = np.arange(20_000_000, dtype=np.float64)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float((arr * 1.0000001 + 3.0).sum())
+        py = min(py, time.perf_counter() - t0)
+    return {"calib_jvm_sec": round(jvm, 4), "calib_numpy_sec": round(py, 4)}
 
 
 def _time_pq_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
@@ -376,6 +421,8 @@ def _delta_vs_prev(total: float, timings: dict, ext: dict) -> dict | None:
             for q, t in timings.items()
             if q in pq and pq[q]
         }
+        if isinstance(prev.get("host_calibration"), dict):
+            delta["_prev_calib"] = prev["host_calibration"]
         pe = prev.get("extended") or {}
         ext_common = {q: t for q, t in ext.items() if q in pe and pe[q]}
         if ext_common:
