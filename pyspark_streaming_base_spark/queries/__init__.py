@@ -95,16 +95,18 @@ DRIVER_PRIORITY: tuple = (
     "q79_late_data_audit",
     "q89_stream_stream_left_outer",
     "q98_arrow_digest",
-    # ROUND-7 FIRST-TIMERS: the image near-dup operator's and the
-    # embedding-drift monitor's first driver rows (a brand-new
-    # oracle-bearing operator outranks one more stale-evidence refresh —
-    # q27 stays on the local mirror; its code is unchanged since r3)
+    # ROUND-7 FIRST-TIMERS: the image near-dup operator's, the
+    # embedding-drift monitor's, and the all-pairs cosine join's first
+    # driver rows (a brand-new oracle-bearing operator outranks one more
+    # stale-evidence refresh — q27 stays on the local mirror, and q09
+    # rotates out for q132: C7 distinct stays covered by the q10 keeper,
+    # q09's code is unchanged since r1 and exact-green locally)
     "q130_image_neardup",
     "q131_embedding_drift",
+    "q132_allpairs_cosine_join",
     # evidence-freshness set: oldest driver rows in the registry (r1-r3)
     "q06_anti_join",
     "q08_late_ship_priority",
-    "q09_distinct",
     "q12_rollup",
     "q13_cube",
     "q14_global_topk",

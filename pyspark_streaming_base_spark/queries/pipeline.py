@@ -1013,3 +1013,64 @@ def q129_stratified_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 20)
     )
+
+
+@query("q133_logreg_quality_gate", oracle=None)  # iterative training + exp
+def q133_logreg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained linear quality gate (extension; ``operators/logreg.py``):
+    distill q51's rule-based quality score into a logistic-regression
+    classifier over cheap per-doc features — the production pattern
+    where an expensive gate (a big model's judgments, human labels, a
+    slow heuristic stack) is distilled into a fast linear filter that
+    then scans the whole corpus (the public fastText-style quality-
+    classifier recipe).
+
+    Label: q51's quality >= 0.63 (the fixture's median, ~52/48 split).
+    Features: the same cheap stats the rule uses — distinct-token
+    ratio, length saturation, tokens/100 — so the distillation should
+    (and does: ~0.98 train accuracy, asserted loosely in pytest) recover
+    the gate. Training is 30 full-batch GD steps with momentum over
+    standardized features, every aggregate an exact scaled-int sum, so
+    the weights are BIT-REPRODUCIBLE under any partitioning.
+
+    Rows-only by design (training is iterative, sigmoid is
+    transcendental — no SQL oracle can replay it); the pytest twin
+    mirrors the whole loop in numpy (same fixed-point grids, same fold
+    order) and pins the weights to ~1e-8, the q94-Lloyd pattern.
+
+    Scale: one stats scan + one scan per step (each a narrow map +
+    (dims × partitions)-row shuffle), state is a 1-row DataFrame —
+    nothing O(corpus) ever reaches the driver; the applied model is a
+    zero-shuffle projection.
+    """
+    from pyspark_streaming_base_spark.operators.logreg import (
+        logreg_predict,
+        logreg_train,
+    )
+
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    ls = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    quality = (
+        0.45 * dr + 0.35 * ls + 0.2 * F.when(n_tok >= 10, 1.0).otherwise(0.0)
+    )
+    feats = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            dr.alias("f_distinct_ratio"),
+            ls.alias("f_length_score"),
+            (n_tok.cast("double") / 100.0).alias("f_tokens"),
+            (quality >= 0.63).cast("double").alias("label"),
+        )
+        .filter(n_tok > 0)
+    )
+    cols = ["f_distinct_ratio", "f_length_score", "f_tokens"]
+    w = logreg_train(feats, cols, "label")
+    return logreg_predict(feats, cols, w, prob_col="p").select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("label"),
+        dround(F.col("p")).alias("p"),
+        (F.col("p") >= 0.5).alias("pred"),
+    )

@@ -107,6 +107,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q125_semantic_dedup",  # k-row centroid broadcast fold (q94 shape)
         "q126_mix_weights",  # 1-row normalizing-total broadcast fold
         "q131_embedding_drift",  # k-row centroid + 1-row total broadcast folds
+        "q133_logreg_quality_gate",  # 1-row weight/stats broadcast folds (q94 shape)
     }
     got_warns = set()
     for name, spec in R.items():
