@@ -47,9 +47,11 @@ REGISTRY: Dict[str, QuerySpec] = {}
 DRIVER_PRIORITY: tuple = (
     # ROUND-7 ROTATION: same 26-keeper component-covering core. With the
     # r6 "never driver-checked" list closed, this round's budget goes to
-    # EVIDENCE FRESHNESS: the 13 oracle queries whose last driver row
-    # dates to r1-r3 (q06/q08/q09/q12-q14/q19-q21/q23/q24/q26/q27 —
-    # plenty of shared helper code churned since), q44 (its
+    # EVIDENCE FRESHNESS: the oracle queries whose last driver row
+    # dates to r1-r3 (q06/q08/q13/q14/q19-q21/q23/q24/q26 below —
+    # q09/q12/q27 yield their slots to the new oracle-bearing operators
+    # q132/q135; their components stay covered by the q10/q35 keepers
+    # and all three remain exact-green on the local mirror), q44 (its
     # connected-components engine gained a localCheckpoint cut this
     # round), and the NEW q130 image near-dup (previously the one
     # dedup-family operator with no driver row). The 14 r5/r6
@@ -104,10 +106,10 @@ DRIVER_PRIORITY: tuple = (
     "q130_image_neardup",
     "q131_embedding_drift",
     "q132_allpairs_cosine_join",
+    "q135_clustering_coefficient",  # q12 rotates out (C8 stays covered by q35)
     # evidence-freshness set: oldest driver rows in the registry (r1-r3)
     "q06_anti_join",
     "q08_late_ship_priority",
-    "q12_rollup",
     "q13_cube",
     "q14_global_topk",
     "q19_conditional_agg",

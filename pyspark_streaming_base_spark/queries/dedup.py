@@ -964,3 +964,70 @@ def q132_allpairs_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", _shingles(F.col("text")).alias("sg"))
     )
     return cosine_set_self_join(d, "doc_id", "sg", tau_num=3, tau_den=5)
+
+
+@query(
+    "q135_clustering_coefficient",
+    oracle="""
+    WITH tt AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ), edges AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM tt a JOIN tt b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    ), deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT u AS id FROM edges UNION ALL SELECT v AS id FROM edges)
+      GROUP BY id
+    ), tri AS (
+      -- exhaustive u < v < w enumeration over the canonical edge list
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), pv AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS triangles
+      FROM (SELECT a AS id FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL
+            SELECT c FROM tri)
+      GROUP BY id
+    )
+    SELECT d.id AS doc_id, d.degree,
+           COALESCE(pv.triangles, CAST(0 AS BIGINT)) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN 2.0 * COALESCE(pv.triangles, CAST(0 AS BIGINT))
+                     / (d.degree * (d.degree - 1))
+                ELSE 0.0 END AS coeff
+    FROM deg d LEFT JOIN pv ON pv.id = d.id
+    """,
+)
+def q135_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts + local clustering coefficient over
+    the q40 near-dup graph (C17/graph extension;
+    ``operators/triangles.py``).
+
+    The community-density signal a dedup policy wants BEFORE collapsing
+    transitive clusters (q44): a triangle-dense neighborhood is a true
+    duplicate family; a triangle-free chain is borderline-match drift
+    that min-label propagation would over-merge. Coefficient =
+    2·T / (deg·(deg−1)) — an exact integer ratio, bit-identical across
+    engines.
+
+    Spark side: degree-ordered wedge enumeration (Schank-Wagner /
+    Suri-Vassilvitskii) — O(E^{3/2}) wedge volume on any degree
+    distribution; the oracle is the exhaustive u<v<w 3-way self-join, so
+    the value-hash match proves the oriented enumeration finds every
+    triangle exactly once.
+    """
+    from pyspark_streaming_base_spark.operators.triangles import (
+        triangle_counts,
+    )
+
+    edges = q40_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return triangle_counts(edges).withColumnRenamed("id", "doc_id")

@@ -1242,3 +1242,74 @@ def q121_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_overlap.cast("double") / F.count(F.lit(1))).alias("overlap_frac"),
         )
     )
+
+
+@query("q134_bigram_lm_score", oracle=None)  # log2 is transcendental —
+# engine libms differ in ULPs, and the q96/q99 rounding-boundary lesson
+# says never hash a rounded transcendental; pinned instead by the numpy
+# mirror in tests/test_bigram_lm.py (the q94/q133 pattern)
+def q134_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (C19 extension) — the CCNet/KenLM-style
+    perplexity filter of LLM data pipelines: score every document by the
+    mean log-probability its own corpus's bigram model assigns to it.
+    Low avg_logp = improbable word sequences = garbled/boilerplate/
+    wrong-language candidates; q93's unigram frequency proxy ranks WORDS,
+    this ranks TRANSITIONS (word order), which is what separates token
+    soup from prose.
+
+    Model: P(w2 | w1) = (C(w1 w2) + 0.5) / (C(w1 ·) + 0.5·V) — add-α
+    smoothing over the continuation vocabulary V (distinct corpus
+    tokens); contexts C(w1 ·) are bigram-first-word totals, so the model
+    is properly normalized (Σ_w2 P = 1 per context). Scored on bigram
+    OCCURRENCES (duplicates kept — a repeated n-gram is repeated
+    evidence).
+
+    Determinism: each bigram's log2 P is rounded to the 10⁻⁶ grid per
+    row, then exact-summed (``_exact.py``) — the per-doc mean is
+    partition-order-independent, like every oracle-bearing aggregate in
+    this repo even though this query is rows-only.
+
+    Scale: one bigram-count aggregate (map-side combined, vocab²-
+    bounded), one context aggregate (vocab-bounded), a bigram-keyed
+    equi-join back to doc bigrams (hot stopword contexts are plain AQE
+    join skew), a 1-row V broadcast, one doc-keyed agg. All built-ins —
+    no Python in the hot path.
+    """
+    from pyspark_streaming_base_spark.functions.textops import word_bigrams
+    from pyspark_streaming_base_spark.queries._exact import scaled, unscale
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = docs.select(
+        "doc_id", F.explode(word_bigrams(F.col("text"))).alias("bg")
+    )
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    # context totals: C(w1 ·) = how often w1 starts a bigram. Tokens are
+    # split-on-space, so the bigram string's first field IS w1.
+    w1 = F.element_at(F.split(F.col("bg"), " "), 1)
+    ctx = (
+        c12.select(w1.alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").cast("bigint").alias("c1"))
+    )
+    vocab = docs.select(
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    ).filter(F.col("tok") != "").agg(
+        F.count_distinct("tok").cast("double").alias("v")
+    )
+    lp = F.log2(
+        (F.col("c12") + F.lit(0.5))
+        / (F.col("c1") + F.lit(0.5) * F.col("v"))
+    )
+    return (
+        bg.join(c12, "bg")
+        .withColumn("w1", w1)
+        .join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        # per-row 10⁻⁶ rounding, then the exact scaled-int mean
+        .select("doc_id", scaled(lp).alias("lp6"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (unscale(F.sum("lp6")) / F.count(F.lit(1))).alias("avg_logp"),
+        )
+    )

@@ -108,6 +108,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q126_mix_weights",  # 1-row normalizing-total broadcast fold
         "q131_embedding_drift",  # k-row centroid + 1-row total broadcast folds
         "q133_logreg_quality_gate",  # 1-row weight/stats broadcast folds (q94 shape)
+        "q134_bigram_lm_score",  # 1-row vocab-size broadcast fold (q126 shape)
     }
     got_warns = set()
     for name, spec in R.items():
