@@ -15,6 +15,10 @@ from pyspark_streaming_base_spark.functions.multimodal import (
 )
 from pyspark_streaming_base_spark.functions.textops import redact
 from pyspark_streaming_base_spark.operators.asof import asof_backward_join
+from pyspark_streaming_base_spark.operators.bloom import (
+    bloom_maybe_contains,
+    build_bloom,
+)
 from pyspark_streaming_base_spark.operators.components import connected_components
 from pyspark_streaming_base_spark.operators.ivf import (
     append_ivf_index,
@@ -99,4 +103,6 @@ __all__ = [
     "build_ivf_index",
     "query_ivf_index",
     "pagerank",
+    "build_bloom",
+    "bloom_maybe_contains",
 ]

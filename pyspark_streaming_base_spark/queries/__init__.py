@@ -107,15 +107,21 @@ DRIVER_PRIORITY: tuple = (
     "q131_embedding_drift",
     "q132_allpairs_cosine_join",
     "q135_clustering_coefficient",  # q12 rotates out (C8 stays covered by q35)
+    # LATE-ROUND-7 FIRST-TIMERS: four more brand-new oracle-bearing
+    # operators (BM25 retrieval, C4 segment dedup+rebuild, RRF hybrid
+    # fusion, bloom-prefiltered decontamination) take the slots of four
+    # stale-evidence refreshes (q19/q20/q21/q23 — all unchanged since
+    # r1-r3 and exact-green on the local mirror; their components stay
+    # covered by the q01/q25/q21-family keepers in the prefix)
+    "q136_bm25_topk",
+    "q137_segment_dedup_rebuild",
+    "q138_rrf_hybrid_fusion",
+    "q139_bloom_decontamination",
     # evidence-freshness set: oldest driver rows in the registry (r1-r3)
     "q06_anti_join",
     "q08_late_ship_priority",
     "q13_cube",
     "q14_global_topk",
-    "q19_conditional_agg",
-    "q20_json_extract",
-    "q21_explode_terms",
-    "q23_above_avg_parts",
     "q24_pivot_event_types",
     "q26_percentile",
     "q44_dedup_clusters",       # components engine churned this round

@@ -1031,3 +1031,116 @@ def q135_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return triangle_counts(edges).withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4-style segment-level dedup with reconstruction (C17 extension)
+# ---------------------------------------------------------------------------
+
+#: Fixed-width "line" for line-level dedup over the synthetic corpus: the
+#: testdata text has no newlines, so consecutive 8-token segments stand in
+#: for the lines/sentences C4 dedups on. The operator is width-agnostic.
+_SEG_W = 8
+
+
+@query(
+    "q137_segment_dedup_rebuild",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    seg0 AS (
+      SELECT doc_id, toks,
+             unnest(range(0, (len(toks) + {_SEG_W} - 1) // {_SEG_W}))
+               AS g
+      FROM base WHERE len(toks) > 0
+    ),
+    seg AS (
+      SELECT doc_id, CAST(g AS BIGINT) AS g,
+             array_to_string(
+               list_slice(toks, g * {_SEG_W} + 1, g * {_SEG_W} + {_SEG_W}),
+               ' ') AS seg
+      FROM seg0
+    ),
+    marked AS (
+      SELECT doc_id, g, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, g)
+               AS occ_rank
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(COUNT(*) FILTER (WHERE occ_rank > 1) AS BIGINT) AS n_removed,
+           md5(COALESCE(
+             string_agg(seg, ' ' ORDER BY g) FILTER (WHERE occ_rank = 1),
+             '')) AS kept_fp
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def q137_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level exact dedup WITH document reconstruction
+    (C17 extension): split every document into fixed-width token
+    segments, keep only the FIRST corpus-wide occurrence of each segment
+    text (first = lowest (doc_id, position) — the C4 keeper rule), and
+    rebuild each document from its surviving segments in order. Output
+    per doc: segment count, removed count, and the md5 fingerprint of the
+    rebuilt text — the remove-and-rebuild step that follows q107's
+    span DETECTION (q107 reports duplicated spans; this one edits the
+    corpus). Raffel et al., "Exploring the Limits of Transfer Learning"
+    (C4, 2020) — public.
+
+    Determinism: the keeper is a ROW_NUMBER window ordered on the unique
+    (doc_id, g); reconstruction concatenates via array_sort over the
+    unique in-doc position, so the rebuilt string (and its md5) is exact
+    cross-engine.
+
+    Scale: one narrow posexplode → ONE shuffle on the segment text for
+    the keeper window (hot boilerplate segments are plain AQE skew) →
+    one doc-keyed aggregate. At 100 TB, hash the segment to 8 bytes
+    first (q107's trick) so the keeper exchange carries int64 keys; the
+    rebuild aggregate is the same either way.
+    """
+    from pyspark.sql import Window as W
+
+    toks = _tokens(F.col("text"))
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    seg = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("toks") / F.lit(_SEG_W)).cast("int") - 1,
+                ),
+                lambda g: F.concat_ws(
+                    " ", F.slice(F.col("toks"), g * _SEG_W + 1, _SEG_W)
+                ),
+            )
+        ).alias("g", "seg"),
+    ).select("doc_id", F.col("g").cast("bigint").alias("g"), "seg")
+    marked = seg.withColumn(
+        "occ_rank",
+        F.row_number().over(W.partitionBy("seg").orderBy("doc_id", "g")),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("occ_rank") == 1, F.struct("g", "seg"))
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+        F.sum((F.col("occ_rank") > 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["seg"]), " "
+            )
+        ).alias("kept_fp"),
+    )

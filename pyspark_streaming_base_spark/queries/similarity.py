@@ -615,3 +615,209 @@ def q131_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("occ_batch_r"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + vector ranks
+# ---------------------------------------------------------------------------
+
+#: RRF smoothing constant (Cormack, Clarke & Büttcher, SIGIR 2009 — the
+#: standard k=60) and the per-arm list depth. ``vec_id i`` is the
+#: embedding of ``doc_id i`` in the synthetic testdata, the shared id the
+#: fusion joins on.
+_RRF_K = 60
+_RRF_DEPTH = 15
+
+
+def _rrf_oracle() -> str:
+    from pyspark_streaming_base_spark.queries.text import BM25_SQL_CTES
+
+    return f"""{BM25_SQL_CTES}
+    , lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS r_lex
+      FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT {_RRF_DEPTH})
+    ),
+    vq AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT c.vec_id,
+             FLOOR((
+               list_dot_product(CAST(vq.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (SQRT(list_dot_product(CAST(vq.embedding AS DOUBLE[]), CAST(vq.embedding AS DOUBLE[])))
+                  * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0 AS sim_r
+      FROM embeddings c CROSS JOIN vq
+      WHERE c.vec_id <> 0
+    ),
+    vtop AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY sim_r DESC, vec_id) AS BIGINT)
+               AS r_vec
+      FROM (SELECT * FROM sims ORDER BY sim_r DESC, vec_id LIMIT {_RRF_DEPTH})
+    )
+    SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id, l.r_lex, v.r_vec,
+           (COALESCE(CAST(1 AS DOUBLE) / CAST({_RRF_K} + l.r_lex AS DOUBLE), 0.0)
+            + COALESCE(CAST(1 AS DOUBLE) / CAST({_RRF_K} + v.r_vec AS DOUBLE), 0.0))
+             AS rrf_score
+    FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.vec_id
+    """
+
+
+@query("q138_rrf_hybrid_fusion", oracle=_rrf_oracle())
+def q138_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (C18/C19 extension):
+    fuse the BM25 lexical top-15 (q136's scorer, single definition —
+    both the Spark arm and the oracle arm are reused verbatim) with the
+    cosine top-15 around query vector 0 by
+    ``RRF(d) = Σ_arms 1/(60 + rank_arm(d))`` — the fusion rule hybrid
+    RAG search stacks run because it needs NO score calibration between
+    arms, only ranks. Cormack et al., SIGIR 2009 — public.
+
+    Determinism: both rank lists order on (exact score desc, id); RRF
+    adds two correctly-rounded ``1.0/int`` doubles in a fixed order, so
+    the fused score is bit-identical cross-engine. Missing-arm docs
+    contribute 0.0 from that arm (FULL OUTER join).
+
+    Scale: each arm is already scale-shaped (BM25 = broadcast-folded
+    aggregates + TakeOrderedAndProject; cosine = broadcast query, one
+    corpus scan, per-partition top-k). Ranking WITHIN a top-k list is a
+    bounded k-row window — the single-partition exchange the linter
+    reports is 15 rows by construction. The fusion join is k-vs-k.
+    """
+    from pyspark_streaming_base_spark.queries.text import q136_bm25_topk
+
+    lex = q136_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .cast("bigint")
+        .alias("r_lex"),
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    vq = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qvec"))
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _dvec("embedding").alias("cvec"))
+        .crossJoin(vq)
+        .select("vec_id", dround(cosine(F.col("qvec"), F.col("cvec"))).alias("sim_r"))
+    )
+    vtop = (
+        sims.orderBy(F.col("sim_r").desc(), "vec_id")
+        .limit(_RRF_DEPTH)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(W.orderBy(F.col("sim_r").desc(), "vec_id"))
+            .cast("bigint")
+            .alias("r_vec"),
+        )
+    )
+    fused = lex.join(vtop, lex["doc_id"] == vtop["vec_id"], "full_outer")
+    arm = lambda r: F.coalesce(  # noqa: E731 — tiny local shorthand
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col(r)).cast("double"), F.lit(0.0)
+    )
+    return fused.select(
+        F.coalesce(lex["doc_id"], vtop["vec_id"]).alias("doc_id"),
+        "r_lex",
+        "r_vec",
+        (arm("r_lex") + arm("r_vec")).alias("rrf_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 32
+_MMR_K = 10
+
+
+@query("q140_mmr_diverse_topk", oracle=None)  # greedy selection is
+# sequential by definition — pinned by the independent numpy mirror +
+# diversity property in tests/test_mmr.py (the q94/q134 pattern)
+def q140_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (C18 extension): re-rank
+    the cosine top-32 around query vector 0 by greedily picking
+    ``argmax λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j)`` — the diversity
+    selection step retrieval and data-curation pipelines run so the k
+    results (or k training exemplars) aren't 10 copies of the same
+    near-duplicate. Carbonell & Goldstein, SIGIR 1998 — public.
+
+    Scale shape: the DISTRIBUTED part does all the data reduction — one
+    corpus scan, broadcast query, ``TakeOrderedAndProject`` down to the
+    32-row candidate shortlist. Greedy MMR is inherently sequential, so
+    it runs as ONE bounded Arrow group (32×64 floats) via
+    ``applyInPandas`` — the same bounded-re-rank tier as q111's ADC
+    shortlist; nothing sequential ever sees more than ``_MMR_CAND``
+    rows. Ties break on vec_id; relevance enters pre-rounded on the
+    10⁻⁶ grid so selection is reproducible.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    vq = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qvec"))
+    )
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _dvec("embedding").alias("vec"))
+        .crossJoin(vq)
+        .select(
+            "vec_id",
+            "vec",
+            dround(cosine(F.col("qvec"), F.col("vec"))).alias("rel_r"),
+        )
+        .orderBy(F.col("rel_r").desc(), "vec_id")
+        .limit(_MMR_CAND)
+    )
+
+    def mmr_select(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        rel = pdf["rel_r"].to_numpy(dtype=np.float64)
+        V = np.stack(pdf["vec"].to_numpy())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sim = Vn @ Vn.T  # 32×32
+        order = np.lexsort((ids, -rel))  # deterministic scan order
+        ids, rel, sim = ids[order], rel[order], sim[np.ix_(order, order)]
+        chosen: list = []
+        avail = list(range(len(ids)))
+        for _ in range(min(_MMR_K, len(ids))):
+            best, best_key = None, None
+            for i in avail:
+                div = max((sim[i, j] for j in chosen), default=0.0)
+                score = _MMR_LAMBDA * rel[i] - (1.0 - _MMR_LAMBDA) * div
+                key = (score, -ids[i])
+                if best_key is None or key > best_key:
+                    best, best_key = i, key
+            chosen.append(best)
+            avail.remove(best)
+        return pd.DataFrame(
+            {
+                "sel_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+                "vec_id": ids[chosen].astype(np.int64),
+                "rel_r": rel[chosen],
+                "mmr_r": [
+                    np.floor(
+                        (
+                            _MMR_LAMBDA * rel[i]
+                            - (1.0 - _MMR_LAMBDA)
+                            * max((sim[i, j] for j in chosen[:n]), default=0.0)
+                        )
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                    for n, i in enumerate(chosen)
+                ],
+            }
+        )
+
+    return (
+        cands.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            mmr_select,
+            "sel_rank bigint, vec_id bigint, rel_r double, mmr_r double",
+        )
+    )

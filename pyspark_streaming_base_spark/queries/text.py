@@ -1313,3 +1313,223 @@ def q134_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (unscale(F.sum("lp6")) / F.count(F.lit(1))).alias("avg_logp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (C19 extension)
+# ---------------------------------------------------------------------------
+
+#: Fixed demo query — five mid-frequency corpus words. At 100 TB the
+#: query side is always tiny (user keywords), so every per-query factor
+#: below stays a 1-row or 5-row broadcast.
+_BM25_TERMS = ("scan", "merge", "window", "stream", "vector")
+_BM25_K1 = 1.2  # term-frequency saturation
+_BM25_B = 0.75  # length normalization
+_BM25_TOPK = 15
+
+_BM25_TERMS_SQL = ", ".join(f"'{w}'" for w in _BM25_TERMS)
+
+#: Shared oracle CTE chain producing ``bm25(doc_id, n_terms_hit, score)``
+#: — q136 orders it; q138's hybrid-fusion oracle reuses it verbatim so
+#: the lexical arm can never drift between the two oracles.
+BM25_SQL_CTES = f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM base
+    ),
+    tok AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE term IN ({_BM25_TERMS_SQL})
+      GROUP BY doc_id, dl, term
+    ),
+    df_t AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    per_term AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               (((CAST(stats.n AS DOUBLE) - CAST(df_t.df AS DOUBLE)) + 0.5)
+                  / (CAST(df_t.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + {_BM25_K1} * (0.25 + {_BM25_B}
+                        * (CAST(tf.dl AS DOUBLE) / stats.avgdl))))
+               * 1000000.0 + 0.5) AS BIGINT) AS s6
+      FROM tf JOIN df_t ON tf.term = df_t.term CROSS JOIN stats
+    ),
+    bm25 AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             CAST(SUM(s6) AS DOUBLE) / 1000000.0 AS score
+      FROM per_term
+      GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "q136_bm25_topk",
+    oracle=f"""{BM25_SQL_CTES}
+    SELECT doc_id, n_terms_hit, score
+    FROM bm25
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def q136_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (C19 extension): top-15 documents for a
+    fixed 5-term query under the Okapi BM25 ranking function — the
+    lexical-retrieval baseline every RAG / data-curation stack ships
+    next to its vector index (and the lexical arm q138's hybrid fusion
+    consumes). Robertson–Spärck Jones idf is used in its RATIONAL form
+    ``(N − df + 0.5)/(df + 0.5)`` (no log), the q57 linear-idf lesson:
+    every factor is an IEEE-exact ratio of integers (±0.5), so scores are
+    bit-deterministic cross-engine with no transcendental risk. Per-term
+    scores are rounded to the 10⁻⁶ grid per row and exact-summed as
+    scaled int64 (``_exact.py``), so the doc score is partition-order
+    independent; monotone bigint→double division preserves the ranking.
+
+    Scale: dl/avgdl fold to ONE broadcast row; tf is a (doc, term)
+    aggregate AFTER an `isin` pushdown (only query-term tokens leave the
+    scan); df is a 5-row aggregate joined broadcast. The final top-15 is
+    ``TakeOrderedAndProject`` — per-partition top-k, no global sort.
+    BM25: Robertson et al., TREC-3 (1994) — public.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.size("toks")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = (
+        (F.col("n").cast("double") - F.col("df").cast("double")) + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    norm = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(0.25)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * norm * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("s6"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            (F.sum("s6").cast("double") / F.lit(1000000.0)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+        .select("doc_id", "n_terms_hit", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (training-pipeline extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q139_bloom_decontamination",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, lang, hk,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                      for i in generate_series(1, len(toks) - 2)])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM base
+    ), ev AS (
+      SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE hk < '{_SPLIT_VAL_HEX}'
+    ), tr AS (
+      SELECT doc_id, lang, unnest(shingles) AS sh
+      FROM sh WHERE hk >= '{_SPLIT_TEST_HEX}'
+    )
+    SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_hit_shingles
+    FROM tr WHERE sh IN (SELECT sh FROM ev)
+    GROUP BY doc_id, lang
+    """,
+)
+def q139_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination (training-pipeline
+    extension): the per-doc contaminated-shingle audit — which TRAIN docs
+    share which number of 3-shingles with the val split — computed with a
+    32 KB broadcast Bloom filter (``operators/bloom.py``) killing clean
+    shingles MAP-SIDE before the exact semi join. Bloom has no false
+    negatives and the exact join removes its false positives, so the
+    result EQUALS the unfiltered q87-style semi join — that exact
+    semantics is the oracle; the FP rate is pinned in pytest
+    (``test_bloom_decon.py``), not trusted.
+
+    Scale: this is the shape that survives 100 TB where q87's plain semi
+    join does not — the shuffle of corpus shingles is the dominant cost
+    of decontamination, and the benchmark side is small and FIXED in
+    practice, so the bloom probe (k=3 broadcast joins, narrow) drops
+    ~(1−FP) of train shingles before any exchange; only bloom-positive
+    shingles pay the string shuffle for exact verification.
+    """
+    from pyspark_streaming_base_spark.functions.textops import word_shingles
+    from pyspark_streaming_base_spark.operators.bloom import (
+        bloom_maybe_contains,
+        build_bloom,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        word_shingles(F.col("text")).alias("shingles"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("hk"),
+    )
+    ev = (
+        d.where(F.col("hk") < _SPLIT_VAL_HEX)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    bloom = build_bloom(ev, "sh")
+    tr = d.where(F.col("hk") >= _SPLIT_TEST_HEX).select(
+        "doc_id", "lang", F.explode("shingles").alias("sh")
+    )
+    cand = bloom_maybe_contains(tr, "sh", bloom)
+    hits = cand.join(ev, "sh", "left_semi")
+    return hits.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_shingles")
+    )

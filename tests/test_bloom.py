@@ -1,0 +1,105 @@
+"""Bloom filter operator (`operators/bloom.py`): no false negatives ever,
+false-positive rate within the geometry bound, and the q139 bloom-prefiltered
+decontamination EQUALS the exact unfiltered semi join (bloom is a pure
+prefilter — verification removes its false positives)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.operators.bloom import (
+    bloom_maybe_contains,
+    build_bloom,
+)
+
+from tests.conftest import SF_SMALL
+
+M_BITS = 1 << 18
+K = 3
+
+
+def test_build_bloom_rejects_bad_geometry(spark):
+    df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError):
+        build_bloom(df, "k", m_bits=100)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        build_bloom(df, "k", m_bits=-64)
+    with pytest.raises(ValueError):
+        build_bloom(df, "k", k=0)
+    with pytest.raises(ValueError):
+        build_bloom(df, "k", k=17)
+
+
+def test_bloom_word_table_is_bounded(spark):
+    members = spark.range(10_000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    bloom = build_bloom(members, "k", m_bits=M_BITS, k=K)
+    assert bloom.count() <= M_BITS // 64  # ≤ 4096 rows no matter the input
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.range(5_000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("k")
+    )
+    bloom = build_bloom(members, "k", m_bits=M_BITS, k=K)
+    passed = bloom_maybe_contains(members, "k", bloom, m_bits=M_BITS, k=K)
+    # EVERY member must pass — the property exactness downstream relies on
+    assert passed.count() == 5_000
+
+
+def test_bloom_false_positive_rate_within_bound(spark):
+    n = 5_000
+    members = spark.range(n).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("k")
+    )
+    others = spark.range(20_000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("k")
+    )
+    bloom = build_bloom(members, "k", m_bits=M_BITS, k=K)
+    fp = bloom_maybe_contains(others, "k", bloom, m_bits=M_BITS, k=K).count()
+    # theoretical FP = (1 - e^(-k n / m))^k ≈ 0.018% here; allow 4x slack
+    # for hash clustering before calling the hash mixing broken
+    expected = (1.0 - math.exp(-K * n / M_BITS)) ** K
+    assert fp / 20_000 <= max(4 * expected, 0.005), (fp, expected)
+
+
+def test_q139_prefilter_equals_exact_semi_join(spark):
+    """The bloom prefilter must not change the decontamination answer:
+    q139's registered plan == the same pipeline with the bloom step
+    removed (plain q87-style semi join)."""
+    from pyspark_streaming_base_spark.functions.textops import word_shingles
+    from pyspark_streaming_base_spark.queries import load_all
+    from pyspark_streaming_base_spark.queries._tables import t
+    from pyspark_streaming_base_spark.queries.text import (
+        _SPLIT_TEST_HEX,
+        _SPLIT_VAL_HEX,
+    )
+
+    R = load_all()
+    with_bloom = R["q139_bloom_decontamination"].fn(spark, SF_SMALL)
+
+    d = t(spark, SF_SMALL, "documents").select(
+        "doc_id",
+        "lang",
+        word_shingles(F.col("text")).alias("shingles"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("hk"),
+    )
+    ev = (
+        d.where(F.col("hk") < _SPLIT_VAL_HEX)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    exact = (
+        d.where(F.col("hk") >= _SPLIT_TEST_HEX)
+        .select("doc_id", "lang", F.explode("shingles").alias("sh"))
+        .join(ev, "sh", "left_semi")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_shingles"))
+    )
+    got = sorted(map(tuple, with_bloom.collect()))
+    want = sorted(map(tuple, exact.collect()))
+    assert got == want

@@ -109,6 +109,9 @@ def test_no_registry_query_has_lint_errors(spark):
         "q131_embedding_drift",  # k-row centroid + 1-row total broadcast folds
         "q133_logreg_quality_gate",  # 1-row weight/stats broadcast folds (q94 shape)
         "q134_bigram_lm_score",  # 1-row vocab-size broadcast fold (q126 shape)
+        "q136_bm25_topk",  # 1-row corpus-stats broadcast fold; bounded 1-row global agg
+        "q138_rrf_hybrid_fusion",  # inherits q136 + bounded 15-row rank windows
+        "q140_mmr_diverse_topk",  # broadcast query-vector fold (q60 shape)
     }
     got_warns = set()
     for name, spec in R.items():
