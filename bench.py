@@ -69,6 +69,8 @@ EXTENDED = [
     "q108_fuzzy_hamming_join",     # segment-blocked fuzzy self-join
     "q124_fuzzy_levenshtein_join", # PassJoin shifted-substring join
     "q130_image_neardup",          # BMP decode → aHash → blocked join (r7)
+    "q137_segment_dedup_rebuild",  # C4 keeper window + rebuild agg (r7)
+    "q139_bloom_decontamination",  # bloom prefilter + exact verify (r7)
 ]
 # r6: the inline q111_ivfadc_ann entry (5.5 s at r5, dominated by
 # re-training codebooks + re-encoding the corpus inside the query) is
@@ -122,6 +124,7 @@ def main() -> None:
         ext = time_set(EXTENDED, min(runs, 2))
         ext.update(_time_pq_index_tier(spark, sf_dir, min(runs, 2)))
         ext.update(_time_crawl_loop_tier(spark, sf_dir, min(runs, 2)))
+        ext.update(_time_bm25_index_tier(spark, sf_dir, min(runs, 2)))
     total = round(sum(timings.values()), 3)
     try:
         load1 = round(os.getloadavg()[0], 2)  # ambient-load context for
@@ -232,6 +235,42 @@ def _time_pq_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
             ).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out["q111_ivfadc_probe"] = round(best, 3)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def _time_bm25_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
+    """The lexical index's production split (r7): build the BM25 inverted
+    file ONCE (write-once, amortized), then price the per-query probe
+    against the persisted postings — the recurring cost of a retrieval
+    deployment, like q111's build/probe split for the vector side. The
+    probe's term filter pushes down to the postings parquet, so its wall
+    time tracks ~|terms| postings lists, not the corpus."""
+    import shutil
+    import tempfile
+
+    from pyspark_streaming_base_spark.operators.bm25 import (
+        build_bm25_index,
+        query_bm25_index,
+    )
+    from pyspark_streaming_base_spark.queries.text import _BM25_TERMS, _BM25_TOPK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = tempfile.mkdtemp(prefix="bench_bm25_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        build_bm25_index(docs, path)
+        out["q136_bm25_build"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, n_runs)):
+            t0 = time.perf_counter()
+            query_bm25_index(spark, path, _BM25_TERMS, top_k=_BM25_TOPK).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out["q136_bm25_probe"] = round(best, 3)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

@@ -19,6 +19,14 @@ from pyspark_streaming_base_spark.operators.bloom import (
     bloom_maybe_contains,
     build_bloom,
 )
+from pyspark_streaming_base_spark.operators.bm25 import (
+    append_bm25_index,
+    bm25_doclens,
+    bm25_postings,
+    bm25_score_terms,
+    build_bm25_index,
+    query_bm25_index,
+)
 from pyspark_streaming_base_spark.operators.components import connected_components
 from pyspark_streaming_base_spark.operators.ivf import (
     append_ivf_index,
@@ -105,4 +113,10 @@ __all__ = [
     "pagerank",
     "build_bloom",
     "bloom_maybe_contains",
+    "bm25_postings",
+    "bm25_doclens",
+    "bm25_score_terms",
+    "build_bm25_index",
+    "append_bm25_index",
+    "query_bm25_index",
 ]

@@ -1,0 +1,174 @@
+"""Persisted BM25 inverted index with O(batch) appends — the lexical
+member of the index-lifecycle family (MinHash `operators/minhash.py`,
+IVF `operators/ivf.py`, IVFADC `operators/pq.py`, semantic blocking
+`operators/semdedup.py`).
+
+THE single definition of the BM25 scoring pipeline: q136 (inline query),
+q138's lexical arm (via q136), and the persisted index all run the same
+``bm25_postings`` / ``bm25_doclens`` / ``bm25_score_terms`` functions, so
+inline == index-backed by construction (and pinned in
+``tests/test_bm25_index.py``).
+
+Index layout under ``path`` (two parquet tables):
+
+* ``postings/`` — ``(doc_id, term, tf)``: the inverted file. Query-term
+  reads push an ``In(term, …)`` filter to the parquet scan, so a k-term
+  probe reads ~k terms' postings, not the corpus.
+* ``doclens/`` — ``(doc_id, dl)``: per-document token counts.
+
+Append = append-only writes of the new batch's postings/doclens rows —
+both tables are per-document facts, so batch-then-append equals
+build-on-the-union ROW FOR ROW (no quantizer to freeze, unlike the
+vector indexes). Corpus statistics (N, avgdl, per-term df) are derived
+at probe time from the tables themselves — one narrow aggregate over
+doclens (doc-count-sized) and a k-row aggregate over the pushed-down
+postings — so append can never leave a stale df/N behind.
+
+Scoring: Okapi BM25 (Robertson et al., TREC-3 1994 — public) with the
+Robertson–Spärck Jones idf in RATIONAL form ``(N − df + 0.5)/(df + 0.5)``
+(no log — the q57 linear-idf lesson: every factor an IEEE-exact integer
+ratio, bit-deterministic cross-engine). Per-term scores round to the
+10⁻⁶ grid per row and exact-sum as int64 (``queries/_exact.py`` scheme),
+so document scores are partition-order independent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.functions.textops import tokens
+
+#: Okapi defaults — shared with q136's oracle SQL (queries/text.py).
+K1 = 1.2
+B = 0.75
+
+
+def bm25_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-file rows ``(id, term, tf)`` — one narrow explode + one
+    map-side-combinable aggregate."""
+    return (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def bm25_doclens(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token counts ``(id, dl)``. Zero-length docs are KEPT:
+    they can never score, but they are part of the corpus N and avgdl —
+    the same convention as q136's oracle."""
+    return docs.select(
+        id_col, F.size(tokens(F.col(text_col))).cast("bigint").alias("dl")
+    )
+
+
+def bm25_score_expr(
+    tf: Column, dl: Column, df: Column, n: Column, avgdl: Column
+) -> Column:
+    """The 10⁶-scaled per-(doc, term) BM25 contribution as bigint — the
+    ONE expression tree q136's oracle mirrors token for token
+    (parenthesization is part of the cross-engine contract)."""
+    idf = ((n.cast("double") - df.cast("double")) + F.lit(0.5)) / (
+        df.cast("double") + F.lit(0.5)
+    )
+    norm = (tf.cast("double") * F.lit(K1 + 1.0)) / (
+        tf.cast("double")
+        + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * (dl.cast("double") / avgdl))
+    )
+    return F.floor(idf * norm * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+
+
+def bm25_score_terms(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    top_k: Optional[int] = None,
+) -> DataFrame:
+    """Score every document containing at least one query term:
+    ``(id, n_terms_hit, score)``, optionally cut to the global top-k
+    (``TakeOrderedAndProject`` — per-partition top-k, ties on the id).
+
+    Plan shape: the ``isin`` filter reaches the postings scan (parquet
+    ``In`` pushdown when postings are a parquet table); df folds to a
+    k-row broadcast, corpus stats to a 1-row broadcast; the only
+    corpus-proportional exchange is the (matching docs × k terms) join
+    back to doclens.
+    """
+    hits = postings.filter(F.col("term").isin(*terms))
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    scored = (
+        hits.join(doclens, id_col)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            bm25_score_expr(
+                F.col("tf"), F.col("dl"), F.col("df"), F.col("n"), F.col("avgdl")
+            ).alias("s6"),
+        )
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        (F.sum("s6").cast("double") / F.lit(1000000.0)).alias("score"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("score").desc(), id_col).limit(top_k)
+    return out.select(id_col, "n_terms_hit", "score")
+
+
+def build_bm25_index(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Materialize the inverted file + doc lengths as the persisted
+    lexical index (write-once/probe-many)."""
+    bm25_postings(docs, id_col, text_col).write.mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    bm25_doclens(docs, id_col, text_col).write.mode("overwrite").parquet(
+        f"{path}/doclens"
+    )
+
+
+def append_bm25_index(
+    new_docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Fold a new batch in — O(batch) appends to both tables; derived
+    statistics (N, avgdl, df) self-update because probes always compute
+    them from the tables. Callers must not append an id twice (the same
+    id-uniqueness contract as every index in this family)."""
+    bm25_postings(new_docs, id_col, text_col).write.mode("append").parquet(
+        f"{path}/postings"
+    )
+    bm25_doclens(new_docs, id_col, text_col).write.mode("append").parquet(
+        f"{path}/doclens"
+    )
+
+
+def query_bm25_index(
+    spark: SparkSession,
+    path: str,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    top_k: Optional[int] = None,
+) -> DataFrame:
+    """Probe the persisted index: the corpus is NEVER re-tokenized — the
+    term filter pushes down to the postings parquet, so the probe reads
+    ~|terms| postings lists + one doclens scan."""
+    postings = spark.read.parquet(f"{path}/postings")
+    doclens = spark.read.parquet(f"{path}/doclens")
+    return bm25_score_terms(postings, doclens, terms, id_col, top_k)

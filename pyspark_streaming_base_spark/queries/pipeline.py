@@ -1074,3 +1074,145 @@ def q133_logreg_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("p")).alias("p"),
         (F.col("p") >= 0.5).alias("pred"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-distribution drift monitor (DQ extension)
+# ---------------------------------------------------------------------------
+
+#: Equi-width histogram geometry + the chi-square flag threshold
+#: (df = 15 at alpha = 0.001). The THRESHOLD is a convention; the exact
+#: chi2/TV statistics are the oracle-checked output.
+_DRIFT_BUCKETS = 16
+_DRIFT_CHI2_CRIT = 37.697
+
+_E = "((CAST(n_t AS DOUBLE) * CAST(cg AS DOUBLE)) / n_g)"
+
+
+@query(
+    "q141_distribution_drift",
+    oracle=f"""
+    WITH mm AS (
+      SELECT MIN(value) AS mn, MAX(value) AS mx FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             LEAST({_DRIFT_BUCKETS - 1},
+                   CAST(FLOOR(((value - mm.mn) / (mm.mx - mm.mn))
+                              * {_DRIFT_BUCKETS}.0) AS BIGINT)) AS bucket
+      FROM events CROSS JOIN mm
+    ),
+    gl AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cg FROM b GROUP BY bucket),
+    ng AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_g FROM b),
+    tt AS (
+      SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM b GROUP BY event_type, bucket
+    ),
+    nt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM b GROUP BY event_type
+    ),
+    grid AS (
+      SELECT nt.event_type, nt.n_t, gl.bucket, gl.cg, ng.n_g,
+             COALESCE(tt.ct, CAST(0 AS BIGINT)) AS ct
+      FROM nt CROSS JOIN gl CROSS JOIN ng
+      LEFT JOIN tt ON tt.event_type = nt.event_type AND tt.bucket = gl.bucket
+    ),
+    contrib AS (
+      SELECT event_type, n_t,
+             CAST(FLOOR((((CAST(ct AS DOUBLE) - {_E})
+                          * (CAST(ct AS DOUBLE) - {_E})) / {_E})
+                        * 1000000000.0 + 0.5) AS BIGINT) AS chi9,
+             CAST(FLOOR(ABS((CAST(ct AS DOUBLE) / CAST(n_t AS DOUBLE))
+                            - (CAST(cg AS DOUBLE) / n_g))
+                        * 1000000000.0 + 0.5) AS BIGINT) AS tv9
+      FROM grid
+    )
+    SELECT event_type, CAST(MIN(n_t) AS BIGINT) AS n,
+           CAST(SUM(chi9) AS DOUBLE) / 1000000000.0 AS chi2,
+           0.5 * (CAST(SUM(tv9) AS DOUBLE) / 1000000000.0) AS tv_dist,
+           (CAST(SUM(chi9) AS DOUBLE) / 1000000000.0) > {_DRIFT_CHI2_CRIT}
+             AS drifted
+    FROM contrib
+    GROUP BY event_type
+    """,
+)
+def q141_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment distribution-drift monitor (DQ extension): chi-square
+    goodness-of-fit + total-variation distance of each event_type's
+    ``value`` histogram against the whole-corpus histogram — the
+    "did this slice's numeric distribution shift?" check data-quality
+    monitors run per ingestion source/segment (the numeric-feature
+    sibling of q131's embedding drift: q131 watches VECTOR space against
+    a frozen quantizer, this watches a SCALAR column against the pooled
+    distribution; both emit a deterministic boolean trigger).
+
+    Math, exact cross-engine: equi-width buckets from a 1-row global
+    min/max broadcast (integer-ratio bucket index, boundary pinned by
+    LEAST); expected counts ``e = n_t·c_g/n_g`` and both statistics'
+    per-bucket contributions are correctly-rounded IEEE expressions on
+    exact integer counts, rounded to the 10⁻⁹ grid per bucket and
+    exact-summed as int64 (`_exact.py` scheme) — the chi2/TV sums are
+    partition-order independent. Pearson chi-square: public statistics;
+    drift flag = chi2 > the df=15, α=0.001 critical value.
+
+    Scale: two map-side-combinable aggregates over ONE scan ((type,
+    bucket) and bucket), a 16-row × k-type broadcast grid join, one
+    k-row output — nothing corpus-sized shuffles; new segments/batches
+    reuse the same bucket edges broadcast.
+    """
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    mm = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.least(
+            F.lit(_DRIFT_BUCKETS - 1),
+            F.floor(
+                ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * F.lit(float(_DRIFT_BUCKETS))
+            ).cast("bigint"),
+        ).alias("bucket"),
+    )
+    gl = b.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+    ng = b.agg(F.count(F.lit(1)).cast("double").alias("n_g"))
+    tt = b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    nt = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    grid = (
+        nt.crossJoin(F.broadcast(gl))
+        .crossJoin(F.broadcast(ng))
+        .join(F.broadcast(tt), ["event_type", "bucket"], "left")
+        .withColumn("ct", F.coalesce("ct", F.lit(0).cast("bigint")))
+    )
+    e = (F.col("n_t").cast("double") * F.col("cg").cast("double")) / F.col("n_g")
+    diff = F.col("ct").cast("double") - e
+    chi9 = F.floor(((diff * diff) / e) * F.lit(1000000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    tv9 = F.floor(
+        F.abs(
+            (F.col("ct").cast("double") / F.col("n_t").cast("double"))
+            - (F.col("cg").cast("double") / F.col("n_g"))
+        )
+        * F.lit(1000000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        grid.select("event_type", "n_t", chi9.alias("chi9"), tv9.alias("tv9"))
+        .groupBy("event_type")
+        .agg(
+            F.min("n_t").cast("bigint").alias("n"),
+            (F.sum("chi9").cast("double") / F.lit(1000000000.0)).alias("chi2"),
+            (
+                F.lit(0.5)
+                * (F.sum("tv9").cast("double") / F.lit(1000000000.0))
+            ).alias("tv_dist"),
+            (
+                (F.sum("chi9").cast("double") / F.lit(1000000000.0))
+                > F.lit(_DRIFT_CHI2_CRIT)
+            ).alias("drifted"),
+        )
+    )

@@ -1403,58 +1403,27 @@ def q136_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan); df is a 5-row aggregate joined broadcast. The final top-15 is
     ``TakeOrderedAndProject`` — per-partition top-k, no global sort.
     BM25: Robertson et al., TREC-3 (1994) — public.
+
+    Single definition: the postings/doclens/scoring pipeline lives in
+    ``operators/bm25.py`` — this inline query, q138's lexical arm, and
+    the PERSISTED inverted index (``build_bm25_index`` /
+    ``append_bm25_index`` / ``query_bm25_index``, the lexical member of
+    the O(batch)-append index family) all run the same functions, so
+    inline == index-backed by construction (pinned in
+    ``tests/test_bm25_index.py``).
     """
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", _tokens(F.col("text")).alias("toks")
+    from pyspark_streaming_base_spark.operators.bm25 import (
+        bm25_doclens,
+        bm25_postings,
+        bm25_score_terms,
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        (
-            F.sum(F.size("toks")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
-    )
-    tf = (
-        docs.select(
-            "doc_id",
-            F.size("toks").cast("bigint").alias("dl"),
-            F.explode("toks").alias("term"),
-        )
-        .filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    idf = (
-        (F.col("n").cast("double") - F.col("df").cast("double")) + F.lit(0.5)
-    ) / (F.col("df").cast("double") + F.lit(0.5))
-    norm = (F.col("tf").cast("double") * F.lit(2.2)) / (
-        F.col("tf").cast("double")
-        + F.lit(_BM25_K1)
-        * (
-            F.lit(0.25)
-            + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
-        )
-    )
-    per_term = (
-        tf.join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.floor(idf * norm * F.lit(1000000.0) + F.lit(0.5))
-            .cast("bigint")
-            .alias("s6"),
-        )
-    )
-    return (
-        per_term.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
-            (F.sum("s6").cast("double") / F.lit(1000000.0)).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(_BM25_TOPK)
-        .select("doc_id", "n_terms_hit", "score")
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_score_terms(
+        bm25_postings(docs),
+        bm25_doclens(docs),
+        _BM25_TERMS,
+        top_k=_BM25_TOPK,
     )
 
 
