@@ -27,7 +27,36 @@ from pyspark_streaming_base_spark.operators.bm25 import (
     build_bm25_index,
     query_bm25_index,
 )
-from pyspark_streaming_base_spark.operators.components import connected_components
+from pyspark_streaming_base_spark.operators.allpairs import (
+    cosine_set_self_join,
+    prefix_elements,
+)
+from pyspark_streaming_base_spark.operators.components import (
+    connected_components,
+    merge_components,
+)
+from pyspark_streaming_base_spark.operators.drift import (
+    drift_report,
+    merge_drift_baseline,
+    write_drift_baseline,
+)
+from pyspark_streaming_base_spark.operators.histogram import (
+    equidepth_histogram,
+    gated_percentiles,
+)
+from pyspark_streaming_base_spark.operators.logreg import (
+    logreg_predict,
+    logreg_train,
+)
+from pyspark_streaming_base_spark.operators.semdedup import (
+    append_semdedup_index,
+    assign_to_centroids,
+    build_semdedup_index,
+    merge_semdedup_removed,
+    semdedup_removed,
+    semdedup_removed_from_index,
+)
+from pyspark_streaming_base_spark.operators.triangles import triangle_counts
 from pyspark_streaming_base_spark.operators.ivf import (
     append_ivf_index,
     build_ivf_index,
@@ -119,4 +148,21 @@ __all__ = [
     "build_bm25_index",
     "append_bm25_index",
     "query_bm25_index",
+    "cosine_set_self_join",
+    "prefix_elements",
+    "merge_components",
+    "write_drift_baseline",
+    "merge_drift_baseline",
+    "drift_report",
+    "equidepth_histogram",
+    "gated_percentiles",
+    "logreg_train",
+    "logreg_predict",
+    "semdedup_removed",
+    "assign_to_centroids",
+    "build_semdedup_index",
+    "append_semdedup_index",
+    "semdedup_removed_from_index",
+    "merge_semdedup_removed",
+    "triangle_counts",
 ]

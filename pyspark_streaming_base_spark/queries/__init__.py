@@ -119,10 +119,11 @@ DRIVER_PRIORITY: tuple = (
     "q139_bloom_decontamination",
     "q141_distribution_drift",  # q24 yields its slot (pivot unchanged
     # since r2, exact-green locally; C8-family stays covered by q35)
+    "q142_referential_integrity",  # q13 yields its slot (cube unchanged
+    # since r1, exact-green locally; C8 stays covered by q35)
     # evidence-freshness set: oldest driver rows in the registry (r1-r3)
     "q06_anti_join",
     "q08_late_ship_priority",
-    "q13_cube",
     "q14_global_topk",
     "q26_percentile",
     "q44_dedup_clusters",       # components engine churned this round

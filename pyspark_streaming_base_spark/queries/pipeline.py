@@ -1216,3 +1216,112 @@ def q141_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (DQ extension)
+# ---------------------------------------------------------------------------
+
+
+def _fk_audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+              relation: str) -> DataFrame:
+    """One relationship's integrity metrics from ONE join: aggregate the
+    child to (key, n_rows), FULL OUTER against the parent's primary key,
+    fold to a single metrics row. Orphans = child keys with no parent;
+    childless = parents never referenced."""
+    ck = child.groupBy(F.col(ckey).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    pk = parent.select(F.col(pkey).alias("pk"))
+    j = ck.join(pk, ck["k"] == pk["pk"], "full_outer")
+    return j.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_child"),
+        F.coalesce(
+            F.sum(F.when(F.col("pk").isNull(), F.col("n_rows"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_orphan_child"),
+        F.count("pk").cast("bigint").alias("n_parents"),
+        F.sum(F.col("k").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_childless_parents"),
+    ).select(
+        F.lit(relation).alias("relation"),
+        "n_child",
+        "n_orphan_child",
+        "n_parents",
+        "n_childless_parents",
+    )
+
+
+@query(
+    "q142_referential_integrity",
+    oracle="""
+    WITH rel AS (
+      SELECT 'events.user_id->customer.c_custkey' AS relation,
+             user_id AS k FROM events
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey', l_orderkey FROM lineitem
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey', o_custkey FROM orders
+    ),
+    par AS (
+      SELECT 'events.user_id->customer.c_custkey' AS relation,
+             c_custkey AS pk FROM customer
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders.o_orderkey', o_orderkey FROM orders
+      UNION ALL
+      SELECT 'orders.o_custkey->customer.c_custkey', c_custkey FROM customer
+    ),
+    ck AS (
+      SELECT relation, k, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM rel GROUP BY relation, k
+    ),
+    j AS (
+      SELECT COALESCE(ck.relation, par.relation) AS relation,
+             ck.k, ck.n_rows, par.pk
+      FROM ck FULL OUTER JOIN par
+        ON ck.relation = par.relation AND ck.k = par.pk
+    )
+    SELECT relation,
+           CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS n_child,
+           CAST(COALESCE(SUM(CASE WHEN pk IS NULL THEN n_rows END), 0)
+                AS BIGINT) AS n_orphan_child,
+           CAST(COUNT(pk) AS BIGINT) AS n_parents,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_childless_parents
+    FROM j
+    GROUP BY relation
+    """,
+)
+def q142_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (DQ extension): orphan-and-coverage
+    metrics for the schema's three foreign-key relationships — the
+    join-key health check every warehouse DQ suite runs before trusting
+    downstream joins (complements `operators/expectations.py`'s row-level
+    rules and q141's distribution drift with CROSS-TABLE invariants).
+    Per relationship: child rows, orphan child rows (no parent — the
+    rows an inner join would silently drop), parent count, and
+    never-referenced parents.
+
+    Scale: each relationship is ONE child-side key aggregate (map-side
+    combined to |keys| rows) + ONE full-outer join against the parent
+    key + a 1-row fold — never a row-level child×parent join; the three
+    audits are independent plans unioned at k rows each.
+    """
+    ev = t(spark, sf_dir, "events")
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    cu = t(spark, sf_dir, "customer")
+    return (
+        _fk_audit(ev, "user_id", cu, "c_custkey",
+                  "events.user_id->customer.c_custkey")
+        .unionByName(
+            _fk_audit(li, "l_orderkey", od, "o_orderkey",
+                      "lineitem.l_orderkey->orders.o_orderkey")
+        )
+        .unionByName(
+            _fk_audit(od, "o_custkey", cu, "c_custkey",
+                      "orders.o_custkey->customer.c_custkey")
+        )
+    )

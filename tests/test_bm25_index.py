@@ -76,3 +76,44 @@ def test_postings_and_doclens_shapes(spark, docs):
     back = p.groupBy("doc_id").agg(F.sum("tf").alias("dl2"))
     j = d.join(back, "doc_id").filter(F.col("dl") != F.col("dl2"))
     assert j.count() == 0
+
+
+def test_streaming_append_then_probe_equals_batch_build(spark, docs, tmp_path):
+    """The lexical index in the crawl loop: day-0 docs seed the index;
+    later days stream in as micro-batches folded via append_bm25_index
+    (foreachBatch). After the stream drains, probing the incrementally
+    grown index equals probing a from-scratch build over the full corpus
+    — scores included (stats derive from the tables, so they track every
+    append automatically)."""
+    day0 = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(day0, idx)
+
+    staging = str(tmp_path / "days")
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+
+    def fold(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            append_bm25_index(batch_df, idx)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    full = str(tmp_path / "bm25_full")
+    build_bm25_index(docs, full)
+    got = sorted(map(tuple, query_bm25_index(spark, idx, _BM25_TERMS).collect()))
+    want = sorted(map(tuple, query_bm25_index(spark, full, _BM25_TERMS).collect()))
+    assert got == want and got

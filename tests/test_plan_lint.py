@@ -113,6 +113,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q138_rrf_hybrid_fusion",  # inherits q136 + bounded 15-row rank windows
         "q140_mmr_diverse_topk",  # broadcast query-vector fold (q60 shape)
         "q141_distribution_drift",  # 1-row min/max + 16-row histogram broadcast folds
+        "q142_referential_integrity",  # three 1-row metric folds (bounded global aggs)
     }
     got_warns = set()
     for name, spec in R.items():
