@@ -19,6 +19,7 @@ from pyspark_streaming_base_spark.operators.bloom import (
     bloom_maybe_contains,
     build_bloom,
 )
+from pyspark_streaming_base_spark.operators.bpe import bpe_train, to_symbols
 from pyspark_streaming_base_spark.operators.bm25 import (
     append_bm25_index,
     bm25_doclens,
@@ -165,4 +166,6 @@ __all__ = [
     "semdedup_removed_from_index",
     "merge_semdedup_removed",
     "triangle_counts",
+    "bpe_train",
+    "to_symbols",
 ]

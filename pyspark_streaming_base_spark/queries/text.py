@@ -1502,3 +1502,40 @@ def q139_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hit_shingles")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (C19 extension)
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12
+
+
+@query("q143_bpe_merges", oracle=None)  # iterative argmax loop — rows-only
+# by design; pinned merge-for-merge against a pure-Python Sennrich mirror
+# in tests/test_bpe.py (the q94/q133/q134 pattern)
+def q143_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (C19 extension): learn the first 12
+    subword merges from the corpus — the tokenizer-training step of an
+    LLM data pipeline (Sennrich et al., ACL 2016; q54 COUNTS with a
+    BPE-ish pre-tokenizer, q85/q90 build and apply a WORD vocab — this
+    learns the subword table itself). `operators/bpe.py`: trains on the
+    word-TYPE table (one map-side aggregate folds any corpus to distinct
+    words × freq), then per merge round one pair-count aggregate, a
+    limit-1 argmax with the (weight DESC, pair ASC) tie-break, and an
+    expression-level greedy fold applying the winner — the 1-row winner
+    rides a broadcast, nothing reaches the driver, localCheckpoint
+    truncates lineage per round.
+
+    Output: the ordered merge table (rank, left, right, merged, weight)
+    — rank order IS the application order of the learned tokenizer.
+    """
+    from pyspark_streaming_base_spark.operators.bpe import bpe_train
+
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return bpe_train(words, _BPE_MERGES)
