@@ -1325,3 +1325,145 @@ def q142_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "orders.o_custkey->customer.c_custkey")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift (DQ extension, binless)
+# ---------------------------------------------------------------------------
+
+_KS_A = "click"
+_KS_B = "view"
+_KS_BUCKETS = 64
+_KS_C05 = 1.358  # KS critical coefficient at alpha = 0.05
+
+
+@query(
+    "q144_ks_drift",
+    oracle=f"""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    v AS (
+      SELECT value, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+      FROM s GROUP BY value
+    ),
+    n AS (
+      SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb
+      FROM v
+    ),
+    c AS (
+      SELECT CAST(SUM(ca) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY value) AS BIGINT) AS cum_b
+      FROM v
+    )
+    SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+           MAX(ABS((CAST(cum_a AS DOUBLE) / n.na)
+                   - (CAST(cum_b AS DOUBLE) / n.nb))) AS ks_stat,
+           {_KS_C05} * SQRT((n.na + n.nb) / (n.na * n.nb)) AS crit_05,
+           MAX(ABS((CAST(cum_a AS DOUBLE) / n.na)
+                   - (CAST(cum_b AS DOUBLE) / n.nb)))
+             > ({_KS_C05} * SQRT((n.na + n.nb) / (n.na * n.nb))) AS drifted
+    FROM c CROSS JOIN n
+    GROUP BY n.na, n.nb
+    """,
+)
+def q144_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test (DQ extension): the
+    BINLESS companion to q141's chi-square — ``D = sup |ECDF_A −
+    ECDF_B|`` between two event segments' ``value`` distributions, with
+    the α=0.05 decision threshold. KS sees shape shifts a fixed binning
+    can wash out; chi2 sees reweighting within identical supports — a DQ
+    suite runs both. Kolmogorov/Smirnov — public statistics.
+
+    Exactness: ECDF numerators are exact integer cumulative counts;
+    every output double is a correctly-rounded expression on them (MAX
+    over identical doubles is order-free; SQRT is IEEE-exact), so the
+    statistic — not just the verdict — hash-matches the oracle.
+
+    Scale — the cumulative count uses q59's TWO-PASS PREFIX SUM, never
+    a global-order window: (1) collapse to distinct values (one
+    aggregate, V rows), (2) local cumsum within equi-width value
+    buckets from a 1-row min/max broadcast (bounded sort partitions),
+    (3) carry-in = exclusive prefix over the 64-row bucket-totals
+    table, broadcast back. No single task ever sorts more than one
+    bucket; the oracle's one-window formulation is the same function.
+    """
+    from pyspark_streaming_base_spark.queries._tables import t as _t
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select(
+            "value",
+            (F.col("event_type") == _KS_A).cast("bigint").alias("ia"),
+        )
+    )
+    v = ev.groupBy("value").agg(
+        F.sum("ia").cast("bigint").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("cb"),
+    )
+    mm = v.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = v.crossJoin(F.broadcast(mm)).select(
+        "value",
+        "ca",
+        "cb",
+        F.least(
+            F.lit(_KS_BUCKETS - 1),
+            F.floor(
+                ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * F.lit(float(_KS_BUCKETS))
+            ).cast("bigint"),
+        ).alias("bucket"),
+    )
+    w_local = (
+        W.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = b.select(
+        "value",
+        "bucket",
+        F.sum("ca").over(w_local).cast("bigint").alias("lca"),
+        F.sum("cb").over(w_local).cast("bigint").alias("lcb"),
+    ).persist()
+    totals = local.groupBy("bucket").agg(
+        F.max("lca").alias("ta"), F.max("lcb").alias("tb")
+    )
+    w_carry = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    carry = totals.select(
+        "bucket",
+        F.coalesce(F.sum("ta").over(w_carry), F.lit(0))
+        .cast("bigint")
+        .alias("oa"),
+        F.coalesce(F.sum("tb").over(w_carry), F.lit(0))
+        .cast("bigint")
+        .alias("ob"),
+    )
+    n = totals.agg(
+        F.sum("ta").cast("double").alias("na"),
+        F.sum("tb").cast("double").alias("nb"),
+    )
+    gap = F.abs(
+        ((F.col("oa") + F.col("lca")).cast("double") / F.col("na"))
+        - ((F.col("ob") + F.col("lcb")).cast("double") / F.col("nb"))
+    )
+    crit = F.lit(_KS_C05) * F.sqrt(
+        (F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb"))
+    )
+    return (
+        local.join(F.broadcast(carry), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(gap.alias("gap"), "na", "nb")
+        .groupBy("na", "nb")
+        .agg(F.max("gap").alias("ks_stat"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            "ks_stat",
+            crit.alias("crit_05"),
+            (F.col("ks_stat") > crit).alias("drifted"),
+        )
+    )

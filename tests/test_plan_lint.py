@@ -114,6 +114,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q140_mmr_diverse_topk",  # broadcast query-vector fold (q60 shape)
         "q141_distribution_drift",  # 1-row min/max + 16-row histogram broadcast folds
         "q142_referential_integrity",  # three 1-row metric folds (bounded global aggs)
+        "q144_ks_drift",  # 1-row min/max + 64-row carry-table folds (q59 two-pass)
     }
     got_warns = set()
     for name, spec in R.items():

@@ -296,3 +296,23 @@ def test_global_rank_filter_rewrites_to_take_ordered(spark):
             name,
             ops,
         )
+
+
+def test_ks_drift_two_pass_prefix_sum(spark):
+    """q144's cumulative counts must window on (bucket) with the value
+    order INSIDE buckets — never a single global-order window over the
+    distinct-values table (corpus-sized at 100 TB). The only
+    empty-partition window allowed is the carry pass over the 64-row
+    bucket-totals table."""
+    import re
+
+    df = R["q144_ks_drift"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    value_specs = [
+        m.group(0)
+        for m in re.finditer(r"windowspecdefinition\([^)]*value#[^)]*\)", plan)
+    ]
+    assert value_specs, "expected the bucketed local-cumsum window"
+    for spec in value_specs:
+        # ordered-by-value windows must be partitioned by bucket
+        assert re.search(r"windowspecdefinition\(bucket#\d+L?,", spec), spec
