@@ -338,7 +338,64 @@ def main() -> None:
             # drop cached pass-1 data so replications don't stack heap
             spark.catalog.clearCache()
     crawl_smoke(spark, reps)
+    bloom_smoke(spark, reps)
 
 
 if __name__ == "__main__":
     main()
+
+
+def bloom_smoke(spark, reps) -> None:
+    """Bloom-prefilter evidence (q139's 100 TB claim): with a small FIXED
+    benchmark side (10 docs — the realistic decontamination shape), the
+    broadcast bloom should kill the vast majority of corpus shingles
+    MAP-SIDE, so the exact-verify semi join only ever shuffles the
+    bloom-positive sliver. Prints, per replication: probed shingle rows,
+    bloom survivors (the prune ratio is the claim), and the wall time of
+    the exact path vs the bloom-prefiltered path — equal answers by
+    construction (asserted)."""
+    from pyspark_streaming_base_spark.functions.textops import word_shingles
+    from pyspark_streaming_base_spark.operators.bloom import (
+        bloom_maybe_contains,
+        build_bloom,
+    )
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = (
+        docs1.filter(F.col("doc_id") < 10)
+        .select(F.explode(word_shingles(F.col("text"))).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bloom = build_bloom(bench, "sh").localCheckpoint(eager=True)
+    print("bloom_smoke: benchmark shingles =", bench.count())
+    for n in reps:
+        corpus = spark.read.parquet(*([f"{SF_DIR}/documents.parquet"] * n))
+        tr = corpus.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+        )
+        probed = tr.count()
+        survivors = bloom_maybe_contains(tr, "sh", bloom).count()
+
+        exact = tr.join(bench, "sh", "left_semi").select("doc_id").distinct()
+        pre = (
+            bloom_maybe_contains(tr, "sh", bloom)
+            .join(bench, "sh", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        for df in (exact, pre):  # warm codegen
+            df.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        exact.write.format("noop").mode("overwrite").save()
+        t_exact = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pre.write.format("noop").mode("overwrite").save()
+        t_pre = time.perf_counter() - t0
+        ne, np_ = exact.count(), pre.count()
+        assert ne == np_, (ne, np_)  # bloom+verify == exact, always
+        print(
+            f"bloom_smoke x{n:<3} probed={probed:>9} survivors={survivors:>7}"
+            f" ({100.0 * survivors / probed:5.2f}%)  exact={t_exact:6.3f}s"
+            f"  bloom={t_pre:6.3f}s  hit_docs={ne}"
+        )
