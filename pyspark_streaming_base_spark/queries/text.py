@@ -1539,3 +1539,85 @@ def q143_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
     return bpe_train(words, _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Per-language relative quality gate (C19 extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q145_relative_quality_gate",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, n_tokens,
+             0.45 * distinct_ratio + 0.35 * length_score
+               + 0.2 * (CASE WHEN n_tokens >= 10 THEN 1.0 ELSE 0.0 END)
+               AS quality
+      FROM (
+        SELECT
+          doc_id, lang,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+            / len(list_filter(string_split(text, ' '), x -> x <> '')) AS distinct_ratio,
+          LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS length_score
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+      )
+    ),
+    thr AS (
+      SELECT lang, quantile_cont(quality, 0.25) AS q25 FROM q GROUP BY lang
+    )
+    SELECT q.doc_id, q.lang, q.quality, thr.q25
+    FROM q JOIN thr ON q.lang = thr.lang
+    WHERE q.quality >= thr.q25
+    """,
+)
+def q145_relative_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language RELATIVE quality gate (C19 extension): keep documents
+    at or above their OWN language's 25th quality percentile — the
+    per-stratum relative filter real pipelines use instead of one global
+    threshold (an absolute cutoff tuned on English silently guts
+    low-resource languages; a per-group percentile keeps each stream's
+    best 75%). Reuses q51's exact quality expression verbatim; the
+    threshold is the q26-verified exact interpolated percentile (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` bit-for-bit on identical
+    inputs), so the kept SET — including boundary docs — matches the
+    oracle exactly.
+
+    Scale: one scan computes qualities; thresholds are a |langs|-row
+    aggregate joined back as a broadcast (q112's pattern); the gate is a
+    map-side filter. Nothing corpus-sized shuffles.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    length_score = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    q = (
+        d.select(
+            "doc_id",
+            "lang",
+            n_tokens.cast("bigint").alias("n_tokens"),
+            distinct_ratio.alias("distinct_ratio"),
+            length_score.alias("length_score"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                0.45 * F.col("distinct_ratio")
+                + 0.35 * F.col("length_score")
+                + 0.2 * F.when(F.col("n_tokens") >= 10, 1.0).otherwise(0.0)
+            ).alias("quality"),
+        )
+    )
+    thr = q.groupBy("lang").agg(
+        F.expr("percentile(quality, 0.25)").alias("q25")
+    )
+    return (
+        q.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality") >= F.col("q25"))
+        .select("doc_id", "lang", "quality", "q25")
+    )

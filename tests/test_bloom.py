@@ -103,3 +103,26 @@ def test_q139_prefilter_equals_exact_semi_join(spark):
     got = sorted(map(tuple, with_bloom.collect()))
     want = sorted(map(tuple, exact.collect()))
     assert got == want
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Property sweep: for ANY key set and geometry, every member passes.
+    (Hypothesis over Spark jobs is slow — a deterministic grid over
+    mixed-type keys and all k values stands in; the guarantee is
+    structural, not statistical.)"""
+    rows = [(f"k{i}",) for i in range(200)] + [
+        ("",),
+        (" ",),
+        ("with space",),
+        ("ünïcode-ключ-鍵",),
+        ("a" * 500,),
+    ]
+    df = spark.createDataFrame(rows, ["k"])
+    n = df.count()
+    for m_bits in (64, 4096, 1 << 18):
+        for k in (1, 3, 8):
+            bloom = build_bloom(df, "k", m_bits=m_bits, k=k)
+            assert (
+                bloom_maybe_contains(df, "k", bloom, m_bits=m_bits, k=k).count()
+                == n
+            ), (m_bits, k)
