@@ -57,6 +57,11 @@ from pyspark_streaming_base_spark.operators.semdedup import (
     semdedup_removed,
     semdedup_removed_from_index,
 )
+from pyspark_streaming_base_spark.operators.scalardrift import (
+    merge_scalar_baseline,
+    scalar_drift_report,
+    write_scalar_baseline,
+)
 from pyspark_streaming_base_spark.operators.triangles import triangle_counts
 from pyspark_streaming_base_spark.operators.ivf import (
     append_ivf_index,
@@ -168,4 +173,7 @@ __all__ = [
     "triangle_counts",
     "bpe_train",
     "to_symbols",
+    "write_scalar_baseline",
+    "scalar_drift_report",
+    "merge_scalar_baseline",
 ]
