@@ -19,7 +19,7 @@ from pyspark_streaming_base_spark.operators.bloom import (
     bloom_maybe_contains,
     build_bloom,
 )
-from pyspark_streaming_base_spark.operators.bpe import bpe_train, to_symbols
+from pyspark_streaming_base_spark.operators.bpe import bpe_apply, bpe_train, to_symbols
 from pyspark_streaming_base_spark.operators.bm25 import (
     append_bm25_index,
     bm25_doclens,
@@ -172,6 +172,7 @@ __all__ = [
     "merge_semdedup_removed",
     "triangle_counts",
     "bpe_train",
+    "bpe_apply",
     "to_symbols",
     "write_scalar_baseline",
     "scalar_drift_report",

@@ -131,3 +131,57 @@ def bpe_train(
     if not rounds:
         raise ValueError("bpe_train: input has no mergeable symbol pairs")
     return reduce(lambda a, b: a.unionByName(b), rounds)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "word",
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Apply a learned merge table to a word column — the TOKENIZE side
+    of the BPE pair (train with :func:`bpe_train`, apply here).
+
+    Pure expression work, no Python and no per-merge driver loop: the
+    merge table (a few thousand rows at real vocab sizes — tiny by
+    construction) folds to ONE array-of-structs broadcast via
+    ``collect_list`` over an ordered 1-column-window rank, and a nested
+    higher-order ``aggregate`` applies the merges in rank order inside
+    codegen: the outer fold walks the merge list, the inner fold is the
+    same greedy non-overlapping pass :func:`bpe_train` used — so
+    train-then-apply reproduces the training segmentation exactly
+    (pinned in pytest).
+
+    Scale: one broadcast join (merge list vs corpus) + a narrow map —
+    embarrassingly parallel; the nested fold is O(|merges| × |word|)
+    per row, the same cost every BPE tokenizer pays.
+    """
+    ordered = (
+        merges.select("merge_rank", "left", "right")
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("merge_rank", "left", "right"))
+            ).alias("_merges")
+        )
+    )
+    applied = F.aggregate(
+        F.col("_merges"),
+        to_symbols(F.col(text_col)),
+        lambda acc, m: F.aggregate(
+            acc,
+            F.array().cast("array<string>"),
+            lambda a, x: F.when(
+                (F.size(a) > 0)
+                & (F.element_at(a, -1) == m["left"])
+                & (x == m["right"]),
+                F.concat(
+                    F.slice(a, 1, F.size(a) - 1),
+                    F.array(F.concat(m["left"], m["right"])),
+                ),
+            ).otherwise(F.concat(a, F.array(x))),
+        ),
+    )
+    return docs.crossJoin(F.broadcast(ordered)).withColumn(
+        out_col, applied
+    ).drop("_merges")

@@ -104,3 +104,39 @@ def test_validation(spark):
     words = spark.createDataFrame([("ab", 1)], ["word", "freq"])
     with pytest.raises(ValueError):
         bpe_train(words, 0)
+
+
+def _python_apply(word: str, merges) -> list[str]:
+    syms = list(word) + [END_OF_WORD]
+    for _, a, b, _, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_apply_matches_python_and_training_state(spark):
+    from pyspark_streaming_base_spark.operators.bpe import bpe_apply
+
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    words = spark.createDataFrame(list(wf.items()), ["word", "freq"])
+    merges = bpe_train(words, 6)
+    tok = bpe_apply(words.select("word"), merges)
+    got = {r.word: list(r.pieces) for r in tok.collect()}
+    pm = _python_bpe(wf, 6)
+    for w in wf:
+        assert got[w] == _python_apply(w, pm), w
+    # the canonical segmentations after the famous 6 merges
+    assert got["newest"] == ["n", "ew", "est</w>"]
+    assert got["low"] == ["low", "</w>"]
+    # unseen word: merges apply where they can, rest stays characters
+    unseen = bpe_apply(
+        spark.createDataFrame([("lowest",)], ["word"]), merges
+    ).collect()[0]
+    assert list(unseen.pieces) == _python_apply("lowest", pm)
