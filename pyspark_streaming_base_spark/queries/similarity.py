@@ -821,3 +821,66 @@ def q140_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sel_rank bigint, vec_id bigint, rel_r double, mmr_r double",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index health: recall@k / MRR against the exact baseline
+# ---------------------------------------------------------------------------
+
+
+@query("q146_ann_recall_eval", oracle=None)  # the candidate arm (q61 LSH)
+# is engine-side, so rows-only; the metric ARITHMETIC is pinned against a
+# python mirror and the recall floor in tests/test_dedup_similarity.py
+def q146_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health metrics (C18 extension): per-query recall@k and
+    reciprocal rank of the LSH index (q61) against the exact brute-force
+    truth (q60) — the evaluation job a retrieval deployment schedules
+    next to its drift monitors (q131/q141 watch the DATA moving; this
+    watches the INDEX's answer quality, the number that decides a
+    rebuild). Standard IR metrics — public.
+
+    Determinism: both arms are deterministic registered queries; recall
+    is an exact integer ratio; RR is ``1/rank`` or exactly 0.0 for a
+    missed truth-top-1.
+
+    Scale: all inputs are k-row-per-query lists by construction — the
+    metric joins touch (queries × k) rows regardless of corpus size; the
+    expensive parts (the ANN probe, the exact baseline) are the operators
+    under test, not the evaluator.
+    """
+    truth = q60_knn_bruteforce(spark, sf_dir).select(
+        "qid", "vec_id", F.col("rnk").alias("rnk_t")
+    )
+    cand = q61_ann_lsh(spark, sf_dir).select(
+        "qid", "vec_id", F.col("rnk").alias("rnk_c")
+    )
+    hits = truth.join(cand, ["qid", "vec_id"])
+    per_q = truth.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+    n_hit = hits.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    top1 = truth.filter(F.col("rnk_t") == 1).join(
+        cand, ["qid", "vec_id"], "left"
+    )
+    rr = top1.select(
+        "qid",
+        F.coalesce(
+            F.lit(1.0) / F.col("rnk_c").cast("double"), F.lit(0.0)
+        ).alias("rr"),
+    )
+    return (
+        per_q.join(n_hit, "qid", "left")
+        .join(rr, "qid", "left")
+        .select(
+            "qid",
+            "n_truth",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias("recall_at_k"),
+            F.coalesce("rr", F.lit(0.0)).alias("rr"),
+        )
+    )

@@ -455,3 +455,32 @@ def test_leakage_safe_split_invariants(spark):
     # fixture has no multi-doc clusters and the test is vacuous
     clustered = [r for r in rows if r.canonical != r.doc_id]
     assert clustered
+
+
+def test_ann_recall_eval_matches_python_mirror(spark):
+    """q146's metric arithmetic recomputed in python from the two
+    collected arms must match row-for-row; and the macro recall floor
+    mirrors the standing q61 recall bound."""
+    from pyspark_streaming_base_spark.queries import load_all
+
+    R = load_all()
+    truth = R["q60_knn_bruteforce"].fn(spark, SF_SMALL).collect()
+    cand = R["q61_ann_lsh"].fn(spark, SF_SMALL).collect()
+    got = {
+        r.qid: (r.n_truth, r.n_hit, r.recall_at_k, r.rr)
+        for r in R["q146_ann_recall_eval"].fn(spark, SF_SMALL).collect()
+    }
+    t_by_q: dict = {}
+    for r in truth:
+        t_by_q.setdefault(r.qid, []).append((r.rnk, r.vec_id))
+    c_by_q: dict = {}
+    for r in cand:
+        c_by_q.setdefault(r.qid, {})[r.vec_id] = r.rnk
+    for qid, trows in t_by_q.items():
+        tset = {v for _, v in trows}
+        hits = len(tset & set(c_by_q.get(qid, {})))
+        top1 = min(trows)[1]
+        rr = 1.0 / c_by_q[qid][top1] if top1 in c_by_q.get(qid, {}) else 0.0
+        assert got[qid] == (len(tset), hits, hits / len(tset), rr), qid
+    macro = sum(v[2] for v in got.values()) / len(got)
+    assert macro >= 0.8  # the q61 multi-probe recall floor
