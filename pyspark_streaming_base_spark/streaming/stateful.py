@@ -276,3 +276,79 @@ def ewma_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Streaming Misra-Gries geometry: counters per salt group. Salting by
+#: ``hash(tok)`` keeps each token's ENTIRE stream in one group, so each
+#: group runs an independent exact MG over its own substream — the
+#: property the candidate guarantee needs.
+MG_COUNTERS = 64
+MG_SALTS = 32
+MG_OUTPUT_SCHEMA = "salt bigint, tok string, cnt bigint, n_seen bigint"
+MG_STATE_SCHEMA = "toks array<string>, cnts array<bigint>, n bigint"
+
+
+def heavy_hitters_stream(
+    tokens: DataFrame,
+    counters: int = MG_COUNTERS,
+) -> DataFrame:
+    """Streaming heavy-hitter candidates: per-salt Misra-Gries state
+    maintained across micro-batches — q102's sketch phase as a STREAM
+    (q102 then exact-verifies candidates; a deployment does the same
+    with a periodic batch join).
+
+    Input: a streaming DataFrame with columns (salt, tok) where
+    ``salt = pmod(xxhash64(tok), MG_SALTS)`` — computed by the caller so
+    the partitioning is visible in the plan. Each update-mode emission is
+    the group's CURRENT counter table plus ``n_seen``, the group's
+    substream length, so the consumer can apply the MG guarantee: any
+    token with true frequency > n_seen/counters is guaranteed present,
+    and every emitted count satisfies
+    ``true − n_seen/counters ≤ cnt ≤ true`` (Misra & Gries 1982 —
+    public; the decrement floor is per GROUP, which salting makes exact
+    rather than per-partition-approximate).
+
+    Scale: state is ≤ counters entries × MG_SALTS groups — constant in
+    the stream length; each micro-batch shuffles only (salt, tok) pairs.
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            toks, cnts, n = state.get
+            table = dict(zip(list(toks), list(cnts)))
+        else:
+            table, n = {}, 0
+        for pdf in pdfs:
+            for tok in pdf["tok"]:
+                n += 1
+                if tok in table:
+                    table[tok] += 1
+                elif len(table) < counters:
+                    table[tok] = 1
+                else:
+                    dead = [k for k in table if table[k] == 1]
+                    for k in table:
+                        table[k] -= 1
+                    for k in dead:
+                        del table[k]
+        state.update((list(table.keys()), list(table.values()), n))
+        yield pd.DataFrame(
+            {
+                "salt": [key[0]] * len(table),
+                "tok": list(table.keys()),
+                "cnt": list(table.values()),
+                "n_seen": [n] * len(table),
+            }
+        )
+
+    return tokens.groupBy("salt").applyInPandasWithState(
+        update,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -843,3 +843,64 @@ def test_ewma_stream_multi_chunk_group_exact(spark, tmp_path):
         cnt += 1
     assert got[1].n_events == n
     assert got[1].ewma == s  # bit-exact despite multi-chunk delivery
+
+
+def test_heavy_hitters_stream_mg_guarantee(spark, tmp_path):
+    """Streaming Misra-Gries (q102's sketch phase as keyed state): after
+    the stream drains, the last emission per salt group must (a) contain
+    every token whose true group frequency exceeds n_seen/counters — the
+    MG guarantee, exact per group because salting routes each token's
+    whole substream to one group — and (b) bound every emitted count by
+    true − n_seen/counters ≤ cnt ≤ true."""
+    from pyspark_streaming_base_spark.streaming.stateful import (
+        MG_COUNTERS,
+        MG_SALTS,
+        heavy_hitters_stream,
+    )
+    from pyspark_streaming_base_spark.functions.textops import tokens as _toks
+
+    toks = (
+        t(spark, SF_SMALL, "documents")
+        .select(F.explode(_toks(F.col("text"))).alias("tok"))
+        .withColumn("salt", F.pmod(F.xxhash64("tok"), F.lit(MG_SALTS)))
+    )
+    streamed = stream_replay(
+        spark,
+        toks,
+        heavy_hitters_stream,
+        staging_dir=str(tmp_path / "stage"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_chunks=3,
+        output_mode="update",
+    )
+    # last emission per salt = the rows with that salt's max n_seen
+    from pyspark.sql import Window as W
+
+    final = (
+        streamed.withColumn(
+            "mx", F.max("n_seen").over(W.partitionBy("salt"))
+        )
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select("salt", "tok", "cnt", "n_seen")
+    )
+    got = {(r.salt, r.tok): (r.cnt, r.n_seen) for r in final.collect()}
+    true = {
+        (r.salt, r.tok): r.n
+        for r in toks.groupBy("salt", "tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_per_salt = {}
+    for (salt, _), n in true.items():
+        n_per_salt[salt] = n_per_salt.get(salt, 0) + n
+    for (salt, tok), n in true.items():
+        floor = n_per_salt[salt] / MG_COUNTERS
+        if n > floor:  # the guarantee: must be present
+            assert (salt, tok) in got, (salt, tok, n, floor)
+        if (salt, tok) in got:
+            cnt, n_seen = got[(salt, tok)]
+            assert n_seen == n_per_salt[salt]
+            assert n - floor <= cnt <= n, (salt, tok, cnt, n)
+    # candidate state stayed bounded
+    per_salt = {}
+    for (salt, _tok) in got:
+        per_salt[salt] = per_salt.get(salt, 0) + 1
+    assert all(v <= MG_COUNTERS for v in per_salt.values())
