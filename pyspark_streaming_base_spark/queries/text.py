@@ -1621,3 +1621,79 @@ def q145_relative_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= F.col("q25"))
         .select("doc_id", "lang", "quality", "q25")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus profile report (C19/DQ extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_corpus_profile",
+    oracle="""
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           1.0 - (CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*)) AS dup_ratio,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           quantile_cont(n_toks, 0.5) AS p50_tokens
+    FROM (
+      SELECT lang, text,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_toks
+      FROM documents
+    )
+    GROUP BY ROLLUP(lang)
+    """,
+)
+def q147_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan corpus profile (C19/DQ extension): the health dashboard a
+    data pipeline publishes per snapshot — doc counts, exact-duplicate
+    ratio (1 − distinct texts/docs: the quantity exact dedup will
+    reclaim), token volume, and the mean/median length profile, per
+    language AND pooled via ROLLUP in a single aggregate.
+
+    Exactness: every metric is an exact integer ratio or the
+    q26-verified interpolated percentile — the whole report hash-matches
+    the oracle. The total row is the same rollup grouping-set, not a
+    second scan.
+
+    Scale: ONE scan, one rollup aggregate (map-side combined per
+    grouping set); count(DISTINCT text) shuffles the text hash domain
+    once — at 100 TB substitute the md5 fingerprint column (q100's
+    normal form) for the raw text to keep the exchange at 16 bytes/doc.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        "text",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_toks"),
+    )
+    return (
+        d.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("text").cast("bigint").alias("n_distinct_texts"),
+            (
+                F.lit(1.0)
+                - (
+                    F.count_distinct("text").cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("dup_ratio"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+            F.expr("percentile(n_toks, 0.5)").alias("p50_tokens"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "n_distinct_texts",
+            "dup_ratio",
+            "n_tokens",
+            "avg_tokens",
+            "p50_tokens",
+        )
+    )
