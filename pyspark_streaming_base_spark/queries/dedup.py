@@ -1144,3 +1144,46 @@ def q137_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_fp"),
     )
+
+
+@query(
+    "q148_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CLOSURE_SQL}
+    , sizes AS (
+      SELECT canonical, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM canon GROUP BY canonical
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY cluster_size
+    """,
+)
+def q148_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-savings report (C17 extension): the cluster-size
+    distribution of the near-dup graph — for each size, how many
+    families, how many documents they hold, and how many are REMOVABLE
+    (size − 1 per family: everything but the canonical). This is the
+    number a pipeline owner reads before paying for a dedup pass —
+    projected reclaim by family size, and the long-tail/giant-component
+    shape that decides keeper policy. Composes q44's components
+    (singletons excluded on both sides: un-paired docs form no cluster).
+
+    Scale: q44's machinery + two size-bounded aggregates (clusters, then
+    sizes) — nothing beyond the closure's own cost.
+    """
+    sizes = q44_dedup_clusters(spark, sf_dir).groupBy("canonical").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
