@@ -911,3 +911,104 @@ def q120_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_current"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union / coverage (C9 extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             ts AS s,
+             ts + INTERVAL 1 SECOND * CAST(FLOOR(value) AS BIGINT) AS e
+      FROM events WHERE event_type = 'view'
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, island,
+             date_diff('second', MIN(s), MAX(e)) AS span_s
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(span_s) AS BIGINT) AS covered_seconds
+    FROM spans
+    GROUP BY user_id
+    """,
+)
+def q149_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union / coverage (C9 extension): total COVERED time per
+    user from overlapping activity intervals ([ts, ts + value sec) per
+    'view' event) — the gaps-and-islands primitive behind utilization,
+    SLA uptime, and watch-time metrics, where naive SUM(duration)
+    double-counts overlaps. Islands form where an interval's start
+    exceeds the running max of prior ends (strictly: touching intervals
+    merge); each island contributes max(end) − min(start).
+
+    Determinism: all arithmetic is whole-second epoch DIFFERENCES
+    (timezone-free on NTZ data — the `_exact.py::epoch_seconds`
+    contract); island boundaries compare exact timestamps with (s, e)
+    ordering, so the island partition is identical cross-engine.
+
+    Scale: both windows and both aggregates share ONE user_id-keyed
+    partitioning (high-cardinality key — no q59-style two-pass needed);
+    plan is one exchange + chained windows, the q113/q120 shape.
+    """
+    from pyspark_streaming_base_spark.queries._exact import epoch_seconds
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (
+                F.col("ts")
+                + F.make_interval(secs=F.floor(F.col("value")).cast("bigint"))
+            ).alias("e"),
+        )
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    marked = ev.withColumn(
+        "new_island",
+        (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("int"),
+    )
+    islands = marked.withColumn("island", F.sum("new_island").over(w_run))
+    spans = islands.groupBy("user_id", "island").agg(
+        (epoch_seconds(F.max("e")) - epoch_seconds(F.min("s"))).alias("span_s")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("span_s").cast("bigint").alias("covered_seconds"),
+    )
