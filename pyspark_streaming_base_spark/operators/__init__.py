@@ -57,6 +57,7 @@ from pyspark_streaming_base_spark.operators.semdedup import (
     semdedup_removed,
     semdedup_removed_from_index,
 )
+from pyspark_streaming_base_spark.operators.mmr import mmr_rerank
 from pyspark_streaming_base_spark.operators.scalardrift import (
     merge_scalar_baseline,
     scalar_drift_report,
@@ -177,4 +178,5 @@ __all__ = [
     "write_scalar_baseline",
     "scalar_drift_report",
     "merge_scalar_baseline",
+    "mmr_rerank",
 ]

@@ -1,0 +1,94 @@
+"""Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
+1998 — public): greedy diverse top-k over a BOUNDED candidate shortlist.
+
+THE single definition of the greedy step: q140 (cosine-relevance MMR)
+and q150 (the retrieval capstone, RRF-relevance MMR) both call
+:func:`mmr_rerank`; the numpy mirror in ``tests/test_mmr.py`` pins the
+selection logic once for both.
+
+Scale contract: callers hand over an ALREADY-REDUCED shortlist (top-32
+by their relevance signal — TakeOrderedAndProject does the distributed
+work); the inherently-sequential greedy then runs as ONE bounded Arrow
+group via ``applyInPandas`` (the q111 bounded-re-rank tier). Nothing
+sequential ever sees more than the shortlist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    rel_col: str = "rel_r",
+) -> DataFrame:
+    """Greedily pick ``k`` of the shortlist maximizing
+    ``lam·rel − (1−lam)·max_sim_to_selected``; ties break on the id.
+
+    Output: ``(sel_rank, <id_col>, <rel_col>, mmr_r)`` with ``mmr_r``
+    rounded to the 10⁻⁶ grid. Deterministic given the shortlist: the
+    scan order is (rel desc, id asc) and diversity uses cosine over the
+    provided vectors.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+
+    def select(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        V = np.stack(pdf[vec_col].to_numpy())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sim = Vn @ Vn.T
+        order = np.lexsort((ids, -rel))
+        ids, rel, sim = ids[order], rel[order], sim[np.ix_(order, order)]
+        chosen: list = []
+        avail = list(range(len(ids)))
+        for _ in range(min(k, len(ids))):
+            best, best_key = None, None
+            for i in avail:
+                div = max((sim[i, j] for j in chosen), default=0.0)
+                score = lam * rel[i] - (1.0 - lam) * div
+                key = (score, -ids[i])
+                if best_key is None or key > best_key:
+                    best, best_key = i, key
+            chosen.append(best)
+            avail.remove(best)
+        return pd.DataFrame(
+            {
+                "sel_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+                id_col: ids[chosen].astype(np.int64),
+                rel_col: rel[chosen],
+                "mmr_r": [
+                    np.floor(
+                        (
+                            lam * rel[i]
+                            - (1.0 - lam)
+                            * max((sim[i, j] for j in chosen[:n]), default=0.0)
+                        )
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                    for n, i in enumerate(chosen)
+                ],
+            }
+        )
+
+    return (
+        shortlist.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            select,
+            f"sel_rank bigint, {id_col} bigint, {rel_col} double, mmr_r double",
+        )
+    )

@@ -753,8 +753,11 @@ def q140_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``applyInPandas`` — the same bounded-re-rank tier as q111's ADC
     shortlist; nothing sequential ever sees more than ``_MMR_CAND``
     rows. Ties break on vec_id; relevance enters pre-rounded on the
-    10⁻⁶ grid so selection is reproducible.
+    10⁻⁶ grid so selection is reproducible. The greedy step is the ONE
+    definition in ``operators/mmr.py`` (shared with q150's capstone).
     """
+    from pyspark_streaming_base_spark.operators.mmr import mmr_rerank
+
     emb = t(spark, sf_dir, "embeddings")
     vq = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qvec"))
@@ -771,56 +774,7 @@ def q140_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rel_r").desc(), "vec_id")
         .limit(_MMR_CAND)
     )
-
-    def mmr_select(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        rel = pdf["rel_r"].to_numpy(dtype=np.float64)
-        V = np.stack(pdf["vec"].to_numpy())
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        sim = Vn @ Vn.T  # 32×32
-        order = np.lexsort((ids, -rel))  # deterministic scan order
-        ids, rel, sim = ids[order], rel[order], sim[np.ix_(order, order)]
-        chosen: list = []
-        avail = list(range(len(ids)))
-        for _ in range(min(_MMR_K, len(ids))):
-            best, best_key = None, None
-            for i in avail:
-                div = max((sim[i, j] for j in chosen), default=0.0)
-                score = _MMR_LAMBDA * rel[i] - (1.0 - _MMR_LAMBDA) * div
-                key = (score, -ids[i])
-                if best_key is None or key > best_key:
-                    best, best_key = i, key
-            chosen.append(best)
-            avail.remove(best)
-        return pd.DataFrame(
-            {
-                "sel_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
-                "vec_id": ids[chosen].astype(np.int64),
-                "rel_r": rel[chosen],
-                "mmr_r": [
-                    np.floor(
-                        (
-                            _MMR_LAMBDA * rel[i]
-                            - (1.0 - _MMR_LAMBDA)
-                            * max((sim[i, j] for j in chosen[:n]), default=0.0)
-                        )
-                        * 1e6
-                        + 0.5
-                    )
-                    / 1e6
-                    for n, i in enumerate(chosen)
-                ],
-            }
-        )
-
-    return (
-        cands.withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(
-            mmr_select,
-            "sel_rank bigint, vec_id bigint, rel_r double, mmr_r double",
-        )
-    )
+    return mmr_rerank(cands, k=_MMR_K, lam=_MMR_LAMBDA)
 
 
 # ---------------------------------------------------------------------------
@@ -884,3 +838,51 @@ def q146_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rr", F.lit(0.0)).alias("rr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval capstone: hybrid fusion + diversity in one pipeline
+# ---------------------------------------------------------------------------
+
+
+@query("q150_retrieval_pipeline", oracle=None)  # the MMR tail is greedy-
+# sequential (rows-only by design); the RRF head is the oracle-checked
+# q138 and the greedy step is q140's mirror-pinned shared definition
+def q150_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval capstone (C18/C19): the full search pipeline a RAG
+    deployment runs, composed end-to-end from the registry's own
+    oracle-checked stages — BM25 lexical arm + cosine vector arm fused
+    by RRF (q138, exact), then MMR diversity re-ranking of the fused
+    shortlist (``operators/mmr.py``, the q140 definition) so the final
+    k aren't near-duplicates of each other. q100 is the training
+    capstone; this is the serving one.
+
+    Scale: both arms reduce distributedly to k-row lists; the fusion is
+    k-vs-k; vectors re-attach to the ≤2k-row fused shortlist by one
+    broadcast-backed join; the sequential greedy sees only that
+    shortlist (bounded Arrow group).
+    """
+    from pyspark_streaming_base_spark.operators.mmr import mmr_rerank
+
+    fused = q138_rrf_hybrid_fusion(spark, sf_dir).select(
+        "doc_id", F.col("rrf_score").alias("rrf")
+    )
+    # RRF scores live on a ~1/k scale while cosine diversity lives on
+    # [−1, 1] — min-max normalize relevance over the shortlist so the
+    # λ trade-off is meaningful (1-row broadcast, exact-double affine)
+    mm = fused.agg(F.min("rrf").alias("lo"), F.max("rrf").alias("hi"))
+    rel = fused.crossJoin(F.broadcast(mm)).select(
+        "doc_id",
+        F.when(F.col("hi") > F.col("lo"),
+               (F.col("rrf") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+        .otherwise(F.lit(1.0))
+        .alias("rel_r"),
+    )
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), _dvec("embedding").alias("vec")
+    )
+    shortlist = rel.join(emb, "doc_id")
+    out = mmr_rerank(
+        shortlist, k=_MMR_K, lam=_MMR_LAMBDA, id_col="doc_id"
+    )
+    return out.select("sel_rank", "doc_id", "rel_r", "mmr_r")

@@ -116,6 +116,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q142_referential_integrity",  # three 1-row metric folds (bounded global aggs)
         "q144_ks_drift",  # 1-row min/max + 64-row carry-table folds (q59 two-pass)
         "q146_ann_recall_eval",  # inherits q60/q61's broadcast query-side folds
+        "q150_retrieval_pipeline",  # inherits q138 + a 1-row min/max rel fold
     }
     got_warns = set()
     for name, spec in R.items():
