@@ -316,3 +316,16 @@ def test_ks_drift_two_pass_prefix_sum(spark):
     for spec in value_specs:
         # ordered-by-value windows must be partitioned by bucket
         assert re.search(r"windowspecdefinition\(bucket#\d+L?,", spec), spec
+
+
+def test_bloom_probe_joins_are_broadcast(spark):
+    """q139's k=3 bloom probes must be BROADCAST hash joins — the whole
+    point is killing shingles map-side; if the word table ever stopped
+    broadcasting, the probe would shuffle the corpus three times."""
+    df = R["q139_bloom_decontamination"].fn(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    # and the probe side must not exchange before the joins: the only
+    # hash exchanges in the whole plan are the distinct val-shingle set,
+    # the bloom word aggregate, the candidate verify, and the final agg
+    assert plan.count("Exchange hashpartitioning") <= 5, plan[:2000]
