@@ -886,3 +886,147 @@ def q150_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist, k=_MMR_K, lam=_MMR_LAMBDA, id_col="doc_id"
     )
     return out.select("sel_rank", "doc_id", "rel_r", "mmr_r")
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-training pair mining: random + hard negatives
+# ---------------------------------------------------------------------------
+
+_NEG_ANCHORS = 4  # lowest vec_ids serve as demo anchors
+_NEG_K = 8
+
+
+@query(
+    "q151_negative_sampling",
+    oracle=f"""
+    SELECT anchor_id, vec_id, neg_rank
+    FROM (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS vec_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY md5(CAST(a.vec_id AS VARCHAR) || ':' || CAST(c.vec_id AS VARCHAR)),
+                        c.vec_id
+             ) AS BIGINT) AS neg_rank
+      FROM (SELECT vec_id, label FROM embeddings WHERE vec_id < {_NEG_ANCHORS}) a
+      JOIN embeddings c ON c.label <> a.label
+    )
+    WHERE neg_rank <= {_NEG_K}
+    """,
+)
+def q151_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random negative sampling for contrastive training (C18/pipeline
+    extension): per anchor, k uniform negatives drawn from the
+    DIFFERENT-label pool — the in-batch-negatives data-prep step of
+    embedding training, made deterministic the repo way: the "random"
+    order is the md5 of (anchor_id ':' cand_id), a keyed hash identical
+    in both engines (determinism invariant 5 — no RNG, reproducible
+    across runs/partitionings, and each anchor gets an independent
+    permutation because the anchor id salts the hash).
+
+    Scale: anchors are a tiny broadcast; ONE corpus scan computes the
+    hash key; per-anchor top-k is WindowGroupLimit (per-partition
+    pre-filter) — at any corpus size the exchange carries
+    ~k × anchors × tasks rows, never the label-pool cross product.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < _NEG_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")
+        )
+    )
+    ranked = (
+        anchors.join(emb.select("vec_id", "label"), F.col("label") != F.col("a_label"))
+        .withColumn(
+            "neg_rank",
+            F.row_number()
+            .over(
+                W.partitionBy("anchor_id").orderBy(
+                    F.md5(
+                        F.concat(
+                            F.col("anchor_id").cast("string"),
+                            F.lit(":"),
+                            F.col("vec_id").cast("string"),
+                        )
+                    ),
+                    "vec_id",
+                )
+            )
+            .cast("bigint"),
+        )
+    )
+    return ranked.filter(F.col("neg_rank") <= _NEG_K).select(
+        "anchor_id", "vec_id", "neg_rank"
+    )
+
+
+@query(
+    "q152_hard_negative_mining",
+    oracle=f"""
+    SELECT anchor_id, vec_id, sim_r, neg_rank
+    FROM (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS vec_id,
+             FLOOR((
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0 AS sim_r,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY FLOOR((
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                 / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                 c.vec_id
+             ) AS BIGINT) AS neg_rank
+      FROM (SELECT vec_id, label, embedding FROM embeddings
+            WHERE vec_id < {_NEG_ANCHORS}) a
+      JOIN embeddings c ON c.label <> a.label
+    )
+    WHERE neg_rank <= {_NEG_K}
+    """,
+)
+def q152_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD negative mining (C18/pipeline extension): per anchor, the k
+    most-similar vectors with a DIFFERENT label — the negatives that
+    actually move a contrastive loss (random negatives are mostly
+    trivial; the near-boundary ones teach the margin). q151's sampler
+    and this miner are the two standard negative tiers of embedding
+    training; both emit (anchor, negative, rank) ready for pair-loss
+    batch assembly.
+
+    Determinism: q60's exact pattern — similarities dround-ed to the
+    10⁻⁶ grid BEFORE ranking, ties on vec_id, so the mined set is
+    bit-stable cross-engine.
+
+    Scale: identical shape to q60 (broadcast anchors, one corpus scan,
+    per-partition top-k) plus the label-exclusion predicate evaluated
+    in the same pass — at 1000 executors this is the brute-force tier;
+    swap the scan for an IVF/IVFADC probe (q63/q111's indexes) filtered
+    by label to mine from billions.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = F.broadcast(
+        emb.filter(F.col("vec_id") < _NEG_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("a_label"),
+            _dvec("embedding").alias("avec"),
+        )
+    )
+    cands = emb.select("vec_id", "label", _dvec("embedding").alias("cvec"))
+    sim = dround(cosine(F.col("avec"), F.col("cvec")))
+    ranked = (
+        anchors.join(cands, F.col("label") != F.col("a_label"))
+        .withColumn("sim_r", sim)
+        .withColumn(
+            "neg_rank",
+            F.row_number()
+            .over(
+                W.partitionBy("anchor_id").orderBy(
+                    F.col("sim_r").desc(), "vec_id"
+                )
+            )
+            .cast("bigint"),
+        )
+    )
+    return ranked.filter(F.col("neg_rank") <= _NEG_K).select(
+        "anchor_id", "vec_id", "sim_r", "neg_rank"
+    )

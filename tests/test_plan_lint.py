@@ -117,6 +117,8 @@ def test_no_registry_query_has_lint_errors(spark):
         "q144_ks_drift",  # 1-row min/max + 64-row carry-table folds (q59 two-pass)
         "q146_ann_recall_eval",  # inherits q60/q61's broadcast query-side folds
         "q150_retrieval_pipeline",  # inherits q138 + a 1-row min/max rel fold
+        "q151_negative_sampling",  # broadcast anchor fold (q60 shape)
+        "q152_hard_negative_mining",  # broadcast anchor fold (q60 shape)
     }
     got_warns = set()
     for name, spec in R.items():
