@@ -1467,3 +1467,129 @@ def q144_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ks_stat") > crit).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch materialization: realize the temperature mixture (pipeline ext.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q153_epoch_materialization",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS rs
+      FROM c
+    ),
+    t AS (SELECT sum(rs) AS tot, sum(n) AS sn FROM r),
+    f AS (
+      SELECT lang, n, CAST(rs AS DOUBLE) / tot AS w,
+             (CAST(rs AS DOUBLE) * CAST(sn AS DOUBLE))
+               / (CAST(tot AS DOUBLE) * CAST(n AS DOUBLE)) AS f
+      FROM r CROSS JOIN t
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.lang, f.n, f.w,
+             CAST(FLOOR(f.f) AS BIGINT)
+             + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                         < printf('%04x',
+                             CAST(FLOOR((f.f - FLOOR(f.f)) * 65536.0) AS BIGINT))
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN f ON d.lang = f.lang
+    ),
+    ep AS (
+      SELECT lang, MAX(n) AS n_docs, MAX(w) AS w,
+             CAST(SUM(n_copies) AS BIGINT) AS n_epoch
+      FROM per_doc GROUP BY lang
+    ),
+    tote AS (SELECT SUM(n_epoch) AS te FROM ep)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_epoch,
+           w AS target_weight,
+           CAST(n_epoch AS DOUBLE) / te AS achieved_share
+    FROM ep CROSS JOIN tote
+    """,
+)
+def q153_epoch_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch materialization (pipeline extension): REALIZE q126's
+    temperature mixture as an actual training epoch — each document
+    replicated ``floor(f)`` times plus one stochastic-rounding extra
+    copy decided by its md5 prefix against ``frac(f)`` of the hash space
+    (q128's deterministic hash-rate rule; no RNG, invariant 5), so the
+    per-source epoch share converges to the target weight while every
+    run, engine, and partitioning produces the SAME epoch. The audit
+    compares achieved share vs target weight per source.
+
+    The Spark side actually MATERIALIZES the epoch (sequence + explode
+    per doc) and aggregates the exploded rows; the oracle states the
+    same count declaratively (Σ n_copies) — equality proves the
+    expansion is exactly the intended multiset.
+
+    Scale: factors are a |sources|-row broadcast; the explode is a
+    narrow map whose output is exactly the epoch (what the trainer
+    reads anyway); no shuffle beyond the final audit aggregate.
+    """
+    d = t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rs = F.floor(F.sqrt(F.col("n").cast("double")) * 1_000_000 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    r = c.select("lang", "n", rs.alias("rs"))
+    tot = r.agg(F.sum("rs").alias("tot"), F.sum("n").alias("sn"))
+    f = r.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        (F.col("rs").cast("double") / F.col("tot")).alias("w"),
+        (
+            (F.col("rs").cast("double") * F.col("sn").cast("double"))
+            / (F.col("tot").cast("double") * F.col("n").cast("double"))
+        ).alias("f"),
+    )
+    # 4 LOWERCASE hex digits (the q128 convention — F.conv would emit
+    # uppercase and break the string compare against lowercase md5)
+    frac_hex = F.format_string(
+        "%04x",
+        F.floor((F.col("f") - F.floor(F.col("f"))) * F.lit(65536.0)).cast(
+            "bigint"
+        ),
+    )
+    per_doc = (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(f), "lang")
+        .withColumn(
+            "n_copies",
+            F.floor("f").cast("bigint")
+            + (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+                < frac_hex
+            ).cast("bigint"),
+        )
+    )
+    epoch = per_doc.select(
+        "doc_id",
+        "lang",
+        "n",
+        "w",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1,
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_copies")),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("copy_ix"),
+    )
+    ep = epoch.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("w").alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_epoch"),
+    )
+    tote = ep.agg(F.sum("n_epoch").alias("te"))
+    return ep.crossJoin(F.broadcast(tote)).select(
+        "lang",
+        "n_docs",
+        "n_epoch",
+        F.col("w").alias("target_weight"),
+        (F.col("n_epoch").cast("double") / F.col("te")).alias("achieved_share"),
+    )

@@ -119,6 +119,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q150_retrieval_pipeline",  # inherits q138 + a 1-row min/max rel fold
         "q151_negative_sampling",  # broadcast anchor fold (q60 shape)
         "q152_hard_negative_mining",  # broadcast anchor fold (q60 shape)
+        "q153_epoch_materialization",  # 1-row total + |sources|-row factor folds
     }
     got_warns = set()
     for name, spec in R.items():
