@@ -24,6 +24,7 @@ from pyspark_streaming_base_spark.operators.bm25 import (
     append_bm25_index,
     bm25_doclens,
     bm25_postings,
+    bm25_score_query_table,
     bm25_score_terms,
     build_bm25_index,
     query_bm25_index,
@@ -152,6 +153,7 @@ __all__ = [
     "bm25_postings",
     "bm25_doclens",
     "bm25_score_terms",
+    "bm25_score_query_table",
     "build_bm25_index",
     "append_bm25_index",
     "query_bm25_index",

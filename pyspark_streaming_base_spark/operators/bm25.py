@@ -103,6 +103,8 @@ def bm25_score_terms(
     corpus-proportional exchange is the (matching docs × k terms) join
     back to doclens.
     """
+    if not terms:
+        raise ValueError("bm25_score_terms: empty query term list")
     hits = postings.filter(F.col("term").isin(*terms))
     df_t = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     stats = doclens.agg(
@@ -172,3 +174,62 @@ def query_bm25_index(
     postings = spark.read.parquet(f"{path}/postings")
     doclens = spark.read.parquet(f"{path}/doclens")
     return bm25_score_terms(postings, doclens, terms, id_col, top_k)
+
+
+def bm25_score_query_table(
+    postings: DataFrame,
+    doclens: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    top_k: Optional[int] = None,
+) -> DataFrame:
+    """BATCH retrieval: score a whole query TABLE ``(qid, term)`` in one
+    plan — the production shape (a bench of queries, not one). Returns
+    ``(qid, id, n_terms_hit, score)``, optionally cut to the per-query
+    top-k (partitioned rank → WindowGroupLimit, never a global sort).
+
+    Same exact-math contract as :func:`bm25_score_terms` (idf rational,
+    10⁻⁶-grid exact-sum scores); df/N/avgdl derive from the corpus
+    tables only, so the query table never perturbs the statistics.
+
+    Scale: the postings join keys on the DISTINCT query-term set (a
+    broadcast — benches are small); each query's scoring rows are its
+    matching postings only; the k-cut runs per qid.
+    """
+    from pyspark.sql import Window as W
+
+    qterms = queries.select("qid", "term")
+    distinct_terms = qterms.select("term").distinct()
+    hits = postings.join(F.broadcast(distinct_terms), "term")
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    scored = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(doclens, id_col)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            id_col,
+            bm25_score_expr(
+                F.col("tf"), F.col("dl"), F.col("df"), F.col("n"), F.col("avgdl")
+            ).alias("s6"),
+        )
+    )
+    out = scored.groupBy("qid", id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        (F.sum("s6").cast("double") / F.lit(1000000.0)).alias("score"),
+    )
+    if top_k is not None:
+        w = W.partitionBy("qid").orderBy(F.col("score").desc(), id_col)
+        out = (
+            out.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= top_k)
+            .drop("rnk")
+        )
+    return out.select("qid", id_col, "n_terms_hit", "score")

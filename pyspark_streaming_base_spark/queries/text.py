@@ -1697,3 +1697,104 @@ def q147_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_tokens",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch BM25 retrieval over a query table (C19 extension)
+# ---------------------------------------------------------------------------
+
+#: Fixed demo query bench: (qid, term) rows — three multi-term queries.
+_BM25_BENCH = (
+    (0, "scan"), (0, "merge"),
+    (1, "stream"), (1, "vector"),
+    (2, "window"), (2, "batch"), (2, "table"),
+)
+_BM25_BATCH_K = 5
+
+_BM25_BENCH_SQL = ", ".join(f"({q}, '{w}')" for q, w in _BM25_BENCH)
+
+
+@query(
+    "q154_bm25_batch_retrieval",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM base
+    ),
+    tok AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+      FROM base
+    ),
+    bench(qid, term) AS (VALUES {_BM25_BENCH_SQL}),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM bench)
+      GROUP BY doc_id, dl, term
+    ),
+    df_t AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    per_term AS (
+      SELECT bench.qid, tf.doc_id,
+             CAST(FLOOR(
+               (((CAST(stats.n AS DOUBLE) - CAST(df_t.df AS DOUBLE)) + 0.5)
+                  / (CAST(df_t.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + {_BM25_K1} * (0.25 + {_BM25_B}
+                        * (CAST(tf.dl AS DOUBLE) / stats.avgdl))))
+               * 1000000.0 + 0.5) AS BIGINT) AS s6
+      FROM tf JOIN bench ON tf.term = bench.term
+              JOIN df_t ON tf.term = df_t.term
+              CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+             CAST(SUM(s6) AS DOUBLE) / 1000000.0 AS score
+      FROM per_term GROUP BY qid, doc_id
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, n_terms_hit, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {_BM25_BATCH_K}
+    """,
+)
+def q154_bm25_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 retrieval (C19 extension): score a whole query TABLE
+    (three multi-term queries) in ONE plan via
+    ``operators/bm25.py::bm25_score_query_table`` — the production shape
+    of lexical search (a bench of queries per job, not one); per-query
+    top-5 with the partitioned rank (WindowGroupLimit), never a global
+    sort. Same exact-math contract as q136 — rational idf, 10⁻⁶-grid
+    exact-sum scores — so the full (qid, doc) score matrix hash-matches
+    the oracle.
+
+    Scale: the distinct query-term set broadcasts into the postings
+    scan; each query's scoring rows are its own matching postings; the
+    per-qid k-cut is per-partition pre-filtered.
+    """
+    from pyspark_streaming_base_spark.operators.bm25 import (
+        bm25_doclens,
+        bm25_postings,
+        bm25_score_query_table,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    bench = spark.createDataFrame(
+        list(_BM25_BENCH), "qid bigint, term string"
+    )
+    return bm25_score_query_table(
+        bm25_postings(docs),
+        bm25_doclens(docs),
+        bench,
+        top_k=_BM25_BATCH_K,
+    )
