@@ -1798,3 +1798,144 @@ def q154_bm25_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench,
         top_k=_BM25_BATCH_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance-feedback query expansion (C19 extension)
+# ---------------------------------------------------------------------------
+
+_PRF_FB_DOCS = 5   # feedback depth: top docs of the first pass
+_PRF_EXP_TERMS = 3  # expansion terms mined from the feedback docs
+_PRF_TOPK = 10
+
+
+@query(
+    "q155_prf_query_expansion",
+    oracle=f"""{BM25_SQL_CTES}
+    , fb AS (
+      SELECT doc_id FROM bm25 ORDER BY score DESC, doc_id LIMIT {_PRF_FB_DOCS}
+    ),
+    fb_tf AS (
+      SELECT term, CAST(SUM(1) AS BIGINT) AS occ
+      FROM tok
+      WHERE doc_id IN (SELECT doc_id FROM fb)
+        AND term NOT IN ({_BM25_TERMS_SQL})
+      GROUP BY term
+    ),
+    exp_terms AS (
+      SELECT term FROM fb_tf ORDER BY occ DESC, term LIMIT {_PRF_EXP_TERMS}
+    ),
+    all_terms AS (
+      SELECT term FROM exp_terms
+      UNION
+      SELECT unnest([{_BM25_TERMS_SQL}]) AS term
+    ),
+    tf2 AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok
+      WHERE term IN (SELECT term FROM all_terms)
+      GROUP BY doc_id, dl, term
+    ),
+    df2 AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf2 GROUP BY term
+    ),
+    pt2 AS (
+      SELECT tf2.doc_id,
+             CAST(FLOOR(
+               (((CAST(stats.n AS DOUBLE) - CAST(df2.df AS DOUBLE)) + 0.5)
+                  / (CAST(df2.df AS DOUBLE) + 0.5))
+               * ((CAST(tf2.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf2.tf AS DOUBLE)
+                     + {_BM25_K1} * (0.25 + {_BM25_B}
+                        * (CAST(tf2.dl AS DOUBLE) / stats.avgdl))))
+               * 1000000.0 + 0.5) AS BIGINT) AS s6
+      FROM tf2 JOIN df2 ON tf2.term = df2.term CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           CAST(SUM(s6) AS DOUBLE) / 1000000.0 AS score
+    FROM pt2
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT {_PRF_TOPK}
+    """,
+)
+def q155_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (C19 extension) — the
+    Rocchio/RM3-lite second pass of classic IR: run the BM25 query
+    (q136's scorer), assume its top-{_PRF_FB_DOCS} docs are relevant,
+    mine the {_PRF_EXP_TERMS} most frequent NEW terms from them
+    (original terms excluded, occurrence-desc/term tie-break), and
+    rescore the corpus with the expanded term set. Recall goes up
+    because the feedback docs vote for vocabulary the user didn't type.
+    Rocchio 1971 / RM3 (Lavrenko & Croft 2001) — public.
+
+    Determinism: both passes are the exact-math BM25 (rational idf,
+    grid-rounded exact-sum); feedback and expansion cuts tie-break on
+    doc_id/term, so the expanded term set — and hence the final
+    ranking — is bit-stable cross-engine.
+
+    Scale: pass-1 is q136's shape; the feedback doc set is ≤5 ids
+    (broadcast semi join); expansion mining scans only the feedback
+    docs' tokens; pass-2 is q136's shape with ≤8 terms. Two passes over
+    the postings, never more.
+    """
+    from pyspark_streaming_base_spark.operators.bm25 import (
+        bm25_doclens,
+        bm25_postings,
+        bm25_score_expr,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    postings = bm25_postings(docs)
+    doclens = bm25_doclens(docs)
+    fb = (
+        q136_bm25_topk(spark, sf_dir)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    exp_terms = (
+        postings.join(F.broadcast(fb), "doc_id", "left_semi")
+        .filter(~F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("occ"))
+        .orderBy(F.col("occ").desc(), "term")
+        .limit(_PRF_EXP_TERMS)
+        .select("term")
+    )
+    all_terms = exp_terms.unionByName(
+        fb.sparkSession.createDataFrame(
+            [(w,) for w in _BM25_TERMS], "term string"
+        )
+    ).distinct()
+    hits = postings.join(F.broadcast(all_terms), "term")
+    df2 = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    scored = (
+        hits.join(doclens, "doc_id")
+        .join(F.broadcast(df2), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            bm25_score_expr(
+                F.col("tf"), F.col("dl"), F.col("df"), F.col("n"), F.col("avgdl")
+            ).alias("s6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            (F.sum("s6").cast("double") / F.lit(1000000.0)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_PRF_TOPK)
+        .select("doc_id", "n_terms_hit", "score")
+    )

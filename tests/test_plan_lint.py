@@ -121,6 +121,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q152_hard_negative_mining",  # broadcast anchor fold (q60 shape)
         "q153_epoch_materialization",  # 1-row total + |sources|-row factor folds
         "q154_bm25_batch_retrieval",  # 1-row stats + bench-table broadcast folds
+        "q155_prf_query_expansion",  # two q136-shape passes' broadcast folds
     }
     got_warns = set()
     for name, spec in R.items():
