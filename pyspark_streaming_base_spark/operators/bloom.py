@@ -81,6 +81,12 @@ def bloom_maybe_contains(
 
     ``k`` broadcast left joins on the word id + a bit test each; the probe
     side never shuffles. Internal ``_w*``/``_b*`` columns are dropped.
+
+    GEOMETRY CONTRACT: ``m_bits``/``k`` must equal the values the bloom
+    was built with — a mismatch silently breaks the no-false-negative
+    guarantee (the same caller-owned-parameters contract as the MinHash
+    band geometry and the PQ ``m``; persist geometry next to the word
+    table if probes are decoupled from builds).
     """
     cur = df
     keep = F.lit(True)
