@@ -45,19 +45,18 @@ REGISTRY: Dict[str, QuerySpec] = {}
 # remain fully checked by the stricter local mirror
 # (tools/check_correctness.py) and pytest.
 DRIVER_PRIORITY: tuple = (
-    # ROUND-7 ROTATION: same 26-keeper component-covering core. With the
-    # r6 "never driver-checked" list closed, this round's budget goes to
-    # EVIDENCE FRESHNESS: the oracle queries whose last driver row
-    # dates to r1-r3 (q06/q08/q13/q14/q19-q21/q23/q24/q26 below —
-    # q09/q12/q27 yield their slots to the new oracle-bearing operators
-    # q132/q135; their components stay covered by the q10/q35 keepers
-    # and all three remain exact-green on the local mirror), q44 (its
-    # connected-components engine gained a localCheckpoint cut this
-    # round), and the NEW q130 image near-dup (previously the one
-    # dedup-family operator with no driver row). The 14 r5/r6
-    # first-timers that just went driver-green (q48/q53/q56, q76, q116/
-    # q117/q120-q123, q126-q129) rotate to the stricter local mirror
-    # (tools/check_correctness.py) and pytest, like every prior rotation.
+    # ROUND-8 ROTATION: same 26-keeper component-covering core. This
+    # round's budget closes the r7 rotation debt: the 14 late-r7 queries
+    # that were registered AFTER the round-7 prefix froze and therefore
+    # have no driver CORRECTNESS row in any round (q140, q143-q155; 10
+    # oracle-bearing) all enter the prefix. Their slots come from the 10
+    # r7 first-timers that just went driver-green in CORRECTNESS_r07
+    # (q130/q131/q132/q135/q136/q137/q138/q139/q141/q142) plus four of
+    # the r7 evidence-freshness refreshes (q06/q08/q14/q26 — all
+    # driver-green in r7, code unchanged; C4/C13/C10/C7 stay covered by
+    # the q05/q17/q30/q10 keepers). All rotated-out queries remain
+    # exact-green on the stricter local mirror (tools/
+    # check_correctness.py) and pytest, like every prior rotation.
     #
     # keepers: C1-C18 core relational + flagship extension reps
     "q01_pricing_summary",      # C6 agg (headline)
@@ -97,36 +96,29 @@ DRIVER_PRIORITY: tuple = (
     "q79_late_data_audit",
     "q89_stream_stream_left_outer",
     "q98_arrow_digest",
-    # ROUND-7 FIRST-TIMERS: the image near-dup operator's, the
-    # embedding-drift monitor's, and the all-pairs cosine join's first
-    # driver rows (a brand-new oracle-bearing operator outranks one more
-    # stale-evidence refresh — q27 stays on the local mirror, and q09
-    # rotates out for q132: C7 distinct stays covered by the q10 keeper,
-    # q09's code is unchanged since r1 and exact-green locally)
-    "q130_image_neardup",
-    "q131_embedding_drift",
-    "q132_allpairs_cosine_join",
-    "q135_clustering_coefficient",  # q12 rotates out (C8 stays covered by q35)
-    # LATE-ROUND-7 FIRST-TIMERS: four more brand-new oracle-bearing
-    # operators (BM25 retrieval, C4 segment dedup+rebuild, RRF hybrid
-    # fusion, bloom-prefiltered decontamination) take the slots of four
-    # stale-evidence refreshes (q19/q20/q21/q23 — all unchanged since
-    # r1-r3 and exact-green on the local mirror; their components stay
-    # covered by the q01/q25/q21-family keepers in the prefix)
-    "q136_bm25_topk",
-    "q137_segment_dedup_rebuild",
-    "q138_rrf_hybrid_fusion",
-    "q139_bloom_decontamination",
-    "q141_distribution_drift",  # q24 yields its slot (pivot unchanged
-    # since r2, exact-green locally; C8-family stays covered by q35)
-    "q142_referential_integrity",  # q13 yields its slot (cube unchanged
-    # since r1, exact-green locally; C8 stays covered by q35)
-    # evidence-freshness set: oldest driver rows in the registry (r1-r3)
-    "q06_anti_join",
-    "q08_late_ship_priority",
-    "q14_global_topk",
-    "q26_percentile",
-    "q44_dedup_clusters",       # components engine churned this round
+    # flagship extension keepers with churn-sensitive engines
+    "q44_dedup_clusters",       # connected-components engine rep
+    # LATE-ROUND-7 FIRST-TIMERS (the r8 rotation's whole budget): every
+    # query registered after the r7 prefix froze, oracle-bearing first.
+    # These are round 7's flagship operators — KS drift, PRF expansion,
+    # batch BM25, interval coverage, epoch materialization — and the
+    # driver CORRECTNESS row is the graded signal they lack.
+    "q144_ks_drift",
+    "q145_relative_quality_gate",
+    "q147_corpus_profile",
+    "q148_cluster_size_histogram",
+    "q149_interval_coverage",
+    "q151_negative_sampling",
+    "q152_hard_negative_mining",
+    "q153_epoch_materialization",
+    "q154_bm25_batch_retrieval",
+    "q155_prf_query_expansion",
+    # rows-only late-r7 set (each pinned against an exact twin or
+    # numpy/python mirror in pytest; driver records rows-only)
+    "q140_mmr_diverse_topk",
+    "q143_bpe_merges",
+    "q146_ann_recall_eval",
+    "q150_retrieval_pipeline",
 )
 
 
