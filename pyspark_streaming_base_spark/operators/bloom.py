@@ -23,7 +23,9 @@ the runtime-filter pattern of every distributed SQL engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: Default geometry: 2^18 bits = 4096 int64 words ≈ 32 KB broadcast.
@@ -84,9 +86,10 @@ def bloom_maybe_contains(
 
     GEOMETRY CONTRACT: ``m_bits``/``k`` must equal the values the bloom
     was built with — a mismatch silently breaks the no-false-negative
-    guarantee (the same caller-owned-parameters contract as the MinHash
-    band geometry and the PQ ``m``; persist geometry next to the word
-    table if probes are decoupled from builds).
+    guarantee. This bare pair is for single-plan use (build and probe in
+    one job, as q139 does); decoupled build/probe MUST go through
+    :func:`build_bloom_index` / :func:`query_bloom_index`, which persist
+    the geometry in a sidecar and refuse a mismatched probe.
     """
     cur = df
     keep = F.lit(True)
@@ -111,3 +114,85 @@ def bloom_maybe_contains(
         )
     drop = [c for i in range(k) for c in (f"_w{i}", f"_b{i}", f"_m{i}")]
     return cur.filter(keep).drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# Persisted index (geometry travels WITH the word table)
+# ---------------------------------------------------------------------------
+#
+# The bare build_bloom/bloom_maybe_contains pair leaves the geometry
+# contract caller-owned; when builds and probes are decoupled (a nightly
+# build, a per-batch probe) that contract must be persisted or a drifted
+# m_bits/k silently breaks the no-false-negative guarantee. Same
+# convention as build_bm25_index / build_pq_index: parameters live in a
+# one-row sidecar next to the data and probes refuse a mismatch.
+
+
+def build_bloom_index(
+    df: DataFrame,
+    col: str,
+    path: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> None:
+    """Materialize the word table at ``path/words`` plus a one-row
+    ``(m_bits, k)`` geometry sidecar at ``path/geometry``."""
+    build_bloom(df, col, m_bits, k).write.mode("overwrite").parquet(f"{path}/words")
+    df.sparkSession.createDataFrame(
+        [(m_bits, k)], "m_bits bigint, k int"
+    ).write.mode("overwrite").parquet(f"{path}/geometry")
+
+
+def load_bloom_geometry(spark: SparkSession, path: str) -> Tuple[int, int]:
+    """Read the persisted ``(m_bits, k)`` — one row, driver metadata only."""
+    rows = spark.read.parquet(f"{path}/geometry").collect()
+    if len(rows) != 1:
+        raise ValueError(f"corrupt bloom geometry sidecar at {path}: {len(rows)} rows")
+    return int(rows[0]["m_bits"]), int(rows[0]["k"])
+
+
+def append_bloom_index(new_df: DataFrame, col: str, path: str) -> None:
+    """Fold a new key batch into the persisted filter — O(filter + batch):
+    the batch's word table is bit_or-merged with the existing ≤ m/64 rows
+    (a Bloom filter union IS the bitwise OR of the word tables). Geometry
+    comes from the sidecar, so an append can never drift it."""
+    spark = new_df.sparkSession
+    m_bits, k = load_bloom_geometry(spark, path)
+    old = spark.read.parquet(f"{path}/words")
+    merged = (
+        old.unionByName(build_bloom(new_df, col, m_bits, k))
+        .groupBy("word")
+        .agg(F.expr("bit_or(wbits)").alias("wbits"))
+    )
+    # words is ≤ m/64 rows (~4096): localCheckpoint breaks the
+    # read-then-overwrite cycle without a corpus-sized materialization.
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{path}/words"
+    )
+
+
+def query_bloom_index(
+    df: DataFrame,
+    col: str,
+    path: str,
+    m_bits: Optional[int] = None,
+    k: Optional[int] = None,
+) -> DataFrame:
+    """Probe the persisted filter with the PERSISTED geometry. Passing
+    ``m_bits``/``k`` explicitly is allowed only as an assertion — a
+    mismatch with the sidecar raises instead of silently probing with
+    wrong bit positions (which would break no-false-negatives)."""
+    spark = df.sparkSession
+    gm, gk = load_bloom_geometry(spark, path)
+    if m_bits is not None and m_bits != gm:
+        raise ValueError(
+            f"bloom geometry mismatch: index at {path} was built with "
+            f"m_bits={gm}, probe requested m_bits={m_bits}"
+        )
+    if k is not None and k != gk:
+        raise ValueError(
+            f"bloom geometry mismatch: index at {path} was built with "
+            f"k={gk}, probe requested k={k}"
+        )
+    words = spark.read.parquet(f"{path}/words")
+    return bloom_maybe_contains(df, col, words, gm, gk)

@@ -126,3 +126,69 @@ def test_bloom_no_false_negatives_property(spark):
                 bloom_maybe_contains(df, "k", bloom, m_bits=m_bits, k=k).count()
                 == n
             ), (m_bits, k)
+
+
+# ---------------------------------------------------------------------------
+# Persisted index: geometry round-trips with the word table
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_index_geometry_roundtrip(spark, tmp_path):
+    from pyspark_streaming_base_spark.operators.bloom import (
+        build_bloom_index,
+        load_bloom_geometry,
+        query_bloom_index,
+    )
+
+    members = spark.range(2_000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("k")
+    )
+    path = str(tmp_path / "bloom_idx")
+    build_bloom_index(members, "k", path, m_bits=1 << 16, k=4)
+    assert load_bloom_geometry(spark, path) == (1 << 16, 4)
+    # probe uses the persisted geometry -> all members pass (no false negs)
+    assert query_bloom_index(members, "k", path).count() == 2_000
+    # explicit geometry is accepted only when it matches the sidecar
+    assert query_bloom_index(members, "k", path, m_bits=1 << 16, k=4).count() == 2_000
+
+
+def test_bloom_index_geometry_mismatch_raises(spark, tmp_path):
+    from pyspark_streaming_base_spark.operators.bloom import (
+        build_bloom_index,
+        query_bloom_index,
+    )
+
+    members = spark.range(100).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("k")
+    )
+    path = str(tmp_path / "bloom_idx")
+    build_bloom_index(members, "k", path, m_bits=1 << 16, k=4)
+    with pytest.raises(ValueError, match="m_bits"):
+        query_bloom_index(members, "k", path, m_bits=1 << 18)
+    with pytest.raises(ValueError, match="k="):
+        query_bloom_index(members, "k", path, k=3)
+
+
+def test_bloom_index_append_unions_filters(spark, tmp_path):
+    """Appending a batch == rebuilding over the union: identical word
+    table (Bloom union is bitwise OR), and the appended keys gain the
+    no-false-negative guarantee under the ORIGINAL geometry."""
+    from pyspark_streaming_base_spark.operators.bloom import (
+        append_bloom_index,
+        build_bloom,
+        build_bloom_index,
+        query_bloom_index,
+    )
+
+    a = spark.range(1_000).select(F.concat(F.lit("a-"), F.col("id")).alias("k"))
+    b = spark.range(1_000).select(F.concat(F.lit("b-"), F.col("id")).alias("k"))
+    path = str(tmp_path / "bloom_idx")
+    build_bloom_index(a, "k", path, m_bits=1 << 16, k=3)
+    append_bloom_index(b, "k", path)
+    assert query_bloom_index(a, "k", path).count() == 1_000
+    assert query_bloom_index(b, "k", path).count() == 1_000
+    # word-for-word identical to a from-scratch build over a ∪ b
+    rebuilt = build_bloom(a.unionByName(b), "k", m_bits=1 << 16, k=3)
+    appended = spark.read.parquet(f"{path}/words")
+    assert rebuilt.exceptAll(appended).count() == 0
+    assert appended.exceptAll(rebuilt).count() == 0

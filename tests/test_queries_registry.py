@@ -80,6 +80,19 @@ def test_driver_priority_prefix():
     assert required <= set(DRIVER_PRIORITY)
 
 
+def test_coverage_header_counts():
+    """COVERAGE.md's inventory header must track the live registry counts
+    (it drifted to 131/115 in r7 while the registry grew to 155/133)."""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath("COVERAGE.md").read_text()
+    m = re.search(r"operator inventory \((\d+) queries, (\d+) oracle-checked\)", text)
+    assert m, "COVERAGE.md inventory header missing"
+    n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+    assert (int(m.group(1)), int(m.group(2))) == (len(REGISTRY), n_oracle)
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
