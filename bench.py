@@ -71,6 +71,9 @@ EXTENDED = [
     "q130_image_neardup",          # BMP decode → aHash → blocked join (r7)
     "q137_segment_dedup_rebuild",  # C4 keeper window + rebuild agg (r7)
     "q139_bloom_decontamination",  # bloom prefilter + exact verify (r7)
+    "q150_retrieval_pipeline",     # BM25 + vector arms → RRF → MMR (r8):
+    #                                the serving capstone a deployment runs
+    "q155_prf_query_expansion",    # two-pass PRF/RM3-lite retrieval (r8)
 ]
 # r6: the inline q111_ivfadc_ann entry (5.5 s at r5, dominated by
 # re-training codebooks + re-encoding the corpus inside the query) is
@@ -155,8 +158,12 @@ def main() -> None:
         # constant. Compare rounds via calib-normalized numbers.
         "variance_note": "repeated identical runs span ~±5% on this host; "
         "r5 +8.1% bisected to ambient (heap A/B 1g=6.615 8g=6.662); "
-        "r7: r6 snapshot itself re-measured +15-32% (host drift) — use "
-        "host_calibration to normalize cross-round deltas",
+        "r7: r6 snapshot itself re-measured +15-32% (host drift) — "
+        "verdict: read delta_vs_prev.normalized_total_pct (raw ratio / "
+        "JVM-probe host-speed ratio, same 32-thread substrate as the "
+        "headline) as the code effect, not total_pct; r7's +10.5% "
+        "predates the probes and stands as host drift per the snapshot "
+        "re-measurement",
     }
     prev = _delta_vs_prev(total, timings, ext)
     if prev is not None:
@@ -170,6 +177,18 @@ def main() -> None:
                 for k in ("calib_jvm_sec", "calib_numpy_sec")
                 if pc.get(k)
             }
+            jd = prev["host_drift_pct"].get("calib_jvm_sec")
+            if jd is not None and jd > -90.0:
+                # the calibration-normalized round-over-round delta: the
+                # raw ratio divided by the measured host-speed ratio (JVM
+                # probe — same substrate as the headline queries). THIS is
+                # the number to read as a code effect; total_pct alone
+                # conflates it with host drift (r7's +10.5% lesson).
+                prev["normalized_total_pct"] = round(
+                    100.0
+                    * ((1.0 + prev["total_pct"] / 100.0) / (1.0 + jd / 100.0) - 1.0),
+                    1,
+                )
         out["delta_vs_prev"] = prev
     print(json.dumps(out))
 
@@ -425,6 +444,19 @@ def _time_semdedup_loop_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float
     return out
 
 
+def _recover_tail(tail: str) -> dict | None:
+    """Rebuild a bench record from a head-truncated driver capture: the
+    JSON field order is fixed, so the cut point determines the prefix."""
+    for prefix in ("", '{"unit": "', '{"value": '):
+        try:
+            rec = json.loads(prefix + tail)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(rec, dict) and "queries" in rec:
+            return rec
+    return None
+
+
 def _delta_vs_prev(total: float, timings: dict, ext: dict) -> dict | None:
     """Self-reporting round-over-round trend: compare against the latest
     BENCH_r{N}.json next to this script (the driver's per-round record).
@@ -442,8 +474,20 @@ def _delta_vs_prev(total: float, timings: dict, ext: dict) -> dict | None:
         except (OSError, json.JSONDecodeError):  # pragma: no cover
             continue
         if isinstance(prev, dict) and "parsed" in prev:
-            prev = prev["parsed"]  # driver wraps the bench line in metadata
-        if not isinstance(prev, dict) or "value" not in prev:
+            parsed = prev["parsed"]  # driver wraps the bench line in metadata
+            if parsed is None and isinstance(prev.get("tail"), str):
+                # the driver's record sometimes truncates the line's HEAD
+                # (BENCH_r07: parsed=null, tail starts at `sec", "queries"`)
+                # — the missing prefix is reconstructable because the field
+                # order is fixed by this script
+                parsed = _recover_tail(prev["tail"])
+            prev = parsed
+        if not isinstance(prev, dict):
+            continue
+        if "value" not in prev and isinstance(prev.get("queries"), dict):
+            # value IS sum(queries) by construction above
+            prev["value"] = round(sum(prev["queries"].values()), 3)
+        if "value" not in prev:
             continue
         delta = {
             "prev_record": name,

@@ -339,6 +339,102 @@ def main() -> None:
             spark.catalog.clearCache()
     crawl_smoke(spark, reps)
     bloom_smoke(spark, reps)
+    semdedup_smoke(spark, reps)
+
+
+def semdedup_smoke(spark, reps) -> None:
+    """merge_semdedup_removed is O(batch-touched cells), not O(corpus) —
+    the growth evidence bench.py cannot give (its fixture k=8 means every
+    cell is batch-touched, so the bench entry prices the from-scratch
+    floor; `operators/semdedup.py:355` documents exactly that gap).
+
+    Here k scales WITH the corpus, the SemDeDup deployment convention
+    (k ≈ n / cluster budget): replica i of the embedding corpus carries
+    IDENTICAL vectors under offset vec_ids, and the index's assignment
+    table maps it to its own offset copy of the base k=8 cells — so at
+    n× the index has 8n cells with bit-identical per-cell geometry (a
+    vector transform can't do this: a constant shift preserves L2 but
+    collapses COSINE, which the dedup policy scores — measured removals
+    exploded 808 → 30688 instead of n×808 before this was caught). The
+    FIXED daily batch (every 25th base vector, un-offset) assigns under
+    the base centroids into replica-0's 8 cells — a 1/n minority.
+
+    semdedup_merge: fold the batch into the maintained removal set
+    (append assignments + merge) — recomputes the ~8 touched cells only,
+    should stay near-flat in n. semdedup_fromscratch: the run it
+    replaces — the full dedup policy over the SAME post-append index
+    (`semdedup_removed_from_index` on the union) — recomputes all 8n
+    cells, should grow ~linearly. Prior state (centroids, assignments,
+    removal set) is amortized outside the timers, as in crawl_smoke.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark_streaming_base_spark.functions.vectorops import dvec
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        append_semdedup_index,
+        assign_to_centroids,
+        merge_semdedup_removed,
+        semdedup_removed_from_index,
+    )
+    from pyspark_streaming_base_spark.queries.pipeline import kmeans_centroids
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", dvec("embedding").alias("v")
+    )
+    cent = kmeans_centroids(spark, SF_DIR).localCheckpoint(eager=True)
+    a0 = assign_to_centroids(base, cent).select("vec_id", "cid").localCheckpoint(
+        eager=True
+    )
+    batch = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 900_000_000).alias("vec_id"), "v"
+    )
+    tau = 0.35  # q125's calibration for this fixture
+
+    def offset(df, cols, i):
+        return df.select(
+            *[(F.col(c) + i * 10_000_000).alias(c) if c in cols else F.col(c) for c in df.columns]
+        )
+
+    for n in reps:
+        corpus, assigns = base, a0
+        for i in range(1, n):
+            corpus = corpus.unionByName(offset(base, {"vec_id"}, i))
+            assigns = assigns.unionByName(offset(a0, {"vec_id", "cid"}, i))
+        union = corpus.unionByName(batch)
+        root = tempfile.mkdtemp(prefix="semdedup_smoke_")
+        try:
+            # materialize the replicated state OUTSIDE the timers — the
+            # n-way union is corpus synthesis, not policy work, and
+            # re-evaluating it inside a timed join would charge it to
+            # whichever path references `emb` more often
+            union.write.parquet(f"{root}/emb")
+            emb_mat = spark.read.parquet(f"{root}/emb")
+            corpus_mat = emb_mat.filter(F.col("vec_id") < 900_000_000)
+            idx = f"{root}/idx"
+            cent.select("cid", "cv").write.parquet(f"{idx}/centroids")
+            assigns.write.parquet(f"{idx}/assignments")
+            prior = f"{root}/removed"
+            semdedup_removed_from_index(spark, idx, corpus_mat, tau).write.parquet(
+                prior
+            )
+            append_semdedup_index(spark, idx, batch)  # post-append state
+
+            t0 = time.perf_counter()
+            merge_semdedup_removed(
+                spark, idx, emb_mat, batch, spark.read.parquet(prior), tau
+            ).write.format("noop").mode("overwrite").save()
+            dt_merge = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            semdedup_removed_from_index(spark, idx, emb_mat, tau).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt_full = time.perf_counter() - t0
+            print(f"{'semdedup_merge':>20}  x{n:<3} {dt_merge:7.3f}s  (cells=8n, batch touches 8)")
+            print(f"{'semdedup_fromscratch':>20}  x{n:<3} {dt_full:7.3f}s")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
