@@ -1187,3 +1187,91 @@ def q148_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+@query(
+    "q156_containment_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                      for i in generate_series(1, len(toks) - 2)])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents) WHERE len(toks) > 0
+    )
+    SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+           CAST(len(a.shingles) AS BIGINT) AS n_small,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(a.shingles) AS containment
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+         AND 10 * len(b.shingles) >= 9 * len(a.shingles)
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(a.shingles) >= 0.9
+    """,
+)
+def q156_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: token-set containment C(A→B) = |A∩B| / |A|
+    ≥ 0.9 over word 3-shingle sets — doc_small's phrases live (almost)
+    inside doc_big's
+    (C17 extension). Catches the subset/truncation duplicates symmetric
+    Jaccard misses: a snippet inside a full article has high containment
+    but LOW Jaccard (the union is article-sized), so a Jaccard-0.8 gate
+    never pairs them. Containment search is Broder's (1997) second
+    resemblance measure; LSH Ensemble (Zhu et al., VLDB 2016) is the
+    standard index for it at scale.
+
+    Directional output: (doc_small ⊂ doc_big). Same lang blocking and
+    O(pairs)-bounded verify as q40; the size prefilter here is the
+    containment implication |B| ≥ 0.9·|A| (|A∩B| ≤ |B|), pure-integer
+    (10·|B| ≥ 9·|A|) and implied by the final filter, so the oracle
+    needs no mirror beyond the same join predicate. Containment is an
+    integer ratio → bit-exact double on both engines, no rounding.
+
+    Scale: blocking on lang stands in for an LSH-Ensemble partition; the
+    candidate join carries token ARRAYS only for same-block pairs that
+    survive the size gate, and the verify is O(candidate pairs), never
+    O(n²) over the corpus.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        # 3-shingle sets, not unigram vocabularies: on any corpus with a
+        # bounded vocabulary (this fixture, OCR output, code) token SETS
+        # saturate and containment degenerates toward 1 for most pairs;
+        # shingles keep the measure about shared PHRASES
+        .select(
+            "doc_id",
+            "lang",
+            _shingles(F.col("text")).alias("shingles"),
+            F.size(_shingles(F.col("text"))).alias("nt"),
+        )
+        # same empty-doc guard as q40: the <3-token fallback shingle of a
+        # blank doc is [''], never empty, but guard the degenerate row
+        # anyway so 0/0 NaN (Spark: NaN >= 0.9 is TRUE) can't diverge
+        .filter(F.col("nt") > 0)
+    )
+    # spread the probe side (single-row-group fixture; see q40)
+    a = d.repartition(64).alias("a")
+    b = d.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") != F.col("b.doc_id"))
+        & (F.lit(10) * F.col("b.nt") >= F.lit(9) * F.col("a.nt")),
+    )
+    n_common = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    containment = n_common.cast("double") / F.col("a.nt")
+    return (
+        j.select(
+            F.col("a.doc_id").alias("doc_small"),
+            F.col("b.doc_id").alias("doc_big"),
+            n_common.cast("bigint").alias("n_common"),
+            F.col("a.nt").cast("bigint").alias("n_small"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.9)
+    )

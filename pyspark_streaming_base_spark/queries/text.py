@@ -12,6 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.functions.textops import tokens as _tokens
+from pyspark_streaming_base_spark.functions.textops import (
+    word_shingles as _shingles,
+)
 from pyspark_streaming_base_spark.queries import query
 from pyspark_streaming_base_spark.queries._tables import t
 
@@ -1938,4 +1941,245 @@ def q155_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_PRF_TOPK)
         .select("doc_id", "n_terms_hit", "score")
+    )
+
+
+@query(
+    "q157_vocab_profile",
+    oracle="""
+    WITH tf AS (
+      SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents)
+      GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang, term, freq,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rk
+      FROM tf
+    )
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / SUM(freq) AS type_token_ratio,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           MIN(CASE WHEN rk = 1 THEN term END) AS top_term,
+           CAST(MAX(CASE WHEN rk = 1 THEN freq END) AS BIGINT) AS top_term_freq,
+           CAST(SUM(CASE WHEN rk <= 10 THEN freq ELSE 0 END) AS DOUBLE)
+             / SUM(freq) AS top10_coverage
+    FROM ranked
+    GROUP BY lang
+    """,
+)
+def q157_vocab_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level vocabulary profile per language (C19 extension) — the
+    companion to q147's doc-level profile: token volume, vocabulary size,
+    type-token ratio, hapax-legomena count (freq-1 terms: the misspelling
+    / OCR-noise signal), and the Zipf head (top term + top-10 mass
+    coverage — how much of the corpus ten words explain). These are the
+    numbers a tokenizer/vocab decision reads (Heaps' law growth, BPE
+    vocab sizing) and a corpus-drift monitor baselines.
+
+    Exactness: every metric is an integer count or integer ratio —
+    bit-exact both engines; the Zipf head tie-breaks (freq DESC, term)
+    so rank 1 and the top-10 set are deterministic.
+
+    Scale: explode → (lang, term) count (map-side combined — the ONE
+    corpus-sized exchange, bounded by the vocabulary afterwards), then a
+    per-lang rank window over the VOCABULARY table (≤ types rows, not
+    tokens) and a lang-level fold. Nothing beyond the term count ever
+    touches corpus-sized data.
+    """
+    tf = (
+        t(spark, sf_dir, "documents")
+        .select("lang", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("term"))
+    )
+    ranked = tf.withColumn("rk", rk)
+    return ranked.groupBy("lang").agg(
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / F.sum("freq")).alias(
+            "type_token_ratio"
+        ),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.min(F.when(F.col("rk") == 1, F.col("term"))).alias("top_term"),
+        F.max(F.when(F.col("rk") == 1, F.col("freq")))
+        .cast("bigint")
+        .alias("top_term_freq"),
+        (
+            F.sum(F.when(F.col("rk") <= 10, F.col("freq")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("freq")
+        ).alias("top10_coverage"),
+    )
+
+
+@query(
+    "q158_quality_threshold_sweep",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        0.45 * (CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')))
+          + 0.35 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+          + 0.2 * (CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) >= 10
+                   THEN 1.0 ELSE 0.0 END) AS quality
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ), grid AS (
+      SELECT CAST(unnest(generate_series(0, 9)) AS DOUBLE) / 10.0 AS threshold
+    )
+    SELECT threshold,
+           CAST(SUM(CASE WHEN quality >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(SUM(CASE WHEN quality >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN quality >= threshold THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS doc_keep_rate,
+           CAST(SUM(CASE WHEN quality >= threshold THEN n_tokens ELSE 0 END) AS DOUBLE)
+             / SUM(n_tokens) AS token_keep_rate
+    FROM scored CROSS JOIN grid
+    GROUP BY threshold
+    """,
+)
+def q158_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate tuning curve (C19/pipeline extension): for a grid of
+    cut thresholds, how many documents and tokens survive q51's quality
+    score — the yield-vs-strictness trade-off a pipeline owner reads to
+    SET the gate before paying for a filtered materialization (the same
+    decision-support role as q148's dedup-savings report, for the
+    quality axis).
+
+    Exactness: the score is q51's expression evaluated in the identical
+    operation order on both engines (q51 is hash-exact), so ``quality >=
+    threshold`` decisions agree bit-for-bit; grid values n/10 and all
+    keep-rates are integer-derived — no rounding anywhere.
+
+    Scale: ONE corpus scan crossed with a 10-row broadcast grid into a
+    conditional-sum aggregate (map-side combined ⇒ the exchange carries
+    10 partial rows per task, never the corpus). The sweep costs the
+    same as computing the score once.
+    """
+    from pyspark_streaming_base_spark.queries.text import q51_quality_score
+
+    scored = q51_quality_score(spark, sf_dir).select("n_tokens", "quality")
+    grid = spark.range(10).select(
+        (F.col("id").cast("double") / 10.0).alias("threshold")
+    )
+    kept = F.when(F.col("quality") >= F.col("threshold"), 1).otherwise(0)
+    kept_toks = F.when(
+        F.col("quality") >= F.col("threshold"), F.col("n_tokens")
+    ).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(kept).cast("bigint").alias("docs_kept"),
+            F.sum(kept_toks).cast("bigint").alias("tokens_kept"),
+            (F.sum(kept).cast("double") / F.count(F.lit(1))).alias(
+                "doc_keep_rate"
+            ),
+            (F.sum(kept_toks).cast("double") / F.sum("n_tokens")).alias(
+                "token_keep_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "q159_source_overlap",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source,
+               unnest(CASE WHEN len(toks) >= 3
+                    THEN list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                        for i in generate_series(1, len(toks) - 2)])
+                    ELSE [array_to_string(toks, ' ')] END) AS sh
+        FROM (SELECT source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents) WHERE len(toks) > 0
+      )
+    ), totals AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY source
+    ), common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_common,
+           ta.n_sh AS n_a, tb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / (ta.n_sh + tb.n_sh - n_common) AS jaccard,
+           CAST(n_common AS DOUBLE) / ta.n_sh AS containment_a,
+           CAST(n_common AS DOUBLE) / tb.n_sh AS containment_b
+    FROM common
+    JOIN totals ta ON ta.source = source_a
+    JOIN totals tb ON tb.source = source_b
+    """,
+)
+def q159_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix over word 3-shingles (C19/dedup
+    extension): for every source pair, the distinct shingles they share,
+    Jaccard, and both containments. This is the mixture-design /
+    cross-source-leakage report: which corpus components duplicate each
+    other (double-counted mass under a mixing weight), and whether one
+    source is essentially a subset of another (containment ≈ 1 — drop it
+    rather than re-weight it).
+
+    Exactness: distinct-shingle counts and integer ratios only.
+
+    Scale: the corpus folds to DISTINCT (source, shingle) ONCE (the only
+    corpus-sized exchange); the pair join keys on the shingle with
+    fan-out ≤ #sources per shingle (bounded by construction, sources
+    being a catalog-sized set), and everything after is
+    vocabulary-sized. Never doc×doc.
+    """
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(_shingles(F.col("text"))).alias("sh"))
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+            (F.col("n_common").cast("double") / F.col("n_a")).alias(
+                "containment_a"
+            ),
+            (F.col("n_common").cast("double") / F.col("n_b")).alias(
+                "containment_b"
+            ),
+        )
     )

@@ -122,6 +122,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q153_epoch_materialization",  # 1-row total + |sources|-row factor folds
         "q154_bm25_batch_retrieval",  # 1-row stats + bench-table broadcast folds
         "q155_prf_query_expansion",  # two q136-shape passes' broadcast folds
+        "q158_quality_threshold_sweep",  # 10-row threshold-grid broadcast fold
     }
     got_warns = set()
     for name, spec in R.items():
