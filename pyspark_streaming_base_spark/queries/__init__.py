@@ -87,12 +87,8 @@ DRIVER_PRIORITY: tuple = (
     # component-required reps (C19 text, C9 windows, C22 stateful,
     # C25 Arrow tier) + flagship extension keepers
     "q47_repetition_score",
-    "q107_dup_span_detection",
-    "q108_fuzzy_hamming_join",
     "q124_fuzzy_levenshtein_join",
     "q96_min_cost_supplier",
-    "q97_profit_by_nation_year",
-    "q99_resample_interpolate",
     "q79_late_data_audit",
     "q89_stream_stream_left_outer",
     "q98_arrow_digest",
@@ -119,6 +115,14 @@ DRIVER_PRIORITY: tuple = (
     "q143_bpe_merges",
     "q146_ann_recall_eval",
     "q150_retrieval_pipeline",
+    # ROUND-8 NEW OPERATORS, rotated in the same round they were written
+    # so no never-driver-checked debt accrues (q97/q99/q107/q108 — all
+    # driver-green in r7, code unchanged — yield their slots; C6/C9/C13
+    # stay covered by q01/q96/q17, C17 by q40/q124/q44)
+    "q156_containment_pairs",
+    "q157_vocab_profile",
+    "q158_quality_threshold_sweep",
+    "q159_source_overlap",
 )
 
 
