@@ -83,14 +83,11 @@ DRIVER_PRIORITY: tuple = (
     "q72_session_window",       # C21
     "q73_stream_static_join",   # C23
     "q80_binary_metadata",      # multimodal
-    "q100_training_pipeline",   # capstone composition
     # component-required reps (C19 text, C9 windows, C22 stateful,
     # C25 Arrow tier) + flagship extension keepers
     "q47_repetition_score",
-    "q124_fuzzy_levenshtein_join",
     "q96_min_cost_supplier",
     "q79_late_data_audit",
-    "q89_stream_stream_left_outer",
     "q98_arrow_digest",
     # flagship extension keepers with churn-sensitive engines
     "q44_dedup_clusters",       # connected-components engine rep
@@ -116,13 +113,17 @@ DRIVER_PRIORITY: tuple = (
     "q146_ann_recall_eval",
     "q150_retrieval_pipeline",
     # ROUND-8 NEW OPERATORS, rotated in the same round they were written
-    # so no never-driver-checked debt accrues (q97/q99/q107/q108 — all
-    # driver-green in r7, code unchanged — yield their slots; C6/C9/C13
-    # stay covered by q01/q96/q17, C17 by q40/q124/q44)
+    # so no never-driver-checked debt accrues (q97/q99/q107/q108/q89/
+    # q100/q124 — all driver-green in r7, code unchanged — yield their
+    # slots; C6/C9/C13/C23/C17 stay covered by the q01/q96/q17/q73/
+    # q40+q44 keepers)
     "q156_containment_pairs",
     "q157_vocab_profile",
     "q158_quality_threshold_sweep",
     "q159_source_overlap",
+    "q160_column_profile",
+    "q161_join_skew_report",
+    "q162_rank_correlation",
 )
 
 

@@ -1593,3 +1593,271 @@ def q153_epoch_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("target_weight"),
         (F.col("n_epoch").cast("double") / F.col("te")).alias("achieved_share"),
     )
+
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+
+@query(
+    "q160_column_profile",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT {c}) AS DOUBLE) / COUNT(*) AS distinct_ratio
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + """
+    )
+    """,
+)
+def q160_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic table profiler (DQ extension): one row per column with
+    null count, distinct count, and distinct ratio — the
+    deequ/great-expectations "profile" primitive that seeds every
+    expectation suite (which columns are keys, which are categorical,
+    which leak nulls). Typed min/max are deliberately absent: rendering
+    heterogeneous types to strings is engine-specific, and every metric
+    here is an exact integer or integer ratio.
+
+    Scale: ONE scan — all 11 columns' null counts and distinct counts
+    run in a single aggregate (count_distinct expands to one Expand +
+    partial aggs, map-side combined), and the 1×33-metric row unpivots
+    driver-side to the long report. The oracle's 11-scan UNION ALL is
+    the definitional form; the Spark plan reads the table once.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__dist"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__dist" for c in _PROFILE_COLS
+    )
+    long = one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(column_name, n_rows, n_null, n_distinct)"
+    )
+    return long.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        (F.col("n_distinct").cast("double") / F.col("n_rows")).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+@query(
+    "q161_join_skew_report",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS join_key, n_rows, n_keys, max_mult,
+           CAST(n_rows AS DOUBLE) / n_keys AS avg_mult,
+           CAST(max_mult AS DOUBLE) * n_keys / n_rows AS skew_factor,
+           CAST(top10_rows AS DOUBLE) / n_rows AS hot10_share
+    FROM (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_mult,
+             CAST(SUM(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS BIGINT) AS top10_rows
+      FROM (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, {c}) AS rk
+        FROM (SELECT {c}, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM lineitem GROUP BY {c})
+      )
+    )"""
+        for c in _SKEW_KEYS
+    )
+    + """
+    )
+    """,
+)
+def q161_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew diagnostic (scale-tuning extension): for each candidate
+    fact-table join key, the multiplicity profile that decides the join
+    strategy BEFORE the job runs — average vs maximum key multiplicity,
+    the skew factor (max/avg: how much slower the hottest hash partition
+    is than the mean, the number that says "salt this key"), and the row
+    share of the 10 hottest keys (whether skew is one giant key or a
+    warm head). This is the report behind SCALE.md's salting/AQE
+    decisions, as a first-class query.
+
+    Exactness: counts, integer ratios, deterministic (cnt DESC, key)
+    top-10 tie-break.
+
+    Scale: one groupBy per key (map-side combined) and everything after
+    is key-domain-sized; the top-10 hot keys come from orderBy+limit
+    (TakeOrderedAndProject — per-partition heaps, never a global rank
+    window over the key domain, which at 100 TB is billions of rows).
+    The three per-key profiles scan independently — at 100 TB run them
+    as one pass with grouping sets if the scan dominates.
+    """
+    outs = []
+    li = t(spark, sf_dir, "lineitem")
+    for c in _SKEW_KEYS:
+        counts = li.groupBy(c).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        top10 = (
+            counts.orderBy(F.col("cnt").desc(), F.col(c))
+            .limit(10)
+            .agg(F.sum("cnt").cast("bigint").alias("top10_rows"))
+        )
+        prof = counts.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("cnt").cast("bigint").alias("max_mult"),
+        ).crossJoin(F.broadcast(top10)).select(
+            F.lit(c).alias("join_key"),
+            "n_rows",
+            "n_keys",
+            "max_mult",
+            (F.col("n_rows").cast("double") / F.col("n_keys")).alias("avg_mult"),
+            (
+                F.col("max_mult").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows")
+            ).alias("skew_factor"),
+            (F.col("top10_rows").cast("double") / F.col("n_rows")).alias(
+                "hot10_share"
+            ),
+        )
+        outs.append(prof)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
+    "q162_rank_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), x -> x <> '')) AS distinct_ratio
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ), r AS (
+      SELECT
+        2 * RANK() OVER (ORDER BY n_tokens)
+          + CAST(COUNT(*) OVER (PARTITION BY n_tokens) AS BIGINT) - 1 AS ra2,
+        2 * RANK() OVER (ORDER BY distinct_ratio)
+          + CAST(COUNT(*) OVER (PARTITION BY distinct_ratio) AS BIGINT) - 1 AS rb2
+      FROM s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM((ra2 - rb2) * (ra2 - rb2)) AS BIGINT) AS sum_d2_quarters,
+           1.0 - 1.5 * SUM((ra2 - rb2) * (ra2 - rb2))
+                 / (COUNT(*) * (CAST(COUNT(*) AS BIGINT) * COUNT(*) - 1))
+             AS spearman_rho
+    FROM r
+    """,
+)
+def q162_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Spearman rank correlation (analytics extension): does
+    lexical diversity fall with document length? — the monotone-
+    association check behind quality-score design (q51 weights) and
+    drift comparisons, computed with ZERO float accumulation error.
+
+    The trick: average tie-ranks are half-integers, so DOUBLED ranks
+    ``ra2 = 2·rank + ties − 1`` are integers; Σd² in quarter units is a
+    pure BIGINT sum (order-independent — no float-summation hazard),
+    and ρ = 1 − 6·(Σd²/4)/(n(n²−1)) = 1 − 1.5·Σd²q/(n(n²−1)) is one
+    deterministic division at the end. Same engine-exactness playbook
+    as `_exact.py`'s scaled sums.
+
+    Scale: NO corpus-sized window. Ranks come from the VALUE DOMAIN:
+    avg-tie doubled rank of value v is ``2·(#rows below v) + ties + 1``,
+    so each variable needs only its (value, count) table with a
+    cumulative count — and both domains are bounded by construction
+    (token counts by max document length L; distinct ratios are
+    rationals d/t with t ≤ L, so ≤ O(L²) distinct values no matter the
+    corpus size). The cumulative window runs over those bounded tables;
+    rows re-attach by two equi-joins on the value (exact: both sides
+    compute the identical expression). The fold is a 1-row aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = _q162_toks(F.col("text"))
+    s = d.select(
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks)
+        ).alias("distinct_ratio"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def rank2_table(col: str) -> DataFrame:
+        vd = s.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("_ties"))
+        below = F.coalesce(
+            F.sum("_ties").over(
+                W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        return vd.select(
+            col, (F.lit(2) * below + F.col("_ties") + 1).alias(f"_r2_{col}")
+        )
+
+    r = (
+        s.join(rank2_table("n_tokens"), "n_tokens")
+        .join(rank2_table("distinct_ratio"), "distinct_ratio")
+        .select(
+            F.col("_r2_n_tokens").alias("ra2"),
+            F.col("_r2_distinct_ratio").alias("rb2"),
+        )
+    )
+    d2 = (F.col("ra2") - F.col("rb2")) * (F.col("ra2") - F.col("rb2"))
+    n = F.count(F.lit(1)).cast("bigint")
+    return r.agg(
+        n.alias("n"),
+        F.sum(d2).cast("bigint").alias("sum_d2_quarters"),
+        (
+            F.lit(1.0)
+            - F.lit(1.5)
+            * F.sum(d2).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * (
+                    F.count(F.lit(1)).cast("double")
+                    * F.count(F.lit(1)).cast("double")
+                    - F.lit(1.0)
+                )
+            )
+        ).alias("spearman_rho"),
+    )
+
+
+def _q162_toks(col):
+    from pyspark_streaming_base_spark.functions.textops import tokens as _tk
+
+    return _tk(col)

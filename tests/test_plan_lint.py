@@ -123,6 +123,9 @@ def test_no_registry_query_has_lint_errors(spark):
         "q154_bm25_batch_retrieval",  # 1-row stats + bench-table broadcast folds
         "q155_prf_query_expansion",  # two q136-shape passes' broadcast folds
         "q158_quality_threshold_sweep",  # 10-row threshold-grid broadcast fold
+        "q160_column_profile",  # 1-row all-columns aggregate (bounded global agg)
+        "q161_join_skew_report",  # 1-row profile x 1-row top10 broadcast folds
+        "q162_rank_correlation",  # value-domain rank windows (bounded by L/L^2)
     }
     got_warns = set()
     for name, spec in R.items():
