@@ -170,9 +170,9 @@ def query_bm25_index(
 ) -> DataFrame:
     """Probe the persisted index: the corpus is NEVER re-tokenized — the
     term filter pushes down to the postings parquet, so the probe reads
-    ~|terms| postings lists + one doclens scan."""
-    postings = spark.read.parquet(f"{path}/postings")
-    doclens = spark.read.parquet(f"{path}/doclens")
+    ~|terms| postings lists + one doclens scan. Reads the LIVE view
+    (tombstoned docs excluded, statistics self-corrected)."""
+    postings, doclens = load_bm25_index(spark, path, id_col)
     return bm25_score_terms(postings, doclens, terms, id_col, top_k)
 
 
@@ -233,3 +233,85 @@ def bm25_score_query_table(
             .drop("rnk")
         )
     return out.select("qid", id_col, "n_terms_hit", "score")
+
+
+# ---------------------------------------------------------------------------
+# Deletes + compaction: the rest of the index lifecycle
+# ---------------------------------------------------------------------------
+#
+# Appends alone can't serve a production corpus — takedowns, dedup
+# removals, and re-crawls all DELETE documents. The pattern (the template
+# for the whole persisted-index family): deletes are O(delete-batch)
+# TOMBSTONE appends at `path/tombstones`; probes anti-join the live
+# tables against them, and because N/avgdl/df are always derived from the
+# (now filtered) tables at probe time, the statistics self-correct — a
+# deleted doc leaves the corpus AND the idf denominator in the same
+# operation. Compaction rewrites the tables minus tombstones when the
+# tombstone set has grown enough to matter; until then a probe pays one
+# anti-join against a (usually broadcast-sized) id list. Same
+# single-writer maintenance contract as the append paths.
+
+
+def delete_from_bm25_index(
+    spark: SparkSession,
+    path: str,
+    ids,
+    id_col: str = "doc_id",
+) -> None:
+    """Tombstone a batch of document ids — O(batch), no table rewrite.
+
+    ``ids``: a DataFrame with ``id_col``, or an iterable of id values.
+    Deleting an id that was never indexed is a harmless no-op (the
+    anti-join ignores it); deleting one twice is idempotent at probe
+    time (tombstones are a set semantically — compaction dedups).
+    """
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
+    ids.select(id_col).write.mode("append").parquet(f"{path}/tombstones")
+
+
+def _tombstones(spark: SparkSession, path: str) -> Optional[DataFrame]:
+    try:
+        return spark.read.parquet(f"{path}/tombstones")
+    except Exception:
+        return None  # no deletes yet — the common fresh-index case
+
+
+def load_bm25_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> tuple:
+    """The LIVE ``(postings, doclens)`` view: tombstoned docs removed
+    from both tables, so every derived statistic (N, avgdl, df) reflects
+    the post-delete corpus. All probe entry points read through here."""
+    postings = spark.read.parquet(f"{path}/postings")
+    doclens = spark.read.parquet(f"{path}/doclens")
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        t = tomb.select(id_col).distinct()
+        postings = postings.join(t, id_col, "anti")
+        doclens = doclens.join(t, id_col, "anti")
+    return postings, doclens
+
+
+def compact_bm25_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> None:
+    """Fold tombstones into the tables: rewrite ``postings``/``doclens``
+    without the deleted docs and clear the tombstone set. Run when the
+    tombstone list has grown past broadcast size (until then probes pay
+    one cheap anti-join). Single-writer maintenance operation, like the
+    append paths: the snapshot is staged to ``*.compacting`` dirs and
+    swapped in, so a crash mid-compact leaves the original index intact
+    (stale stage dirs are overwritten by the next attempt)."""
+    import os
+    import shutil
+
+    postings, doclens = load_bm25_index(spark, path, id_col)
+    stage_p = f"{path}/postings.compacting"
+    stage_d = f"{path}/doclens.compacting"
+    postings.write.mode("overwrite").parquet(stage_p)
+    doclens.write.mode("overwrite").parquet(stage_d)
+    for live, stage in ((f"{path}/postings", stage_p), (f"{path}/doclens", stage_d)):
+        shutil.rmtree(live)
+        os.rename(stage, live)
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)

@@ -103,7 +103,7 @@ def query_minhash_index(
     the corpus contributes its materialized table. Self-matches (same id)
     are excluded; downstream verifies candidates with exact Jaccard.
     """
-    index = spark.read.parquet(path).select(
+    index = load_minhash_index(spark, path, id_col).select(
         F.col(id_col).alias("index_id"), "band_idx", "band_hash"
     )
     probe = minhash_bands(new_docs, id_col, text_col).select(
@@ -145,3 +145,57 @@ def index_band_pairs(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .select(F.col(f"l.{id_col}").alias("src"), F.col(f"r.{id_col}").alias("dst"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Deletes + compaction (same lifecycle template as operators/bm25.py)
+# ---------------------------------------------------------------------------
+#
+# Dedup removals, takedowns, and re-crawls DELETE documents from the
+# corpus; the signature index must stop producing candidates for them.
+# Deletes are O(batch) tombstone appends at `<path>.tombstones` (a
+# SIBLING path — the signature table's own directory must stay a plain
+# parquet dataset for the append path); probes anti-join the signatures
+# against the tombstone set; compaction folds tombstones into a rewrite.
+
+
+def delete_from_minhash_index(
+    spark: SparkSession, path: str, ids, id_col: str = "doc_id"
+) -> None:
+    """Tombstone documents — O(batch), no signature rewrite. ``ids`` is a
+    DataFrame with ``id_col`` or an iterable of id values; unknown ids
+    are no-ops and repeats are idempotent at probe time."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
+    ids.select(id_col).write.mode("append").parquet(f"{path}.tombstones")
+
+
+def load_minhash_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The LIVE signature table: tombstoned ids excluded. Probe and
+    rebuild paths read through here so deleted docs can neither emit nor
+    receive candidates."""
+    sig = spark.read.parquet(path)
+    try:
+        tomb = spark.read.parquet(f"{path}.tombstones")
+    except Exception:
+        return sig  # no deletes yet
+    return sig.join(tomb.select(id_col).distinct(), id_col, "anti")
+
+
+def compact_minhash_index(
+    spark: SparkSession, path: str, id_col: str = "doc_id"
+) -> None:
+    """Rewrite the signature table minus tombstones and clear them.
+    Staged to ``<path>.compacting`` then swapped, so a crash mid-compact
+    leaves the original intact; single-writer maintenance op like the
+    appends."""
+    import os
+    import shutil
+
+    stage = f"{path}.compacting"
+    load_minhash_index(spark, path, id_col).write.mode("overwrite").parquet(stage)
+    shutil.rmtree(path)
+    os.rename(stage, path)
+    shutil.rmtree(f"{path}.tombstones", ignore_errors=True)

@@ -117,3 +117,70 @@ def test_streaming_append_then_probe_equals_batch_build(spark, docs, tmp_path):
     got = sorted(map(tuple, query_bm25_index(spark, idx, _BM25_TERMS).collect()))
     want = sorted(map(tuple, query_bm25_index(spark, full, _BM25_TERMS).collect()))
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# Delete + compact lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _probe(spark, path):
+    return sorted(
+        map(
+            tuple,
+            query_bm25_index(spark, path, _BM25_TERMS, top_k=_BM25_TOPK).collect(),
+        )
+    )
+
+
+def test_delete_equals_rebuild_without(spark, docs, tmp_path):
+    """Tombstoned probe == index rebuilt over the surviving docs, scores
+    included — deletes self-correct N/avgdl/df, not just the hit list."""
+    from pyspark_streaming_base_spark.operators.bm25 import delete_from_bm25_index
+
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full)
+    gone = [r[0] for r in docs.select("doc_id").orderBy("doc_id").limit(25).collect()]
+    delete_from_bm25_index(spark, full, gone)
+
+    survivors = docs.filter(~F.col("doc_id").isin(gone))
+    want_idx = str(tmp_path / "want")
+    build_bm25_index(survivors, want_idx)
+    assert _probe(spark, full) == _probe(spark, want_idx)
+
+
+def test_delete_is_idempotent_and_ignores_unknown_ids(spark, docs, tmp_path):
+    from pyspark_streaming_base_spark.operators.bm25 import delete_from_bm25_index
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, idx)
+    delete_from_bm25_index(spark, idx, [0, 1])
+    before = _probe(spark, idx)
+    delete_from_bm25_index(spark, idx, [0, 1])          # repeat
+    delete_from_bm25_index(spark, idx, [999_999_999])   # never indexed
+    assert _probe(spark, idx) == before
+
+
+def test_compact_folds_tombstones_and_preserves_probes(spark, docs, tmp_path):
+    import os
+
+    from pyspark_streaming_base_spark.operators.bm25 import (
+        compact_bm25_index,
+        delete_from_bm25_index,
+        load_bm25_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, idx)
+    gone = [r[0] for r in docs.select("doc_id").orderBy("doc_id").limit(10).collect()]
+    delete_from_bm25_index(spark, idx, gone)
+    before = _probe(spark, idx)
+    n_live = load_bm25_index(spark, idx)[1].count()
+
+    compact_bm25_index(spark, idx)
+    assert not os.path.exists(f"{idx}/tombstones")  # folded in
+    assert _probe(spark, idx) == before             # same answers, no anti-join
+    assert load_bm25_index(spark, idx)[1].count() == n_live
+    # the physical tables no longer contain the deleted ids at all
+    raw = spark.read.parquet(f"{idx}/doclens")
+    assert raw.filter(F.col("doc_id").isin(gone)).count() == 0

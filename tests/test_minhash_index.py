@@ -106,3 +106,66 @@ def test_append_equals_build_on_union(spark, tmp_path):
     assert got == want and got
     # candidates reach docs from every appended day
     assert {i % 3 for _, i in got} == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Delete + compact lifecycle (template shared with operators/bm25.py)
+# ---------------------------------------------------------------------------
+
+
+def _pairs(spark, path, probe):
+    from pyspark_streaming_base_spark.operators.minhash import query_minhash_index
+
+    return sorted(
+        map(tuple, query_minhash_index(spark, path, probe).collect())
+    )
+
+
+def test_delete_removes_candidates_and_equals_rebuild(spark, tmp_path):
+    from pyspark_streaming_base_spark.operators.minhash import (
+        build_minhash_index,
+        delete_from_minhash_index,
+    )
+
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    probe = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx)
+    gone = [
+        r[0] for r in corpus.select("doc_id").orderBy("doc_id").limit(50).collect()
+    ]
+    delete_from_minhash_index(spark, idx, gone)
+
+    want_idx = str(tmp_path / "want")
+    build_minhash_index(corpus.filter(~F.col("doc_id").isin(gone)), want_idx)
+    got = _pairs(spark, idx, probe)
+    assert got == _pairs(spark, want_idx, probe)
+    assert not any(ix in gone for _, ix in got)
+
+
+def test_compact_folds_tombstones(spark, tmp_path):
+    import os
+
+    from pyspark_streaming_base_spark.operators.minhash import (
+        build_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+    )
+
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    probe = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(corpus, idx)
+    gone = [
+        r[0] for r in corpus.select("doc_id").orderBy("doc_id").limit(30).collect()
+    ]
+    delete_from_minhash_index(spark, idx, gone)
+    before = _pairs(spark, idx, probe)
+
+    compact_minhash_index(spark, idx)
+    assert not os.path.exists(f"{idx}.tombstones")
+    assert _pairs(spark, idx, probe) == before
+    raw = spark.read.parquet(idx)
+    assert raw.filter(F.col("doc_id").isin(gone)).count() == 0
