@@ -16,12 +16,19 @@ from pyspark_streaming_base_spark.functions.multimodal import (
 from pyspark_streaming_base_spark.functions.textops import redact
 from pyspark_streaming_base_spark.operators.asof import asof_backward_join
 from pyspark_streaming_base_spark.operators.bloom import (
+    append_bloom_index,
     bloom_maybe_contains,
     build_bloom,
+    build_bloom_index,
+    load_bloom_geometry,
+    query_bloom_index,
 )
 from pyspark_streaming_base_spark.operators.bpe import bpe_apply, bpe_train, to_symbols
 from pyspark_streaming_base_spark.operators.bm25 import (
     append_bm25_index,
+    compact_bm25_index,
+    delete_from_bm25_index,
+    load_bm25_index,
     bm25_doclens,
     bm25_postings,
     bm25_score_query_table,
@@ -52,6 +59,8 @@ from pyspark_streaming_base_spark.operators.logreg import (
 )
 from pyspark_streaming_base_spark.operators.semdedup import (
     append_semdedup_index,
+    compact_semdedup_index,
+    delete_from_semdedup_index,
     assign_to_centroids,
     build_semdedup_index,
     merge_semdedup_removed,
@@ -67,6 +76,8 @@ from pyspark_streaming_base_spark.operators.scalardrift import (
 from pyspark_streaming_base_spark.operators.triangles import triangle_counts
 from pyspark_streaming_base_spark.operators.ivf import (
     append_ivf_index,
+    compact_ivf_index,
+    delete_from_ivf_index,
     build_ivf_index,
     ivf_assign,
     ivf_search,
@@ -75,6 +86,9 @@ from pyspark_streaming_base_spark.operators.ivf import (
 from pyspark_streaming_base_spark.operators.imagededup import image_near_dup_pairs
 from pyspark_streaming_base_spark.operators.minhash import (
     append_minhash_index,
+    compact_minhash_index,
+    delete_from_minhash_index,
+    load_minhash_index,
     build_minhash_index,
     minhash_bands,
     query_minhash_index,
@@ -86,6 +100,8 @@ from pyspark_streaming_base_spark.operators.fuzzyjoin import (
 from pyspark_streaming_base_spark.operators.pagerank import pagerank
 from pyspark_streaming_base_spark.operators.pq import (
     append_pq_index,
+    compact_pq_index,
+    delete_from_pq_index,
     build_pq_index,
     pq_codebooks,
     query_pq_index,

@@ -259,22 +259,11 @@ def delete_from_bm25_index(
     id_col: str = "doc_id",
 ) -> None:
     """Tombstone a batch of document ids — O(batch), no table rewrite.
+    Set semantics (unknown ids no-op, repeats idempotent); see
+    ``operators/tombstones.py`` for the shared lifecycle contract."""
+    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
 
-    ``ids``: a DataFrame with ``id_col``, or an iterable of id values.
-    Deleting an id that was never indexed is a harmless no-op (the
-    anti-join ignores it); deleting one twice is idempotent at probe
-    time (tombstones are a set semantically — compaction dedups).
-    """
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
-    ids.select(id_col).write.mode("append").parquet(f"{path}/tombstones")
-
-
-def _tombstones(spark: SparkSession, path: str) -> Optional[DataFrame]:
-    try:
-        return spark.read.parquet(f"{path}/tombstones")
-    except Exception:
-        return None  # no deletes yet — the common fresh-index case
+    write_tombstones(spark, f"{path}/tombstones", ids, id_col)
 
 
 def load_bm25_index(
@@ -283,13 +272,15 @@ def load_bm25_index(
     """The LIVE ``(postings, doclens)`` view: tombstoned docs removed
     from both tables, so every derived statistic (N, avgdl, df) reflects
     the post-delete corpus. All probe entry points read through here."""
-    postings = spark.read.parquet(f"{path}/postings")
-    doclens = spark.read.parquet(f"{path}/doclens")
-    tomb = _tombstones(spark, path)
-    if tomb is not None:
-        t = tomb.select(id_col).distinct()
-        postings = postings.join(t, id_col, "anti")
-        doclens = doclens.join(t, id_col, "anti")
+    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+
+    tp = f"{path}/tombstones"
+    postings = apply_tombstones(
+        spark, tp, spark.read.parquet(f"{path}/postings"), id_col
+    )
+    doclens = apply_tombstones(
+        spark, tp, spark.read.parquet(f"{path}/doclens"), id_col
+    )
     return postings, doclens
 
 
@@ -299,19 +290,14 @@ def compact_bm25_index(
     """Fold tombstones into the tables: rewrite ``postings``/``doclens``
     without the deleted docs and clear the tombstone set. Run when the
     tombstone list has grown past broadcast size (until then probes pay
-    one cheap anti-join). Single-writer maintenance operation, like the
-    append paths: the snapshot is staged to ``*.compacting`` dirs and
-    swapped in, so a crash mid-compact leaves the original index intact
-    (stale stage dirs are overwritten by the next attempt)."""
-    import os
-    import shutil
+    one cheap anti-join). Staged-swap per table via
+    ``operators/tombstones.py::swap_in`` — crash-safe, single-writer."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        clear_tombstones,
+        swap_in,
+    )
 
     postings, doclens = load_bm25_index(spark, path, id_col)
-    stage_p = f"{path}/postings.compacting"
-    stage_d = f"{path}/doclens.compacting"
-    postings.write.mode("overwrite").parquet(stage_p)
-    doclens.write.mode("overwrite").parquet(stage_d)
-    for live, stage in ((f"{path}/postings", stage_p), (f"{path}/doclens", stage_d)):
-        shutil.rmtree(live)
-        os.rename(stage, live)
-    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    swap_in(f"{path}/postings", postings)
+    swap_in(f"{path}/doclens", doclens)
+    clear_tombstones(f"{path}/tombstones")

@@ -96,10 +96,47 @@ def query_ivf_index(
     nprobe: int,
     top_k: int,
 ) -> DataFrame:
-    """(qid, vec_id, sim_r, rnk ≤ top_k) for a query batch (qid, qvec)."""
+    """(qid, vec_id, sim_r, rnk ≤ top_k) for a query batch (qid, qvec).
+    Reads the LIVE assignments (tombstoned vec_ids excluded)."""
+    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+
     centroids = spark.read.parquet(f"{path}/centroids")
-    assigned = spark.read.parquet(f"{path}/assignments")
+    assigned = apply_tombstones(
+        spark,
+        f"{path}/tombstones",
+        spark.read.parquet(f"{path}/assignments"),
+        "vec_id",
+    )
     return ivf_search(queries, centroids, assigned, nprobe, top_k)
+
+
+def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> None:
+    """Tombstone vectors — O(batch); probes stop returning them. Set
+    semantics; shared contract in ``operators/tombstones.py``. The
+    frozen quantizer is untouched (deletes don't retrain, exactly like
+    appends don't)."""
+    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
+
+    write_tombstones(spark, f"{path}/tombstones", ids, "vec_id")
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Fold tombstones into the assignments table (staged-swap) and
+    clear them."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        apply_tombstones,
+        clear_tombstones,
+        swap_in,
+    )
+
+    live = apply_tombstones(
+        spark,
+        f"{path}/tombstones",
+        spark.read.parquet(f"{path}/assignments"),
+        "vec_id",
+    )
+    swap_in(f"{path}/assignments", live)
+    clear_tombstones(f"{path}/tombstones")
 
 
 def ivf_probe_cells(

@@ -162,12 +162,11 @@ def index_band_pairs(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def delete_from_minhash_index(
     spark: SparkSession, path: str, ids, id_col: str = "doc_id"
 ) -> None:
-    """Tombstone documents — O(batch), no signature rewrite. ``ids`` is a
-    DataFrame with ``id_col`` or an iterable of id values; unknown ids
-    are no-ops and repeats are idempotent at probe time."""
-    if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame([(int(i),) for i in ids], f"{id_col} bigint")
-    ids.select(id_col).write.mode("append").parquet(f"{path}.tombstones")
+    """Tombstone documents — O(batch), no signature rewrite. Set
+    semantics; shared contract in ``operators/tombstones.py``."""
+    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
+
+    write_tombstones(spark, f"{path}.tombstones", ids, id_col)
 
 
 def load_minhash_index(
@@ -176,26 +175,22 @@ def load_minhash_index(
     """The LIVE signature table: tombstoned ids excluded. Probe and
     rebuild paths read through here so deleted docs can neither emit nor
     receive candidates."""
-    sig = spark.read.parquet(path)
-    try:
-        tomb = spark.read.parquet(f"{path}.tombstones")
-    except Exception:
-        return sig  # no deletes yet
-    return sig.join(tomb.select(id_col).distinct(), id_col, "anti")
+    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+
+    return apply_tombstones(
+        spark, f"{path}.tombstones", spark.read.parquet(path), id_col
+    )
 
 
 def compact_minhash_index(
     spark: SparkSession, path: str, id_col: str = "doc_id"
 ) -> None:
-    """Rewrite the signature table minus tombstones and clear them.
-    Staged to ``<path>.compacting`` then swapped, so a crash mid-compact
-    leaves the original intact; single-writer maintenance op like the
-    appends."""
-    import os
-    import shutil
+    """Rewrite the signature table minus tombstones and clear them —
+    staged-swap via ``operators/tombstones.py::swap_in``."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        clear_tombstones,
+        swap_in,
+    )
 
-    stage = f"{path}.compacting"
-    load_minhash_index(spark, path, id_col).write.mode("overwrite").parquet(stage)
-    shutil.rmtree(path)
-    os.rename(stage, path)
-    shutil.rmtree(f"{path}.tombstones", ignore_errors=True)
+    swap_in(path, load_minhash_index(spark, path, id_col))
+    clear_tombstones(f"{path}.tombstones")

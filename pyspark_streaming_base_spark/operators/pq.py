@@ -482,9 +482,13 @@ def query_pq_index(
     full-precision vectors for the re-rank) comes from the ONE
     pre-joined ``index`` table; the source corpus is never read.
     """
+    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+
     codebooks = spark.read.parquet(f"{path}/codebooks")
     centroids = spark.read.parquet(f"{path}/centroids")
-    index = spark.read.parquet(f"{path}/index")
+    index = apply_tombstones(
+        spark, f"{path}/tombstones", spark.read.parquet(f"{path}/index"), "vec_id"
+    )
 
     from pyspark_streaming_base_spark.operators.ivf import ivf_probe_cells
 
@@ -499,3 +503,30 @@ def query_pq_index(
     )
     short = _adc_shortlist(cand, queries, codebooks, m, shortlist)
     return _exact_rerank(index.select("vec_id", "vec"), short, queries, top_k)
+
+
+def delete_from_pq_index(spark, path: str, ids) -> None:
+    """Tombstone vectors in the IVFADC index — O(batch); probes exclude
+    them from the compressed scan AND the exact re-rank (both read the
+    one ``index`` table through the live view). Codebooks/centroids are
+    frozen artifacts and untouched. Shared contract:
+    ``operators/tombstones.py``."""
+    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
+
+    write_tombstones(spark, f"{path}/tombstones", ids, "vec_id")
+
+
+def compact_pq_index(spark, path: str) -> None:
+    """Fold tombstones into the ``index`` table (staged-swap), clear
+    them."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        apply_tombstones,
+        clear_tombstones,
+        swap_in,
+    )
+
+    live = apply_tombstones(
+        spark, f"{path}/tombstones", spark.read.parquet(f"{path}/index"), "vec_id"
+    )
+    swap_in(f"{path}/index", live)
+    clear_tombstones(f"{path}/tombstones")

@@ -312,8 +312,40 @@ def semdedup_removed_from_index(
     (vec_id, cid) cells come from ``<path>/assignments`` (never
     recomputed); ``emb`` (vec_id, v) re-attaches vectors for the pair
     verify — one equi-join, O(corpus rows) but O(1) clustering work."""
-    assigned = spark.read.parquet(f"{path}/assignments").join(emb, "vec_id")
+    assigned = _live_assignments(spark, path).join(emb, "vec_id")
     return semdedup_removed(assigned, tau, exact_threshold)
+
+
+def _live_assignments(spark: SparkSession, path: str) -> DataFrame:
+    """Assignments minus tombstoned vec_ids — every policy/merge path
+    reads through here so deleted vectors neither block nor get
+    removed."""
+    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+
+    return apply_tombstones(
+        spark, f"{path}/tombstones", spark.read.parquet(f"{path}/assignments"),
+        "vec_id",
+    )
+
+
+def delete_from_semdedup_index(spark: SparkSession, path: str, ids) -> None:
+    """Tombstone vectors — O(batch); the frozen centroids are untouched.
+    Set semantics; shared contract in ``operators/tombstones.py``."""
+    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
+
+    write_tombstones(spark, f"{path}/tombstones", ids, "vec_id")
+
+
+def compact_semdedup_index(spark: SparkSession, path: str) -> None:
+    """Fold tombstones into the assignments table (staged-swap), clear
+    them."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        clear_tombstones,
+        swap_in,
+    )
+
+    swap_in(f"{path}/assignments", _live_assignments(spark, path))
+    clear_tombstones(f"{path}/tombstones")
 
 
 def merge_semdedup_removed(
@@ -359,7 +391,7 @@ def merge_semdedup_removed(
     ~from-scratch — the bench entry (``semdedup_merge``) prices that
     floor, not the large-k asymptote.
     """
-    assignments = spark.read.parquet(f"{path}/assignments")
+    assignments = _live_assignments(spark, path)
     # the batch's cells, read straight off the already-appended index
     # (no re-assignment): a cid is affected iff a new vec_id landed in it
     affected = (

@@ -215,3 +215,56 @@ def test_default_quantizer_survives_offset_id_space(spark, tmp_path):
     cent = spark.read.parquet(f"{path}/centroids")
     assert cent.count() == 8
     assert {r.cent_id for r in cent.collect()} == set(range(5_000, 5_008))
+
+
+def test_delete_equals_rebuild_without(spark, tmp_path):
+    """Tombstoned probe == index rebuilt over survivors (frozen
+    centroids shared, so cells are identical and only membership
+    changes). Lifecycle template: operators/tombstones.py."""
+    from pyspark_streaming_base_spark.operators.ivf import (
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_assign,
+    )
+
+    emb = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, k=_IVF_K)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    gone = [r[0] for r in emb.select("vec_id")
+            .filter(F.col("vec_id") >= _N_QUERIES)
+            .orderBy("vec_id").limit(40).collect()]
+    delete_from_ivf_index(spark, path, gone)
+
+    # rebuild-without under the SAME frozen centroids
+    want_path = str(tmp_path / "want")
+    cent = spark.read.parquet(f"{path}/centroids")
+    cent.write.parquet(f"{want_path}/centroids")
+    ivf_assign(
+        emb.filter(~F.col("vec_id").isin(gone)), cent
+    ).write.parquet(f"{want_path}/assignments")
+
+    def res(p):
+        return sorted(
+            map(
+                tuple,
+                query_ivf_index(
+                    spark, p, queries, nprobe=_IVF_NPROBE, top_k=_TOP_K
+                ).collect(),
+            )
+        )
+
+    before = res(path)
+    assert before == res(want_path)
+    assert not any(r[1] in gone for r in before)
+
+    compact_ivf_index(spark, path)
+    import os
+    assert not os.path.exists(f"{path}/tombstones")
+    assert res(path) == before
+    raw = spark.read.parquet(f"{path}/assignments")
+    assert raw.filter(F.col("vec_id").isin(gone)).count() == 0

@@ -416,3 +416,60 @@ def test_default_quantizer_survives_offset_id_space(spark, emb, tmp_path):
     idx = spark.read.parquet(f"{path}/index")
     assert idx.count() == shifted.count()
     assert idx.filter(F.col("cell").isNull()).count() == 0
+
+
+def test_delete_excludes_from_scan_and_rerank(spark, emb, tmp_path):
+    """Tombstoned IVFADC probe == probe of the index rebuilt over the
+    survivors (frozen codebooks/centroids shared): deleted vectors
+    leave BOTH the compressed candidate scan and the exact re-rank."""
+    import os
+    import shutil
+
+    from pyspark_streaming_base_spark.operators.pq import (
+        build_pq_index,
+        compact_pq_index,
+        delete_from_pq_index,
+        query_pq_index,
+    )
+
+    path = str(tmp_path / "pq")
+    build_pq_index(emb, path, m=M, k=K, iters=3, n_cells=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    gone = [
+        r[0]
+        for r in emb.select("vec_id")
+        .filter(F.col("vec_id") >= 3)
+        .orderBy("vec_id")
+        .limit(30)
+        .collect()
+    ]
+    delete_from_pq_index(spark, path, gone)
+
+    # rebuild-without: same frozen artifacts, index table filtered
+    want = str(tmp_path / "want")
+    os.makedirs(want)
+    for artifact in ("codebooks", "centroids"):
+        shutil.copytree(f"{path}/{artifact}", f"{want}/{artifact}")
+    spark.read.parquet(f"{path}/index").filter(
+        ~F.col("vec_id").isin(gone)
+    ).write.parquet(f"{want}/index")
+
+    def res(p):
+        return sorted(
+            map(
+                tuple,
+                query_pq_index(
+                    spark, p, queries, m=M, nprobe=4, shortlist=20, top_k=5
+                ).collect(),
+            )
+        )
+
+    before = res(path)
+    assert before == res(want)
+    assert not any(r[1] in gone for r in before)
+
+    compact_pq_index(spark, path)
+    assert not os.path.exists(f"{path}/tombstones")
+    assert res(path) == before

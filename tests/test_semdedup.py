@@ -404,3 +404,55 @@ def test_build_index_rejects_empty_centroids(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="empty"):
         build_semdedup_index(emb, str(tmp_path / "x"), empty)
+
+
+def test_delete_equals_rebuild_without(spark, tmp_path):
+    """Tombstoned policy run == policy over the index rebuilt without
+    the deleted vectors (frozen centroids shared): a deleted vector can
+    neither be removed nor shield a near-dup from removal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.operators.semdedup import (
+        build_semdedup_index,
+        compact_semdedup_index,
+        delete_from_semdedup_index,
+        semdedup_removed_from_index,
+    )
+    from pyspark_streaming_base_spark.queries.pipeline import kmeans_centroids
+
+    sf = "/root/testdata/sf0.001"
+    emb = _emb(spark, sf)
+    cent = kmeans_centroids(spark, sf).localCheckpoint(eager=True)
+    idx = str(tmp_path / "idx")
+    build_semdedup_index(emb, idx, cent)
+    gone = [
+        r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(25).collect()
+    ]
+    delete_from_semdedup_index(spark, idx, gone)
+
+    survivors = emb.filter(~F.col("vec_id").isin(gone))
+    want_idx = str(tmp_path / "want")
+    build_semdedup_index(survivors, want_idx, cent)
+
+    tau = 0.35
+    got = sorted(
+        r[0]
+        for r in semdedup_removed_from_index(spark, idx, survivors, tau).collect()
+    )
+    want = sorted(
+        r[0]
+        for r in semdedup_removed_from_index(
+            spark, want_idx, survivors, tau
+        ).collect()
+    )
+    assert got == want
+    assert not any(v in gone for v in got)
+
+    compact_semdedup_index(spark, idx)
+    assert not os.path.exists(f"{idx}/tombstones")
+    assert sorted(
+        r[0]
+        for r in semdedup_removed_from_index(spark, idx, survivors, tau).collect()
+    ) == want
