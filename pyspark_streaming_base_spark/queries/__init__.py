@@ -78,7 +78,6 @@ DRIVER_PRIORITY: tuple = (
     "q40_ngram_jaccard_pairs",  # C17 exact verifier
     "q41_minhash_lsh_pairs",    # C17 LSH scale path (rows-only by design)
     "q60_knn_bruteforce",       # C18 exact
-    "q61_ann_lsh",              # C18 multi-probe ANN (rows-only by design)
     "q70_tumbling_window",      # C20
     "q72_session_window",       # C21
     "q73_stream_static_join",   # C23
@@ -124,6 +123,8 @@ DRIVER_PRIORITY: tuple = (
     "q160_column_profile",
     "q161_join_skew_report",
     "q162_rank_correlation",
+    "q163_pps_token_sample",    # q61 yields (rows-only, driver-green r7;
+    # C18 stays covered by the q60 keeper + pytest recall pins)
 )
 
 

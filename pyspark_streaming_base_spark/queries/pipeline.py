@@ -1861,3 +1861,130 @@ def _q162_toks(col):
     from pyspark_streaming_base_spark.functions.textops import tokens as _tk
 
     return _tk(col)
+
+
+#: PPS sample size (q163) — the token-budget subsample's target count.
+_PPS_K = 100
+
+#: Contiguous doc_id ids per prefix-sum bucket for q163's two-pass
+#: cumulative sum over HASH order (hash-prefix buckets keep bucket
+#: populations balanced; 256 buckets regardless of corpus size).
+_PPS_BUCKETS = 256
+
+
+@query(
+    "q163_pps_token_sample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+               AS n_tokens,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS hk
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS cum_before,
+             CAST(SUM(n_tokens) OVER () AS BIGINT) AS w
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, cum_before,
+           CAST(
+             GREATEST(0, LEAST({_PPS_K},
+               (2 * {_PPS_K} * (cum_before + n_tokens) + w - 1) // (2 * w)))
+             - GREATEST(0, LEAST({_PPS_K},
+               (2 * {_PPS_K} * cum_before + w - 1) // (2 * w)))
+             AS BIGINT) AS n_copies
+    FROM cum
+    WHERE
+           GREATEST(0, LEAST({_PPS_K},
+             (2 * {_PPS_K} * (cum_before + n_tokens) + w - 1) // (2 * w)))
+           - GREATEST(0, LEAST({_PPS_K},
+             (2 * {_PPS_K} * cum_before + w - 1) // (2 * w))) >= 1
+    """,
+)
+def q163_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling, EXACT (pipeline
+    extension): draw ``k = 100`` docs with inclusion probability
+    proportional to token count — systematic PPS (Madow 1949, the
+    survey-sampling classic) over the md5-shuffled order: lay the docs
+    on a 0..W token line (W = corpus tokens), drop k equally-spaced
+    gridpoints at (2i+1)·W/(2k), select every doc whose token interval
+    contains a gridpoint (a doc longer than W/k is selected multiple
+    times — ``n_copies`` is its sampling weight, exactly like q153's
+    epoch replication). This is the token-budget subsample a training
+    pipeline runs ("give me ~1/k of the corpus, long docs proportionally
+    more likely"), seedless and rerun-stable like every sampler here.
+
+    Exactness: gridpoint membership counts collapse to the closed form
+    f(x) = clamp((2kx + W − 1) div (2W), 0, k) evaluated at the interval
+    ends — ALL integer arithmetic (no W/k division ever materializes),
+    so both engines agree bit-for-bit.
+
+    Scale: the cumulative sum runs as the q59 two-pass prefix sum over
+    256 hash-prefix buckets (bounded carry table, never a corpus-wide
+    window — the oracle's single OVER () is the definitional form);
+    W folds to a 1-row broadcast.
+    """
+    d = t(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string")).substr(1, 16)
+    base = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        hk.alias("hk"),
+        # first 2 hex chars of the SAME hash: bucket order == hash order
+        F.conv(hk.substr(1, 2), 16, 10).cast("bigint").alias("bucket"),
+    )
+    w_local = (
+        W.partitionBy("bucket")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = base.withColumn(
+        "local_cum", F.sum("n_tokens").over(w_local)
+    ).persist()
+    totals = local.groupBy("bucket").agg(F.max("local_cum").alias("bt"))
+    w_carry = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    carry = totals.select(
+        "bucket",
+        F.coalesce(F.sum("bt").over(w_carry), F.lit(0)).alias("carry_in"),
+    )
+    tot = totals.agg(F.sum("bt").cast("bigint").alias("w"))
+    cum = (
+        local.join(F.broadcast(carry), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("carry_in") + F.col("local_cum") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("cum_before"),
+            "w",
+        )
+    )
+
+    def f(x):
+        # pure INTEGER floor-division — (raw − raw mod d)/d is an exact
+        # multiple, so the final double division is exact; a naive
+        # floor(raw / d) rounds the quotient BEFORE flooring and can
+        # come out high by 1 on representation boundaries (the q96/q99
+        # rounding lesson, applied to div)
+        raw = (F.lit(2 * _PPS_K) * x + F.col("w") - 1).cast("bigint")
+        d = (F.lit(2) * F.col("w")).cast("bigint")
+        q = ((raw - F.pmod(raw, d)) / d).cast("bigint")
+        return F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.lit(_PPS_K).cast("bigint"), q),
+        )
+
+    n_copies = f(F.col("cum_before") + F.col("n_tokens")) - f(F.col("cum_before"))
+    return (
+        cum.select(
+            "doc_id",
+            "n_tokens",
+            "cum_before",
+            n_copies.cast("bigint").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 1)
+    )

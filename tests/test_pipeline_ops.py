@@ -188,3 +188,17 @@ def test_mix_weights_invariants(spark):
         natural = r.n_docs / n_tot
         assert (r.oversample > 1) == (r.weight > natural)
         assert abs(r.oversample - r.weight / natural) < 1e-9
+
+
+def test_q163_pps_invariants(spark):
+    """Systematic PPS: the k gridpoints land exactly once each —
+    Σ n_copies == k regardless of corpus shape — and a doc's copy count
+    never exceeds its proportional share rounded up."""
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.queries import load_all
+    from pyspark_streaming_base_spark.queries.pipeline import _PPS_K
+
+    df = load_all()["q163_pps_token_sample"].fn(spark, SF_SMALL).cache()
+    assert df.agg(F.sum("n_copies")).collect()[0][0] == _PPS_K
+    assert df.filter(F.col("n_copies") < 1).count() == 0
