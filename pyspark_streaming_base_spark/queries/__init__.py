@@ -88,8 +88,6 @@ DRIVER_PRIORITY: tuple = (
     "q96_min_cost_supplier",
     "q79_late_data_audit",
     "q98_arrow_digest",
-    # flagship extension keepers with churn-sensitive engines
-    "q44_dedup_clusters",       # connected-components engine rep
     # LATE-ROUND-7 FIRST-TIMERS (the r8 rotation's whole budget): every
     # query registered after the r7 prefix froze, oracle-bearing first.
     # These are round 7's flagship operators — KS drift, PRF expansion,
@@ -125,6 +123,9 @@ DRIVER_PRIORITY: tuple = (
     "q162_rank_correlation",
     "q163_pps_token_sample",    # q61 yields (rows-only, driver-green r7;
     # C18 stays covered by the q60 keeper + pytest recall pins)
+    "q164_kcenter_coreset",     # q44 yields (driver-green r7, engine
+    # unchanged; its components engine stays driver-exercised through
+    # the q148 closure-CTE oracle in this prefix)
 )
 
 

@@ -1988,3 +1988,31 @@ def q163_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 1)
     )
+
+
+@query("q164_kcenter_coreset", oracle=None)  # iterative float refinement
+def q164_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985; ``operators/kcenter.py``):
+    the 16 most mutually-distant embedding vectors in selection order,
+    with the coverage radius² each pick closed — the diversity-first
+    data-curation primitive (coreset seeds, active-learning batches,
+    diverse eval panels) complementing SemDeDup's redundancy removal.
+
+    Rows-only by design (iterative float refinement, the q94 k-means
+    category); the pytest twin runs a numpy greedy k-center with the
+    identical start (lowest vec_id) and (distance, lowest-id)
+    tie-breaks and matches the sequence exactly.
+
+    Scale: k scans with a ≤ k-row broadcast each, 1-row argmax state,
+    localCheckpoint lineage cuts — nothing corpus-sized leaves the
+    executors (`operators/kcenter.py` docstring has the full shape).
+    """
+    from pyspark_streaming_base_spark.operators.kcenter import kcenter_select
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", dvec("embedding").alias("v")
+    )
+    sel = kcenter_select(emb, k=16)
+    return sel.select(
+        "rank", "vec_id", dround(F.col("d2_covered"), 6).alias("d2_covered_r")
+    )

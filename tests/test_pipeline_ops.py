@@ -202,3 +202,39 @@ def test_q163_pps_invariants(spark):
     df = load_all()["q163_pps_token_sample"].fn(spark, SF_SMALL).cache()
     assert df.agg(F.sum("n_copies")).collect()[0][0] == _PPS_K
     assert df.filter(F.col("n_copies") < 1).count() == 0
+
+
+def test_q164_kcenter_matches_numpy_greedy(spark):
+    """The distributed greedy k-center sequence equals a numpy mirror
+    with the same start (lowest vec_id) and (distance, lowest-id)
+    tie-breaks — pick for pick, radius for radius."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.queries import load_all
+
+    got = (
+        load_all()["q164_kcenter_coreset"]
+        .fn(spark, SF_SMALL)
+        .orderBy("rank")
+        .collect()
+    )
+
+    pdf = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    sel = [0]  # index of lowest vec_id after the sort
+    radii = [0.0]
+    d2min = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(2, 17):
+        best = d2min.max()
+        # lowest id among argmax ties
+        pick = int(np.flatnonzero(d2min == best)[0])
+        sel.append(pick)
+        radii.append(float(best))
+        d2min = np.minimum(d2min, ((X - X[pick]) ** 2).sum(axis=1))
+    want_ids = [int(ids[i]) for i in sel]
+    assert [r["vec_id"] for r in got] == want_ids
+    for r, radius in zip(got, radii):
+        assert abs(r["d2_covered_r"] - radius) < 2e-6
