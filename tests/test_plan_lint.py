@@ -127,7 +127,6 @@ def test_no_registry_query_has_lint_errors(spark):
         "q161_join_skew_report",  # 1-row profile x 1-row top10 broadcast folds
         "q162_rank_correlation",  # value-domain rank windows (bounded by L/L^2)
         "q163_pps_token_sample",  # 256-row carry window + 1-row W broadcast folds
-        "q164_kcenter_coreset",  # <=k-row center broadcasts + 1-row argmax folds
     }
     got_warns = set()
     for name, spec in R.items():
