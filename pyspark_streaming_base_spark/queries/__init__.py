@@ -76,7 +76,6 @@ DRIVER_PRIORITY: tuple = (
     "q30_topk_per_group",       # C10
     "q35_grouping_sets",        # C8
     "q40_ngram_jaccard_pairs",  # C17 exact verifier
-    "q41_minhash_lsh_pairs",    # C17 LSH scale path (rows-only by design)
     "q60_knn_bruteforce",       # C18 exact
     "q70_tumbling_window",      # C20
     "q72_session_window",       # C21
@@ -126,6 +125,8 @@ DRIVER_PRIORITY: tuple = (
     "q164_kcenter_coreset",     # q44 yields (driver-green r7, engine
     # unchanged; its components engine stays driver-exercised through
     # the q148 closure-CTE oracle in this prefix)
+    "q165_cvm_drift",           # q41 yields (rows-only, driver-green r7;
+    # C17's scale path stays pinned by the recall pytest + local mirror)
 )
 
 

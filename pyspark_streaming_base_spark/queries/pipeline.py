@@ -2016,3 +2016,149 @@ def q164_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         "rank", "vec_id", dround(F.col("d2_covered"), 6).alias("d2_covered_r")
     )
+
+
+@query(
+    "q165_cvm_drift",
+    oracle=f"""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    v AS (
+      SELECT value, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+      FROM s GROUP BY value
+    ),
+    n AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM v
+    ),
+    c AS (
+      SELECT ca + cb AS w,
+             CAST(SUM(ca) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY value) AS BIGINT) AS cum_b
+      FROM v
+    ),
+    acc AS (
+      SELECT SUM(
+               CAST(w AS DECIMAL(38,0))
+               * CAST((nb * cum_a - na * cum_b) * (nb * cum_a - na * cum_b)
+                      AS DECIMAL(38,0))
+             ) AS t_num,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             MAX(na) AS na, MAX(nb) AS nb
+      FROM c CROSS JOIN n
+    )
+    SELECT na AS n_a, nb AS n_b, n_values,
+           FLOOR((CAST(t_num AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(na + nb AS DOUBLE))) * 100000000.0 + 0.5) / 100000000.0 AS cvm_r
+    FROM acc
+    """,
+)
+def q165_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift (DQ extension): the INTEGRATED
+    squared ECDF gap between the q144 segments — where KS reads only the
+    single worst point, CvM accumulates the whole curve, so a broad
+    small shift (every quantile nudged) fires here before it fires KS.
+    The tie-robust pooled-weight form: T = Σ_v w_v·(F_A(v) − F_B(v))²
+    / (n_a + n_b), weights = pooled counts at each distinct value
+    (Cramér 1928 / von Mises 1931 / Anderson 1962 — public statistics).
+
+    Exactness: the numerator Σ w·(n_b·cumA − n_a·cumB)² is EXACT —
+    per-value gap terms are int64 (≤ (n_a·n_b)²), the sum accumulates
+    as DECIMAL(38,0) (the `_exact.py` decimal-accumulation scheme, so
+    partition order cannot perturb it); one cast→double division at the
+    end, `dround`-gridded. The statistic itself hash-matches, not just
+    a verdict.
+
+    Scale: identical shape to q144 (distinct value domain → two-pass
+    bucketed prefix sum → 1-row fold); the decimal sum is map-side
+    combinable like any sum.
+    """
+    from pyspark_streaming_base_spark.queries._tables import t as _t
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_KS_A, _KS_B))
+        .select(
+            "value",
+            (F.col("event_type") == _KS_A).cast("bigint").alias("ia"),
+        )
+    )
+    v = ev.groupBy("value").agg(
+        F.sum("ia").cast("bigint").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("cb"),
+    )
+    mm = v.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    b = v.crossJoin(F.broadcast(mm)).select(
+        "value",
+        "ca",
+        "cb",
+        F.least(
+            F.lit(_KS_BUCKETS - 1),
+            F.floor(
+                ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")))
+                * F.lit(float(_KS_BUCKETS))
+            ).cast("bigint"),
+        ).alias("bucket"),
+    )
+    w_local = (
+        W.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = b.select(
+        "value",
+        "bucket",
+        (F.col("ca") + F.col("cb")).cast("bigint").alias("w"),
+        F.sum("ca").over(w_local).cast("bigint").alias("lca"),
+        F.sum("cb").over(w_local).cast("bigint").alias("lcb"),
+    ).persist()
+    totals = local.groupBy("bucket").agg(
+        F.max("lca").alias("ta"), F.max("lcb").alias("tb")
+    )
+    w_carry = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    carry = totals.select(
+        "bucket",
+        F.coalesce(F.sum("ta").over(w_carry), F.lit(0))
+        .cast("bigint")
+        .alias("oa"),
+        F.coalesce(F.sum("tb").over(w_carry), F.lit(0))
+        .cast("bigint")
+        .alias("ob"),
+    )
+    n = totals.agg(
+        F.sum("ta").cast("bigint").alias("na"),
+        F.sum("tb").cast("bigint").alias("nb"),
+    )
+    gap_num = (
+        F.col("nb") * (F.col("oa") + F.col("lca"))
+        - F.col("na") * (F.col("ob") + F.col("lcb"))
+    ).cast("bigint")
+    term = F.col("w").cast("decimal(38,0)") * (gap_num * gap_num).cast(
+        "decimal(38,0)"
+    )
+    acc = (
+        local.join(F.broadcast(carry), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term"), "na", "nb")
+        .groupBy("na", "nb")
+        .agg(
+            F.sum("term").alias("t_num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        )
+    )
+    denom = (
+        F.col("na").cast("double")
+        * F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        * F.col("nb").cast("double")
+        * (F.col("na") + F.col("nb")).cast("double")
+    )
+    return acc.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_values",
+        dround(F.col("t_num").cast("double") / denom, 8).alias("cvm_r"),
+    )

@@ -127,6 +127,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q161_join_skew_report",  # 1-row profile x 1-row top10 broadcast folds
         "q162_rank_correlation",  # value-domain rank windows (bounded by L/L^2)
         "q163_pps_token_sample",  # 256-row carry window + 1-row W broadcast folds
+        "q165_cvm_drift",  # 1-row min/max + 64-row carry folds (q144 shape)
     }
     got_warns = set()
     for name, spec in R.items():
