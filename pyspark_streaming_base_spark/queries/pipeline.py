@@ -1383,14 +1383,40 @@ def q144_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     over identical doubles is order-free; SQRT is IEEE-exact), so the
     statistic — not just the verdict — hash-matches the oracle.
 
-    Scale — the cumulative count uses q59's TWO-PASS PREFIX SUM, never
-    a global-order window: (1) collapse to distinct values (one
-    aggregate, V rows), (2) local cumsum within equi-width value
-    buckets from a 1-row min/max broadcast (bounded sort partitions),
-    (3) carry-in = exclusive prefix over the 64-row bucket-totals
-    table, broadcast back. No single task ever sorts more than one
-    bucket; the oracle's one-window formulation is the same function.
+    Scale — the cumulative count is `queries/_ecdf.py::
+    pooled_cumulative_counts`, the ONE definition of the bucketed
+    two-pass prefix sum shared with q165/q166 (see its docstring for
+    why never a global-order window).
     """
+    from pyspark_streaming_base_spark.queries._ecdf import (
+        pooled_cumulative_counts,
+    )
+
+    cum = pooled_cumulative_counts(_ks_value_counts(spark, sf_dir), _KS_BUCKETS)
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    gap = F.abs(
+        (F.col("cum_a").cast("double") / nad)
+        - (F.col("cum_b").cast("double") / nbd)
+    )
+    crit = F.lit(_KS_C05) * F.sqrt((nad + nbd) / (nad * nbd))
+    return (
+        cum.select(gap.alias("gap"), "na", "nb")
+        .groupBy("na", "nb")
+        .agg(F.max("gap").alias("ks_stat"))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "ks_stat",
+            crit.alias("crit_05"),
+            (F.col("ks_stat") > crit).alias("drifted"),
+        )
+    )
+
+
+def _ks_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(value, ca, cb) for the two drift segments — shared input of the
+    q144/q165/q166 nonparametric statistics."""
     from pyspark_streaming_base_spark.queries._tables import t as _t
 
     ev = (
@@ -1401,71 +1427,9 @@ def q144_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("event_type") == _KS_A).cast("bigint").alias("ia"),
         )
     )
-    v = ev.groupBy("value").agg(
+    return ev.groupBy("value").agg(
         F.sum("ia").cast("bigint").alias("ca"),
         (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("cb"),
-    )
-    mm = v.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    b = v.crossJoin(F.broadcast(mm)).select(
-        "value",
-        "ca",
-        "cb",
-        F.least(
-            F.lit(_KS_BUCKETS - 1),
-            F.floor(
-                ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")))
-                * F.lit(float(_KS_BUCKETS))
-            ).cast("bigint"),
-        ).alias("bucket"),
-    )
-    w_local = (
-        W.partitionBy("bucket")
-        .orderBy("value")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = b.select(
-        "value",
-        "bucket",
-        F.sum("ca").over(w_local).cast("bigint").alias("lca"),
-        F.sum("cb").over(w_local).cast("bigint").alias("lcb"),
-    ).persist()
-    totals = local.groupBy("bucket").agg(
-        F.max("lca").alias("ta"), F.max("lcb").alias("tb")
-    )
-    w_carry = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-    carry = totals.select(
-        "bucket",
-        F.coalesce(F.sum("ta").over(w_carry), F.lit(0))
-        .cast("bigint")
-        .alias("oa"),
-        F.coalesce(F.sum("tb").over(w_carry), F.lit(0))
-        .cast("bigint")
-        .alias("ob"),
-    )
-    n = totals.agg(
-        F.sum("ta").cast("double").alias("na"),
-        F.sum("tb").cast("double").alias("nb"),
-    )
-    gap = F.abs(
-        ((F.col("oa") + F.col("lca")).cast("double") / F.col("na"))
-        - ((F.col("ob") + F.col("lcb")).cast("double") / F.col("nb"))
-    )
-    crit = F.lit(_KS_C05) * F.sqrt(
-        (F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb"))
-    )
-    return (
-        local.join(F.broadcast(carry), "bucket")
-        .crossJoin(F.broadcast(n))
-        .select(gap.alias("gap"), "na", "nb")
-        .groupBy("na", "nb")
-        .agg(F.max("gap").alias("ks_stat"))
-        .select(
-            F.col("na").cast("bigint").alias("n_a"),
-            F.col("nb").cast("bigint").alias("n_b"),
-            "ks_stat",
-            crit.alias("crit_05"),
-            (F.col("ks_stat") > crit).alias("drifted"),
-        )
     )
 
 
@@ -2076,73 +2040,19 @@ def q165_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed prefix sum → 1-row fold); the decimal sum is map-side
     combinable like any sum.
     """
-    from pyspark_streaming_base_spark.queries._tables import t as _t
+    from pyspark_streaming_base_spark.queries._ecdf import (
+        pooled_cumulative_counts,
+    )
 
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin(_KS_A, _KS_B))
-        .select(
-            "value",
-            (F.col("event_type") == _KS_A).cast("bigint").alias("ia"),
-        )
-    )
-    v = ev.groupBy("value").agg(
-        F.sum("ia").cast("bigint").alias("ca"),
-        (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("cb"),
-    )
-    mm = v.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    b = v.crossJoin(F.broadcast(mm)).select(
-        "value",
-        "ca",
-        "cb",
-        F.least(
-            F.lit(_KS_BUCKETS - 1),
-            F.floor(
-                ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")))
-                * F.lit(float(_KS_BUCKETS))
-            ).cast("bigint"),
-        ).alias("bucket"),
-    )
-    w_local = (
-        W.partitionBy("bucket")
-        .orderBy("value")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = b.select(
-        "value",
-        "bucket",
-        (F.col("ca") + F.col("cb")).cast("bigint").alias("w"),
-        F.sum("ca").over(w_local).cast("bigint").alias("lca"),
-        F.sum("cb").over(w_local).cast("bigint").alias("lcb"),
-    ).persist()
-    totals = local.groupBy("bucket").agg(
-        F.max("lca").alias("ta"), F.max("lcb").alias("tb")
-    )
-    w_carry = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
-    carry = totals.select(
-        "bucket",
-        F.coalesce(F.sum("ta").over(w_carry), F.lit(0))
-        .cast("bigint")
-        .alias("oa"),
-        F.coalesce(F.sum("tb").over(w_carry), F.lit(0))
-        .cast("bigint")
-        .alias("ob"),
-    )
-    n = totals.agg(
-        F.sum("ta").cast("bigint").alias("na"),
-        F.sum("tb").cast("bigint").alias("nb"),
-    )
+    cum = pooled_cumulative_counts(_ks_value_counts(spark, sf_dir), _KS_BUCKETS)
     gap_num = (
-        F.col("nb") * (F.col("oa") + F.col("lca"))
-        - F.col("na") * (F.col("ob") + F.col("lcb"))
+        F.col("nb") * F.col("cum_a") - F.col("na") * F.col("cum_b")
     ).cast("bigint")
-    term = F.col("w").cast("decimal(38,0)") * (gap_num * gap_num).cast(
-        "decimal(38,0)"
-    )
+    term = (F.col("ca") + F.col("cb")).cast("decimal(38,0)") * (
+        gap_num * gap_num
+    ).cast("decimal(38,0)")
     acc = (
-        local.join(F.broadcast(carry), "bucket")
-        .crossJoin(F.broadcast(n))
-        .select(term.alias("term"), "na", "nb")
+        cum.select(term.alias("term"), "na", "nb")
         .groupBy("na", "nb")
         .agg(
             F.sum("term").alias("t_num"),
@@ -2161,4 +2071,86 @@ def q165_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").alias("n_b"),
         "n_values",
         dround(F.col("t_num").cast("double") / denom, 8).alias("cvm_r"),
+    )
+
+
+@query(
+    "q166_mann_whitney",
+    oracle=f"""
+    WITH s AS (
+      SELECT value,
+             CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    v AS (
+      SELECT value, CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(ia) AS BIGINT) AS cb
+      FROM s GROUP BY value
+    ),
+    c AS (
+      SELECT ca, cb,
+             CAST(SUM(ca) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY value) AS BIGINT) AS cum_b
+      FROM v
+    ),
+    n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                 CAST(SUM(cb) AS BIGINT) AS nb FROM v),
+    acc AS (
+      SELECT CAST(SUM(ca * (2 * (cum_a + cum_b - ca - cb) + (ca + cb) + 1))
+                  AS BIGINT) AS two_rank_sum_a,
+             MAX(na) AS na, MAX(nb) AS nb
+      FROM c CROSS JOIN n
+    )
+    SELECT na AS n_a, nb AS n_b,
+           two_rank_sum_a - na * (na + 1) AS u2_a,
+           CAST(two_rank_sum_a - na * (na + 1) AS DOUBLE)
+             / CAST(2 * na * nb AS BIGINT) AS auc,
+           2.0 * (CAST(two_rank_sum_a - na * (na + 1) AS DOUBLE)
+             / CAST(2 * na * nb AS BIGINT)) - 1.0 AS rank_biserial
+    FROM acc
+    """,
+)
+def q166_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Mann–Whitney U / AUC drift (DQ extension) — the
+    location-shift member of the nonparametric trio (q144 KS reads the
+    worst ECDF point, q165 CvM the whole curve, this one the DIRECTION):
+    ``auc = P(a > b) + ½P(a = b)`` — the probability a random sample-A
+    value exceeds a random sample-B value, i.e. the common-language
+    effect size / ROC-AUC of the segment label — plus the rank-biserial
+    correlation ``2·auc − 1``. Mann & Whitney (1947) — public.
+
+    Exactness: the q162 doubled-midrank trick — pooled tie midranks are
+    half-integers, so DOUBLED rank sums are pure BIGINT
+    (``2U_A = Σ ca·(2·pool_below + ties + 1) − n_a(n_a+1)``, all
+    integers, order-independent); ``auc`` is one deterministic division
+    of exact integers. The statistic hash-matches the oracle.
+
+    Scale: the shared `queries/_ecdf.py` two-pass cumulative counts +
+    a 1-row fold — identical shape to q144/q165.
+    """
+    from pyspark_streaming_base_spark.queries._ecdf import (
+        pooled_cumulative_counts,
+    )
+
+    cum = pooled_cumulative_counts(_ks_value_counts(spark, sf_dir), _KS_BUCKETS)
+    w = F.col("ca") + F.col("cb")
+    pool_below = F.col("cum_a") + F.col("cum_b") - w
+    r2 = F.lit(2) * pool_below + w + 1
+    acc = (
+        cum.select((F.col("ca") * r2).cast("bigint").alias("cr2"), "na", "nb")
+        .groupBy("na", "nb")
+        .agg(F.sum("cr2").cast("bigint").alias("two_rank_sum_a"))
+    )
+    u2a = (F.col("two_rank_sum_a") - F.col("na") * (F.col("na") + 1)).cast(
+        "bigint"
+    )
+    auc = u2a.cast("double") / (F.lit(2) * F.col("na") * F.col("nb")).cast(
+        "bigint"
+    ).cast("double")
+    return acc.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        u2a.alias("u2_a"),
+        auc.alias("auc"),
+        (F.lit(2.0) * auc - F.lit(1.0)).alias("rank_biserial"),
     )

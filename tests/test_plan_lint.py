@@ -128,6 +128,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q162_rank_correlation",  # value-domain rank windows (bounded by L/L^2)
         "q163_pps_token_sample",  # 256-row carry window + 1-row W broadcast folds
         "q165_cvm_drift",  # 1-row min/max + 64-row carry folds (q144 shape)
+        "q166_mann_whitney",  # same _ecdf.py folds as q144/q165
     }
     got_warns = set()
     for name, spec in R.items():
