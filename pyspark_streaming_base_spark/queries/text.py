@@ -2183,3 +2183,73 @@ def q159_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q167_source_concentration",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                  AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT toks,
+             ROW_NUMBER() OVER (ORDER BY toks, source) AS rk
+      FROM src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(2 * SUM(rk * toks) - (COUNT(*) + 1) * SUM(toks) AS DOUBLE)
+             / (COUNT(*) * SUM(toks)) AS gini,
+           CAST(SUM(toks * toks) AS DOUBLE)
+             / (CAST(SUM(toks) AS DOUBLE) * CAST(SUM(toks) AS DOUBLE)) AS hhi
+    FROM r
+    """,
+)
+def q167_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration report (C19/mixture extension): how unequal
+    is token mass across sources? — the Gini coefficient (Lorenz-order
+    form: (2·Σ rank·x − (n+1)·Σx)/(n·Σx), ranks ascending with a
+    (tokens, source) tie-break) and the Herfindahl–Hirschman index
+    (Σ shares²). Both are the standard inputs to a mixture decision: a
+    high-Gini corpus is dominated by a few sources and per-source caps
+    (q128) / temperature weights (q126) actually matter; near-uniform
+    means they are no-ops. Gini 1912 / Lorenz 1905 / HHI — public.
+
+    Exactness: all-integer numerators (rank·tokens products ≤ n·Σx fit
+    int64 comfortably at catalog-sized source counts) and two
+    deterministic divisions — hash-exact, no rounding.
+
+    Scale: one corpus scan folds to the SOURCE domain (catalog-sized by
+    construction — the q159 argument); the rank window runs over that
+    bounded table.
+    """
+    src = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.size(_tokens(F.col("text"))).cast("bigint").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("toks"))
+    )
+    from pyspark.sql import Window as W
+
+    r = src.select(
+        "toks",
+        F.row_number().over(W.orderBy("toks", "source")).alias("rk"),
+    )
+    n = F.count(F.lit(1))
+    tot = F.sum("toks")
+    return r.agg(
+        n.cast("bigint").alias("n_sources"),
+        tot.cast("bigint").alias("total_tokens"),
+        (
+            (F.lit(2) * F.sum(F.col("rk") * F.col("toks")) - (n + 1) * tot)
+            .cast("double")
+            / (n * tot).cast("double")
+        ).alias("gini"),
+        (
+            F.sum(F.col("toks") * F.col("toks")).cast("double")
+            / (tot.cast("double") * tot.cast("double"))
+        ).alias("hhi"),
+    )

@@ -129,6 +129,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q163_pps_token_sample",  # 256-row carry window + 1-row W broadcast folds
         "q165_cvm_drift",  # 1-row min/max + 64-row carry folds (q144 shape)
         "q166_mann_whitney",  # same _ecdf.py folds as q144/q165
+        "q167_source_concentration",  # source-domain rank window (catalog-sized)
     }
     got_warns = set()
     for name, spec in R.items():
