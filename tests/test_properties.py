@@ -159,3 +159,121 @@ def test_textops_match_naive_python_oracle(spark, texts):
         assert got[i][0] == _naive_tokens(t), f"tokens({t!r})"
         assert got[i][1] == _naive_shingles(t), f"shingles({t!r})"
         assert got[i][2] == _naive_bigrams(t), f"bigrams({t!r})"
+
+
+# ---------------------------------------------------------------------------
+# q163 systematic-PPS closed form (pure integer math — no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=200),
+    k=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_pps_closed_form_counts_gridpoints_exactly(weights, k):
+    """The q163 selection count f(cum_end) − f(cum_before) with
+    f(x) = clamp((2kx + W − 1) div (2W), 0, k) equals brute-force
+    counting of gridpoints g_i = floor((2i+1)·W/(2k)) inside each doc's
+    token interval, for ANY weight layout — and the counts sum to k."""
+    W = sum(weights)
+    if W == 0:
+        return  # empty corpus: no gridline to lay
+    grid = [((2 * i + 1) * W) // (2 * k) for i in range(k)]
+
+    def f(x):
+        return max(0, min(k, (2 * k * x + W - 1) // (2 * W)))
+
+    cum = 0
+    total = 0
+    for nt in weights:
+        want = sum(1 for g in grid if cum <= g < cum + nt)
+        got = f(cum + nt) - f(cum)
+        assert got == want, (weights, k, cum, nt)
+        total += got
+        cum += nt
+    assert total == k
+
+
+# ---------------------------------------------------------------------------
+# q156 containment join vs brute force (Spark, bounded examples)
+# ---------------------------------------------------------------------------
+
+_cword = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+
+
+@given(
+    texts=st.lists(
+        st.lists(_cword, min_size=0, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=7,
+    )
+)
+@SETTINGS
+def test_containment_pairs_match_python_brute_force(spark, texts):
+    """The q156 shingle-containment join (size gate included) equals an
+    exhaustive Python double loop on arbitrary small corpora — the gate
+    must be implied by the threshold, never an extra filter."""
+    from pyspark_streaming_base_spark.functions.textops import word_shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text")).alias("sh")
+        ).collect()
+    }
+    # python brute force over every ordered pair (mirror of the query,
+    # lang blocking dropped — single-block corpus)
+    want = set()
+    for a, sa in sh.items():
+        if not sa:
+            continue
+        for b, sb in sh.items():
+            if a == b or not sb:
+                continue
+            if len(sa & sb) / len(sa) >= 0.9:
+                want.add((a, b))
+
+    j = df.alias("a").join(
+        df.alias("b"), F.col("a.doc_id") != F.col("b.doc_id")
+    )
+    n_common = F.size(
+        F.array_intersect(
+            word_shingles(F.col("a.text")), word_shingles(F.col("b.text"))
+        )
+    )
+    na = F.size(word_shingles(F.col("a.text")))
+    nb = F.size(word_shingles(F.col("b.text")))
+    got_ungated = {
+        (r["s"], r["b"])
+        for r in j.select(
+            F.col("a.doc_id").alias("s"),
+            F.col("b.doc_id").alias("b"),
+            n_common.alias("nc"),
+            na.alias("na"),
+            nb.alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .filter(F.col("nc").cast("double") / F.col("na") >= 0.9)
+        .collect()
+    }
+    assert got_ungated == want
+    # and the q156 size gate 10·|B| >= 9·|A| never removes a true pair
+    gated = {
+        (r["s"], r["b"])
+        for r in j.select(
+            F.col("a.doc_id").alias("s"),
+            F.col("b.doc_id").alias("b"),
+            n_common.alias("nc"),
+            na.alias("na"),
+            nb.alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .filter(F.lit(10) * F.col("nb") >= F.lit(9) * F.col("na"))
+        .filter(F.col("nc").cast("double") / F.col("na") >= 0.9)
+        .collect()
+    }
+    assert gated == want
