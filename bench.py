@@ -290,6 +290,27 @@ def _time_bm25_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
             ).mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out["q136_bm25_probe"] = round(best, 3)
+        # the delete lifecycle's recurring costs (r8): tombstone a 10%
+        # batch (O(batch) append), then the LIVE-view probe that now pays
+        # one anti-join — the number that says deletes don't tax serving
+        from pyspark.sql import functions as F
+
+        from pyspark_streaming_base_spark.operators.bm25 import (
+            delete_from_bm25_index,
+        )
+
+        gone = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+        t0 = time.perf_counter()
+        delete_from_bm25_index(spark, path, gone)
+        out["bm25_delete"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, n_runs)):
+            t0 = time.perf_counter()
+            query_bm25_index(spark, path, _BM25_TERMS, top_k=_BM25_TOPK).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out["bm25_probe_tombstoned"] = round(best, 3)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

@@ -184,3 +184,45 @@ def test_compact_folds_tombstones_and_preserves_probes(spark, docs, tmp_path):
     # the physical tables no longer contain the deleted ids at all
     raw = spark.read.parquet(f"{idx}/doclens")
     assert raw.filter(F.col("doc_id").isin(gone)).count() == 0
+
+
+def test_streaming_delete_feed_equals_rebuild(spark, docs, tmp_path):
+    """Takedowns as a STREAM: deletion requests arrive as micro-batches
+    folded via delete_from_bm25_index (foreachBatch) — the takedown-queue
+    deployment shape. After the stream drains, the live index answers
+    exactly like a from-scratch build over the survivors, and replaying
+    a batch (foreachBatch at-least-once) is harmless because tombstones
+    are a set."""
+    from pyspark_streaming_base_spark.operators.bm25 import delete_from_bm25_index
+
+    idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(docs, idx)
+
+    gone = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    staging = str(tmp_path / "takedowns")
+    gone.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    gone.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+
+    def fold(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            delete_from_bm25_index(spark, idx, batch_df)
+            delete_from_bm25_index(spark, idx, batch_df)  # replay: harmless
+
+    q = (
+        spark.readStream.schema(gone.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    want_idx = str(tmp_path / "want")
+    build_bm25_index(docs.join(gone, "doc_id", "anti"), want_idx)
+    assert _probe(spark, idx) == _probe(spark, want_idx)
