@@ -29,6 +29,7 @@ from pyspark_streaming_base_spark.operators.bm25 import (
     compact_bm25_index,
     delete_from_bm25_index,
     load_bm25_index,
+    query_bm25_index_table,
     bm25_doclens,
     bm25_postings,
     bm25_score_query_table,

@@ -301,3 +301,18 @@ def compact_bm25_index(
     swap_in(f"{path}/postings", postings)
     swap_in(f"{path}/doclens", doclens)
     clear_tombstones(f"{path}/tombstones")
+
+
+def query_bm25_index_table(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    top_k: Optional[int] = None,
+) -> DataFrame:
+    """Batch retrieval against the persisted index: score a whole query
+    TABLE ``(qid, term)`` in one plan (the q154 production shape)
+    through the LIVE view — tombstoned docs excluded and statistics
+    self-corrected, exactly like the single-query probe."""
+    postings, doclens = load_bm25_index(spark, path, id_col)
+    return bm25_score_query_table(postings, doclens, queries, id_col, top_k)

@@ -226,3 +226,39 @@ def test_streaming_delete_feed_equals_rebuild(spark, docs, tmp_path):
     want_idx = str(tmp_path / "want")
     build_bm25_index(docs.join(gone, "doc_id", "anti"), want_idx)
     assert _probe(spark, idx) == _probe(spark, want_idx)
+
+
+def test_batch_probe_respects_tombstones(spark, docs, tmp_path):
+    """query_bm25_index_table == per-query probes of the SAME tombstoned
+    index: the batch path reads the live view too."""
+    from pyspark_streaming_base_spark.operators.bm25 import (
+        delete_from_bm25_index,
+        query_bm25_index_table,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, idx)
+    gone = [r[0] for r in docs.select("doc_id").orderBy("doc_id").limit(20).collect()]
+    delete_from_bm25_index(spark, idx, gone)
+
+    qtab = spark.createDataFrame(
+        [("q1", t) for t in _BM25_TERMS[:3]] + [("q2", t) for t in _BM25_TERMS[2:]],
+        "qid string, term string",
+    )
+    got = query_bm25_index_table(spark, idx, qtab, top_k=_BM25_TOPK)
+    assert got.filter(F.col("doc_id").isin(gone)).count() == 0
+    one = sorted(
+        map(
+            tuple,
+            query_bm25_index(
+                spark, idx, _BM25_TERMS[:3], top_k=_BM25_TOPK
+            ).collect(),
+        )
+    )
+    batch_q1 = sorted(
+        map(
+            tuple,
+            got.filter(F.col("qid") == "q1").drop("qid").collect(),
+        )
+    )
+    assert batch_q1 == one
