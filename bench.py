@@ -159,11 +159,12 @@ def main() -> None:
         "variance_note": "repeated identical runs span ~±5% on this host; "
         "r5 +8.1% bisected to ambient (heap A/B 1g=6.615 8g=6.662); "
         "r7: r6 snapshot itself re-measured +15-32% (host drift) — "
-        "verdict: read delta_vs_prev.normalized_total_pct (raw ratio / "
-        "JVM-probe host-speed ratio, same 32-thread substrate as the "
-        "headline) as the code effect, not total_pct; r7's +10.5% "
-        "predates the probes and stands as host drift per the snapshot "
-        "re-measurement",
+        "verdict: read delta_vs_prev.normalized_total_pct (JVM probe, "
+        "same 32-thread substrate) at matched idle loads, or "
+        "normalized_total_pct_numpy (single-threaded, load-insensitive) "
+        "when the two records' load_avg differ — not raw total_pct; "
+        "r7's +10.5% predates the probes and stands as host drift per "
+        "the snapshot re-measurement",
     }
     prev = _delta_vs_prev(total, timings, ext)
     if prev is not None:
@@ -177,18 +178,32 @@ def main() -> None:
                 for k in ("calib_jvm_sec", "calib_numpy_sec")
                 if pc.get(k)
             }
-            jd = prev["host_drift_pct"].get("calib_jvm_sec")
-            if jd is not None and jd > -90.0:
-                # the calibration-normalized round-over-round delta: the
-                # raw ratio divided by the measured host-speed ratio (JVM
-                # probe — same substrate as the headline queries). THIS is
-                # the number to read as a code effect; total_pct alone
-                # conflates it with host drift (r7's +10.5% lesson).
-                prev["normalized_total_pct"] = round(
-                    100.0
-                    * ((1.0 + prev["total_pct"] / 100.0) / (1.0 + jd / 100.0) - 1.0),
-                    1,
-                )
+            # calibration-normalized round-over-round deltas: the raw
+            # ratio divided by a measured host-speed ratio. THESE are the
+            # numbers to read as a code effect; total_pct alone conflates
+            # it with host drift (r7's +10.5% lesson). Two normalizers
+            # because they fail differently: the JVM probe shares the
+            # headline's 32-thread substrate but SATURATES under ambient
+            # load (at load ~5 it degrades far more than the mixed
+            # headline — measured +137% probe vs +4% headline), so when
+            # the two records' load_avg differ materially, trust the
+            # single-threaded numpy normalizer; at matched idle loads the
+            # JVM one is the sharper signal.
+            for probe, key in (
+                ("calib_jvm_sec", "normalized_total_pct"),
+                ("calib_numpy_sec", "normalized_total_pct_numpy"),
+            ):
+                pd_ = prev["host_drift_pct"].get(probe)
+                if pd_ is not None and pd_ > -90.0:
+                    prev[key] = round(
+                        100.0
+                        * (
+                            (1.0 + prev["total_pct"] / 100.0)
+                            / (1.0 + pd_ / 100.0)
+                            - 1.0
+                        ),
+                        1,
+                    )
         out["delta_vs_prev"] = prev
     print(json.dumps(out))
 
