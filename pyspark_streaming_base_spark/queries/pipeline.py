@@ -2154,3 +2154,87 @@ def q166_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         auc.alias("auc"),
         (F.lit(2.0) * auc - F.lit(1.0)).alias("rank_biserial"),
     )
+
+
+_QQ_DECILES = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+@query(
+    "q169_decile_qq",
+    oracle=f"""
+    WITH a AS (
+      SELECT {", ".join(f"quantile_cont(value, {p}) AS qa{round(p*100)}" for p in _QQ_DECILES)},
+             CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM events WHERE event_type = '{_KS_A}'
+    ), b AS (
+      SELECT {", ".join(f"quantile_cont(value, {p}) AS qb{round(p*100)}" for p in _QQ_DECILES)},
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM events WHERE event_type = '{_KS_B}'
+    ), g AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS d)
+    SELECT d * 10 AS decile,
+           CASE {" ".join(f"WHEN d = {i+1} THEN qa{round(p*100)}" for i, p in enumerate(_QQ_DECILES))} END AS q_a,
+           CASE {" ".join(f"WHEN d = {i+1} THEN qb{round(p*100)}" for i, p in enumerate(_QQ_DECILES))} END AS q_b,
+           CASE {" ".join(f"WHEN d = {i+1} THEN qa{round(p*100)} - qb{round(p*100)}" for i, p in enumerate(_QQ_DECILES))} END AS qq_gap,
+           n_a, n_b
+    FROM g CROSS JOIN a CROSS JOIN b
+    """,
+)
+def q169_decile_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile Q–Q profile between the two drift segments (DQ extension):
+    the quantile view of the nonparametric family — KS/CvM/U (q144/
+    q165/q166) say WHETHER and in which direction the distributions
+    differ; the Q–Q table says WHERE along the distribution (a tail-only
+    shift and a uniform location shift produce the same verdicts but
+    opposite Q–Q shapes, and the gap column is exactly what a monitoring
+    dashboard plots).
+
+    Exactness: the q26-verified linear-interpolation percentile on both
+    engines; gaps are differences of identically-computed doubles — no
+    rounding anywhere, the whole table hash-matches.
+
+    Scale: two per-segment percentile aggregates through
+    `operators/histogram.py::gated_percentiles` (exact below the 4M-row
+    gate, sketch above — the q26 size-gate), then a 9-row reshape of two
+    1-row broadcasts.
+    """
+    from pyspark_streaming_base_spark.operators.histogram import (
+        gated_percentiles,
+    )
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    wide = gated_percentiles(
+        ev.select("event_type", "value"),
+        "event_type",
+        "value",
+        percentiles=_QQ_DECILES,
+    )
+    names = [f"p{round(p * 100):d}" for p in _QQ_DECILES]
+    a = wide.filter(F.col("event_type") == _KS_A).select(
+        *[F.col(n).alias(f"qa{n[1:]}") for n in names],
+        F.col("n_rows").alias("n_a"),
+    )
+    b = wide.filter(F.col("event_type") == _KS_B).select(
+        *[F.col(n).alias(f"qb{n[1:]}") for n in names],
+        F.col("n_rows").alias("n_b"),
+    )
+    both = a.crossJoin(F.broadcast(b))
+    stacked = both.selectExpr(
+        "stack(9, "
+        + ", ".join(
+            f"CAST({round(p * 100)} AS BIGINT), qa{round(p * 100)}, qb{round(p * 100)}"
+            for p in _QQ_DECILES
+        )
+        + ") AS (decile, q_a, q_b)",
+        "n_a",
+        "n_b",
+    )
+    return stacked.select(
+        "decile",
+        "q_a",
+        "q_b",
+        (F.col("q_a") - F.col("q_b")).alias("qq_gap"),
+        "n_a",
+        "n_b",
+    )

@@ -130,6 +130,7 @@ def test_no_registry_query_has_lint_errors(spark):
         "q165_cvm_drift",  # 1-row min/max + 64-row carry folds (q144 shape)
         "q166_mann_whitney",  # same _ecdf.py folds as q144/q165
         "q167_source_concentration",  # source-domain rank window (catalog-sized)
+        "q169_decile_qq",  # 1-row x 1-row segment-percentile broadcast reshape
     }
     got_warns = set()
     for name, spec in R.items():
