@@ -272,14 +272,19 @@ def load_bm25_index(
     """The LIVE ``(postings, doclens)`` view: tombstoned docs removed
     from both tables, so every derived statistic (N, avgdl, df) reflects
     the post-delete corpus. All probe entry points read through here."""
-    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        apply_tombstones,
+        read_live,
+    )
 
     tp = f"{path}/tombstones"
     postings = apply_tombstones(
-        spark, tp, spark.read.parquet(f"{path}/postings"), id_col
+        spark, tp, read_live(spark, f"{path}/postings"), id_col,
+        live_path=f"{path}/doclens",  # ratio vs one-row-per-doc, like tombstones
     )
     doclens = apply_tombstones(
-        spark, tp, spark.read.parquet(f"{path}/doclens"), id_col
+        spark, tp, read_live(spark, f"{path}/doclens"), id_col,
+        live_path=f"{path}/doclens",
     )
     return postings, doclens
 

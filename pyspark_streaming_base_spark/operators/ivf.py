@@ -98,14 +98,18 @@ def query_ivf_index(
 ) -> DataFrame:
     """(qid, vec_id, sim_r, rnk ≤ top_k) for a query batch (qid, qvec).
     Reads the LIVE assignments (tombstoned vec_ids excluded)."""
-    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        apply_tombstones,
+        read_live,
+    )
 
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = apply_tombstones(
         spark,
         f"{path}/tombstones",
-        spark.read.parquet(f"{path}/assignments"),
+        read_live(spark, f"{path}/assignments"),
         "vec_id",
+        live_path=f"{path}/assignments",
     )
     return ivf_search(queries, centroids, assigned, nprobe, top_k)
 
@@ -126,13 +130,14 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     from pyspark_streaming_base_spark.operators.tombstones import (
         apply_tombstones,
         clear_tombstones,
+        read_live,
         swap_in,
     )
 
     live = apply_tombstones(
         spark,
         f"{path}/tombstones",
-        spark.read.parquet(f"{path}/assignments"),
+        read_live(spark, f"{path}/assignments"),
         "vec_id",
     )
     swap_in(f"{path}/assignments", live)

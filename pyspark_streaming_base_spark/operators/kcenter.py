@@ -39,7 +39,11 @@ def kcenter_select(emb: DataFrame, k: int) -> DataFrame:
 
     Start: the lowest vec_id (seedless, rerun-stable — the quantizer-init
     convention). Ties at equal farthest-distance resolve to the LOWEST
-    vec_id via the ``max_by`` struct order ``(d2, −…)`` trick below.
+    vec_id via the ``max_by`` struct order ``(d2, −…)`` trick below,
+    among NOT-yet-selected vectors only (so exact-duplicate vectors —
+    everything at d2 = 0 — are still emitted once each, by id order,
+    never as a repeated vec_id). Raises when ``k`` exceeds the corpus
+    size rather than padding with repeats.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -66,16 +70,33 @@ def kcenter_select(emb: DataFrame, k: int) -> DataFrame:
             .select("vec_id", l2sq(F.col("v"), F.col("cv")).alias("d2"))
             .groupBy("vec_id")
             .agg(F.min("d2").alias("d2min"))
+            # NEVER re-pick a selected center: once the remaining geometry
+            # is exhausted (exact-duplicate vectors, or k > distinct
+            # points) every candidate ties at d2min = 0 and the lowest-id
+            # tie-break would otherwise resolve to an ALREADY-selected
+            # vec_id. Anti-joining the ≤ k selected ids keeps d2=0 picks
+            # legal (duplicate VECTORS are distinct rows worth keeping)
+            # while making duplicate vec_ids impossible.
+            .join(F.broadcast(centers.select("vec_id")), "vec_id", "anti")
         )
-        nxt = d2min.agg(
-            F.max_by(
-                F.struct("vec_id", "d2min"),
-                F.struct(F.col("d2min"), (-F.col("vec_id")).alias("nid")),
-            ).alias("pick")
-        ).select(
-            F.lit(r).cast("bigint").alias("rank"),
-            F.col("pick.vec_id").alias("vec_id"),
-            F.col("pick.d2min").alias("d2_covered"),
+        nxt = (
+            d2min.agg(
+                F.max_by(
+                    F.struct("vec_id", "d2min"),
+                    F.struct(F.col("d2min"), (-F.col("vec_id")).alias("nid")),
+                ).alias("pick")
+            )
+            .select(
+                F.lit(r).cast("bigint").alias("rank"),
+                F.col("pick.vec_id").alias("vec_id"),
+                F.col("pick.d2min").alias("d2_covered"),
+            )
+            .localCheckpoint(eager=True)
         )
+        pick = nxt.first()
+        if pick is None or pick["vec_id"] is None:
+            raise ValueError(
+                f"k={k} exceeds the corpus size: only {r - 1} vectors available"
+            )
         centers = centers.unionByName(nxt).localCheckpoint(eager=True)
     return centers

@@ -175,10 +175,14 @@ def load_minhash_index(
     """The LIVE signature table: tombstoned ids excluded. Probe and
     rebuild paths read through here so deleted docs can neither emit nor
     receive candidates."""
-    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        apply_tombstones,
+        read_live,
+    )
 
     return apply_tombstones(
-        spark, f"{path}.tombstones", spark.read.parquet(path), id_col
+        spark, f"{path}.tombstones", read_live(spark, path), id_col,
+        live_path=path,
     )
 
 

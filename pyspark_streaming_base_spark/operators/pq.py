@@ -482,12 +482,16 @@ def query_pq_index(
     full-precision vectors for the re-rank) comes from the ONE
     pre-joined ``index`` table; the source corpus is never read.
     """
-    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        apply_tombstones,
+        read_live,
+    )
 
     codebooks = spark.read.parquet(f"{path}/codebooks")
     centroids = spark.read.parquet(f"{path}/centroids")
     index = apply_tombstones(
-        spark, f"{path}/tombstones", spark.read.parquet(f"{path}/index"), "vec_id"
+        spark, f"{path}/tombstones", read_live(spark, f"{path}/index"),
+        "vec_id", live_path=f"{path}/index",
     )
 
     from pyspark_streaming_base_spark.operators.ivf import ivf_probe_cells
@@ -522,11 +526,12 @@ def compact_pq_index(spark, path: str) -> None:
     from pyspark_streaming_base_spark.operators.tombstones import (
         apply_tombstones,
         clear_tombstones,
+        read_live,
         swap_in,
     )
 
     live = apply_tombstones(
-        spark, f"{path}/tombstones", spark.read.parquet(f"{path}/index"), "vec_id"
+        spark, f"{path}/tombstones", read_live(spark, f"{path}/index"), "vec_id"
     )
     swap_in(f"{path}/index", live)
     clear_tombstones(f"{path}/tombstones")

@@ -320,11 +320,14 @@ def _live_assignments(spark: SparkSession, path: str) -> DataFrame:
     """Assignments minus tombstoned vec_ids — every policy/merge path
     reads through here so deleted vectors neither block nor get
     removed."""
-    from pyspark_streaming_base_spark.operators.tombstones import apply_tombstones
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        apply_tombstones,
+        read_live,
+    )
 
     return apply_tombstones(
-        spark, f"{path}/tombstones", spark.read.parquet(f"{path}/assignments"),
-        "vec_id",
+        spark, f"{path}/tombstones", read_live(spark, f"{path}/assignments"),
+        "vec_id", live_path=f"{path}/assignments",
     )
 
 

@@ -45,18 +45,18 @@ REGISTRY: Dict[str, QuerySpec] = {}
 # remain fully checked by the stricter local mirror
 # (tools/check_correctness.py) and pytest.
 DRIVER_PRIORITY: tuple = (
-    # ROUND-8 ROTATION: same 26-keeper component-covering core. This
-    # round's budget closes the r7 rotation debt: the 14 late-r7 queries
-    # that were registered AFTER the round-7 prefix froze and therefore
-    # have no driver CORRECTNESS row in any round (q140, q143-q155; 10
-    # oracle-bearing) all enter the prefix. Their slots come from the 10
-    # r7 first-timers that just went driver-green in CORRECTNESS_r07
-    # (q130/q131/q132/q135/q136/q137/q138/q139/q141/q142) plus four of
-    # the r7 evidence-freshness refreshes (q06/q08/q14/q26 — all
-    # driver-green in r7, code unchanged; C4/C13/C10/C7 stay covered by
-    # the q05/q17/q30/q10 keepers). All rotated-out queries remain
-    # exact-green on the stricter local mirror (tools/
-    # check_correctness.py) and pytest, like every prior rotation.
+    # ROUND-9 ROTATION: same 26-keeper component-covering core. This
+    # round closes the r8 rotation debt: q166-q169 were registered after
+    # the r8 prefix froze and have no driver CORRECTNESS row (q166/q167/
+    # q169 oracle-bearing; q168 upgraded to a recursive-CTE oracle this
+    # round). Their four slots come from the late-r7 ROWS-ONLY set
+    # (q140_mmr/q143_bpe/q146_ann_recall/q150_retrieval) — all
+    # driver-green in CORRECTNESS_r08, all pinned against numpy/python
+    # mirrors in pytest, and rows-only driver checks are the weakest
+    # evidence tier, so trading them for three hash-checked rows is a
+    # strict upgrade. All rotated-out queries remain exact-green on the
+    # stricter local mirror (tools/check_correctness.py) and pytest,
+    # like every prior rotation.
     #
     # keepers: C1-C18 core relational + flagship extension reps
     "q01_pricing_summary",      # C6 agg (headline)
@@ -102,12 +102,16 @@ DRIVER_PRIORITY: tuple = (
     "q153_epoch_materialization",
     "q154_bm25_batch_retrieval",
     "q155_prf_query_expansion",
-    # rows-only late-r7 set (each pinned against an exact twin or
-    # numpy/python mirror in pytest; driver records rows-only)
-    "q140_mmr_diverse_topk",
-    "q143_bpe_merges",
-    "q146_ann_recall_eval",
-    "q150_retrieval_pipeline",
+    # ROUND-8 LATE SET (the r9 rotation's whole budget): registered
+    # after the r8 prefix froze — Mann-Whitney/AUC drift, source
+    # concentration, decile Q-Q (oracle) and k-core (closure-CTE
+    # oracle as of r9). They take the slots of the four late-r7
+    # rows-only entries (q140/q143/q146/q150 — driver-green r8,
+    # pytest-pinned twins keep them covered).
+    "q166_mann_whitney",
+    "q167_source_concentration",
+    "q168_kcore",
+    "q169_decile_qq",
     # ROUND-8 NEW OPERATORS, rotated in the same round they were written
     # so no never-driver-checked debt accrues (q97/q99/q107/q108/q89/
     # q100/q124 — all driver-green in r7, code unchanged — yield their

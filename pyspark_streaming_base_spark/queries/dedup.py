@@ -239,7 +239,9 @@ def q43_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: it the recursive term re-runs the O(n²/lang) Jaccard join EVERY
 #: closure iteration (measured: >60 CPU-min at sf0.1 inlined vs ~2 min
 #: materialized).
-_CLUSTER_CLOSURE_SQL = """
+#: q40's verified edge set as a standalone CTE fragment — the shared
+#: base of every graph-family oracle (q44/q148 closure, q168 k-core).
+_PAIRS_SQL = """
     pr AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM
@@ -255,7 +257,11 @@ _CLUSTER_CLOSURE_SQL = """
         ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
               / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
-    ),
+    )
+"""
+
+_CLUSTER_CLOSURE_SQL = f"""
+    {_PAIRS_SQL},
     ed AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pr
       UNION ALL SELECT doc_b, doc_a FROM pr
@@ -1243,16 +1249,19 @@ def q156_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounded vocabulary (this fixture, OCR output, code) token SETS
         # saturate and containment degenerates toward 1 for most pairs;
         # shingles keep the measure about shared PHRASES
+        # empty-doc guard on TOKEN count, like q40: the <3-token fallback
+        # shingle of a blank doc is [''], never empty, so a guard on the
+        # shingle count alone is vacuous — two blank same-lang docs would
+        # pair at containment 1.0 on the '' shingle while the oracle's
+        # WHERE len(toks) > 0 drops them. Filter before projecting text
+        # away; nt stays the shingle count (the containment denominator).
+        .filter(F.size(_tokens(F.col("text"))) > 0)
         .select(
             "doc_id",
             "lang",
             _shingles(F.col("text")).alias("shingles"),
             F.size(_shingles(F.col("text"))).alias("nt"),
         )
-        # same empty-doc guard as q40: the <3-token fallback shingle of a
-        # blank doc is [''], never empty, but guard the degenerate row
-        # anyway so 0/0 NaN (Spark: NaN >= 0.9 is TRUE) can't diverge
-        .filter(F.col("nt") > 0)
     )
     # spread the probe side (single-row-group fixture; see q40)
     a = d.repartition(64).alias("a")
@@ -1277,7 +1286,57 @@ def q156_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q168_kcore", oracle=None)  # iterative fixpoint peel
+@query(
+    "q168_kcore",
+    # the iterative peel HAS a declarative fixed-point (the q44
+    # precedent: rows-only → recursive-CTE oracle): each recursion round
+    # carries the full SURVIVOR set (DuckDB's working table is exactly
+    # the previous round), the strict-shrink guard stops at the
+    # fixpoint, and one final peel application handles the
+    # empty-core edge case (guard stops one round late there)
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    adj AS MATERIALIZED (
+      SELECT doc_a AS id, doc_b AS nb FROM pr
+      UNION ALL SELECT doc_b, doc_a FROM pr
+    ),
+    surv AS (
+      SELECT 0 AS round, id FROM (SELECT DISTINCT id FROM adj)
+      UNION ALL
+      SELECT nx.round, nx.id FROM (
+        SELECT s.round + 1 AS round, adj.id
+        FROM adj, (SELECT DISTINCT round FROM surv) s
+        WHERE adj.id IN (SELECT id FROM surv)
+          AND adj.nb IN (SELECT id FROM surv)
+        GROUP BY s.round, adj.id
+        HAVING COUNT(*) >= 2
+      ) nx
+      WHERE (SELECT COUNT(*) FROM surv) > (
+        SELECT COUNT(*) FROM (
+          SELECT adj.id FROM adj
+          WHERE adj.id IN (SELECT id FROM surv)
+            AND adj.nb IN (SELECT id FROM surv)
+          GROUP BY adj.id
+          HAVING COUNT(*) >= 2
+        )
+      )
+    ),
+    lastround AS (SELECT MAX(round) AS r FROM surv),
+    core AS (
+      SELECT adj.id FROM adj
+      WHERE adj.id IN (SELECT id FROM surv, lastround WHERE round = lastround.r)
+        AND adj.nb IN (SELECT id FROM surv, lastround WHERE round = lastround.r)
+      GROUP BY adj.id
+      HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(adj.id AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM adj
+    WHERE adj.id IN (SELECT id FROM core)
+      AND adj.nb IN (SELECT id FROM core)
+    GROUP BY adj.id
+    """,
+)
 def q168_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the q40 near-dup graph (C17/graph extension;
     ``operators/kcore.py``): iteratively peel degree-<2 documents until
@@ -1288,10 +1347,12 @@ def q168_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (influence), triangles (local density), k-core (global density).
     Seidman 1983 — public.
 
-    Rows-only by design (iterative fixpoint is not expressible in
-    non-recursive SQL, and recursive CTEs cannot aggregate over the
-    recursive term); the pytest twin peels the same graph in Python
-    sets and matches vertex-for-vertex, degree-for-degree.
+    ORACLE-checked since r9 (rows-only before): DuckDB's recursive
+    working table is exactly "the previous round", so the peel is a
+    recursive CTE over survivor ROUNDS with a strict-shrink guard as
+    the fixpoint test — aggregation over the working table is legal in
+    DuckDB, unlike strict-standard engines. The pytest twin still peels
+    the same graph in Python sets, vertex-for-vertex.
 
     Scale: each peel round = one map-side-combined degree aggregate +
     two anti-joins, lineage cut per round (the components.py

@@ -2008,8 +2008,10 @@ def q164_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc AS (
       SELECT SUM(
                CAST(w AS DECIMAL(38,0))
-               * CAST((nb * cum_a - na * cum_b) * (nb * cum_a - na * cum_b)
-                      AS DECIMAL(38,0))
+               * (CAST(nb AS DECIMAL(38,0)) * CAST(cum_a AS DECIMAL(38,0))
+                  - CAST(na AS DECIMAL(38,0)) * CAST(cum_b AS DECIMAL(38,0)))
+               * (CAST(nb AS DECIMAL(38,0)) * CAST(cum_a AS DECIMAL(38,0))
+                  - CAST(na AS DECIMAL(38,0)) * CAST(cum_b AS DECIMAL(38,0)))
              ) AS t_num,
              CAST(COUNT(*) AS BIGINT) AS n_values,
              MAX(na) AS na, MAX(nb) AS nb
@@ -2030,11 +2032,14 @@ def q165_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Cramér 1928 / von Mises 1931 / Anderson 1962 — public statistics).
 
     Exactness: the numerator Σ w·(n_b·cumA − n_a·cumB)² is EXACT —
-    per-value gap terms are int64 (≤ (n_a·n_b)²), the sum accumulates
-    as DECIMAL(38,0) (the `_exact.py` decimal-accumulation scheme, so
-    partition order cannot perturb it); one cast→double division at the
-    end, `dround`-gridded. The statistic itself hash-matches, not just
-    a verdict.
+    the gap, its square, AND the weight product are computed entirely
+    in DECIMAL(38,0) (no int64 intermediate: n_b·cumA alone reaches
+    n_a·n_b, which wraps int64 past ~3e9 rows/segment, and the square
+    reaches (n_a·n_b)²); the sum accumulates as DECIMAL(38,0) (the
+    `_exact.py` decimal-accumulation scheme, so partition order cannot
+    perturb it); one cast→double division at the end, `dround`-gridded.
+    Exact while w·(n_a·n_b)² < 10³⁸, i.e. segments up to ~10¹⁶ rows.
+    The statistic itself hash-matches, not just a verdict.
 
     Scale: identical shape to q144 (distinct value domain → two-pass
     bucketed prefix sum → 1-row fold); the decimal sum is map-side
@@ -2045,12 +2050,11 @@ def q165_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cum = pooled_cumulative_counts(_ks_value_counts(spark, sf_dir), _KS_BUCKETS)
-    gap_num = (
-        F.col("nb") * F.col("cum_a") - F.col("na") * F.col("cum_b")
-    ).cast("bigint")
-    term = (F.col("ca") + F.col("cb")).cast("decimal(38,0)") * (
-        gap_num * gap_num
-    ).cast("decimal(38,0)")
+    dec = "decimal(38,0)"
+    gap_num = F.col("nb").cast(dec) * F.col("cum_a").cast(dec) - F.col(
+        "na"
+    ).cast(dec) * F.col("cum_b").cast(dec)
+    term = (F.col("ca") + F.col("cb")).cast(dec) * gap_num * gap_num
     acc = (
         cum.select(term.alias("term"), "na", "nb")
         .groupBy("na", "nb")

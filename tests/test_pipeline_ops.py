@@ -238,3 +238,30 @@ def test_q164_kcenter_matches_numpy_greedy(spark):
     assert [r["vec_id"] for r in got] == want_ids
     for r, radius in zip(got, radii):
         assert abs(r["d2_covered_r"] - radius) < 2e-6
+
+
+def test_kcenter_exhausted_geometry_never_repeats_ids(spark):
+    """Once every remaining vector ties at d2min = 0 (exact-duplicate
+    embeddings), the greedy picks must still be DISTINCT vec_ids (the
+    duplicates, in id order, at d2_covered 0) — never a repeat of an
+    already-selected center; and k beyond the corpus size raises
+    instead of padding."""
+    import pytest as _pytest
+
+    from pyspark_streaming_base_spark.operators.kcenter import kcenter_select
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [3.0, 4.0]),
+            (3, [0.0, 0.0]),  # exact duplicate of 1
+            (4, [3.0, 4.0]),  # exact duplicate of 2
+        ],
+        "vec_id bigint, v array<double>",
+    )
+    got = kcenter_select(emb, k=4).orderBy("rank").collect()
+    assert [r["vec_id"] for r in got] == [1, 2, 3, 4]
+    assert [r["d2_covered"] for r in got] == [0.0, 25.0, 0.0, 0.0]
+
+    with _pytest.raises(ValueError, match="exceeds the corpus size"):
+        kcenter_select(emb, k=5)

@@ -1,0 +1,225 @@
+"""Shared tombstone lifecycle (``operators/tombstones.py``): the
+generation-pointer swap is reader-safe and crash-bounded, the
+compaction trigger fires at the documented ratio, and read failures on
+the takedown path propagate instead of resurrecting deleted ids."""
+
+from __future__ import annotations
+
+import os
+import threading
+import warnings
+
+import pytest
+
+from pyspark_streaming_base_spark.operators.tombstones import (
+    COMPACT_RATIO,
+    MAX_DRIVER_DELETE_BATCH,
+    TombstoneCompactionNeeded,
+    apply_tombstones,
+    clear_tombstones,
+    maybe_compact,
+    read_live,
+    read_tombstones,
+    swap_in,
+    tombstone_ratio,
+    vacuum_generations,
+    write_tombstones,
+)
+
+
+def _ids(spark, n, start=0):
+    return spark.range(start, start + n).withColumnRenamed("id", "doc_id")
+
+
+def _live(tmp_path, name="live"):
+    return str(tmp_path / name)
+
+
+def test_swap_in_migrates_legacy_dir_then_flips_symlink(spark, tmp_path):
+    """First swap over a plain directory (a pre-pointer-layout index)
+    migrates it to a generation dir + symlink; subsequent swaps are
+    pure pointer flips and the table contents follow."""
+    live = _live(tmp_path)
+    _ids(spark, 10).write.parquet(live)
+    assert not os.path.islink(live)
+
+    swap_in(live, _ids(spark, 6))
+    assert os.path.islink(live)
+    assert spark.read.parquet(live).count() == 6
+
+    swap_in(live, _ids(spark, 3))
+    assert os.path.islink(live)
+    assert spark.read.parquet(live).count() == 3
+
+
+def test_swap_retains_previous_generation_and_vacuum_reclaims(spark, tmp_path):
+    """The pre-flip generation survives the swap (readers inside it keep
+    their files for a full cycle); vacuum_generations removes everything
+    but the current target."""
+    live = _live(tmp_path)
+    _ids(spark, 4).write.parquet(live)
+    swap_in(live, _ids(spark, 5))  # migrates legacy → gen + current gen
+    gens = [n for n in os.listdir(tmp_path) if n.startswith("live.gen.")]
+    assert len(gens) == 2  # current + retained previous (the legacy dir)
+
+    swap_in(live, _ids(spark, 7))
+    gens = [n for n in os.listdir(tmp_path) if n.startswith("live.gen.")]
+    assert len(gens) == 2  # older-than-previous swept by the swap
+
+    removed = vacuum_generations(live)
+    assert removed == 1
+    gens = [n for n in os.listdir(tmp_path) if n.startswith("live.gen.")]
+    assert len(gens) == 1
+    assert spark.read.parquet(live).count() == 7
+
+
+def test_snapshot_resolved_before_swap_survives_the_swap(spark, tmp_path):
+    """The deterministic core of reader safety: a reader that resolved
+    the pointer (the read_live protocol) BEFORE a compaction flip can
+    still read its snapshot completely afterwards — the pre-flip
+    generation is retained, so there is no missing-file window. The
+    pointer itself already serves the new snapshot."""
+    from pyspark_streaming_base_spark.operators.tombstones import snapshot_path
+
+    live = _live(tmp_path)
+    _ids(spark, 40).write.parquet(live)
+    swap_in(live, _ids(spark, 41))  # establish pointer layout
+
+    old_snapshot = snapshot_path(live)
+    old_df = spark.read.parquet(old_snapshot)  # reader mid-flight
+    swap_in(live, _ids(spark, 42))  # compaction flips underneath it
+
+    assert old_df.count() == 41  # old reader completes on retained gen
+    assert read_live(spark, live).count() == 42  # new readers see the swap
+
+
+def test_concurrent_reader_never_sees_missing_table(spark, tmp_path):
+    """A reader thread hammering the live table through repeated swaps
+    (via the read_live pointer-resolution protocol every probe uses)
+    always lands on SOME complete snapshot — the missing-directory
+    window of the old rmtree+rename scheme is gone. Every observed
+    count is a committed snapshot size (never partial, never an
+    error)."""
+    live = _live(tmp_path)
+    _ids(spark, 50).write.parquet(live)
+    swap_in(live, _ids(spark, 51))  # establish pointer layout up front
+
+    sizes = {51, 52, 53, 54, 55}
+    seen, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                seen.append(read_live(spark, live).count())
+            except Exception as e:  # noqa: BLE001 — the assertion target
+                errors.append(repr(e))
+                return
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        for n in sorted(sizes - {51}):
+            swap_in(live, _ids(spark, n))
+    finally:
+        stop.set()
+        th.join(timeout=120)
+    assert not errors, f"reader observed a torn/missing table: {errors[:3]}"
+    assert seen, "reader never completed a read"
+    assert set(seen) <= sizes
+
+
+def test_append_through_pointer_reaches_current_generation(spark, tmp_path):
+    """Index APPEND paths write through the live path; after a swap that
+    path is a symlink — appends must land in the current generation and
+    be visible to readers."""
+    live = _live(tmp_path)
+    _ids(spark, 5).write.parquet(live)
+    swap_in(live, _ids(spark, 5))
+    _ids(spark, 3, start=100).write.mode("append").parquet(live)
+    assert spark.read.parquet(live).count() == 8
+
+
+def test_read_tombstones_missing_vs_corrupt(spark, tmp_path):
+    """Path-missing → None (fresh index); anything else — e.g. a corrupt
+    tombstone file — PROPAGATES, because 'nothing deleted' is the wrong
+    default for a takedown path."""
+    tomb = str(tmp_path / "tombs")
+    assert read_tombstones(spark, tomb) is None
+
+    os.makedirs(tomb)
+    with open(os.path.join(tomb, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        read_tombstones(spark, tomb).collect()
+
+
+def test_apply_tombstones_warns_past_ratio(spark, tmp_path):
+    """With live_path wired, a probe whose tombstone set reached
+    COMPACT_RATIO of the live rows raises TombstoneCompactionNeeded —
+    the silent-degradation guard."""
+    live, tomb = _live(tmp_path), str(tmp_path / "tombs")
+    _ids(spark, 100).write.parquet(live)
+    df = spark.read.parquet(live)
+
+    write_tombstones(spark, tomb, [0, 1], "doc_id")  # 2% — under threshold
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", TombstoneCompactionNeeded)
+        assert apply_tombstones(spark, tomb, df, "doc_id", live_path=live).count() == 98
+
+    write_tombstones(spark, tomb, range(2, 15), "doc_id")  # 15% — over
+    with pytest.warns(TombstoneCompactionNeeded):
+        out = apply_tombstones(spark, tomb, df, "doc_id", live_path=live)
+    assert out.count() == 85
+
+
+def test_maybe_compact_fires_at_threshold_and_preserves_probe(spark, tmp_path):
+    """maybe_compact: no-op under the ratio, compacts at it — and the
+    compacted probe equals the tombstoned probe row-for-row."""
+    live, tomb = _live(tmp_path), str(tmp_path / "tombs")
+    _ids(spark, 100).write.parquet(live)
+
+    write_tombstones(spark, tomb, [1], "doc_id")
+    calls = []
+
+    def compact():
+        calls.append(1)
+        swap_in(live, apply_tombstones(spark, tomb, spark.read.parquet(live), "doc_id"))
+        clear_tombstones(tomb)
+
+    assert maybe_compact(tomb, live, compact) is False  # 1% < 10%
+    assert not calls
+
+    write_tombstones(spark, tomb, range(10, 25), "doc_id")
+    before = sorted(
+        r["doc_id"]
+        for r in apply_tombstones(
+            spark, tomb, spark.read.parquet(live), "doc_id"
+        ).collect()
+    )
+    assert maybe_compact(tomb, live, compact) is True
+    assert calls == [1]
+    assert tombstone_ratio(tomb, live) is None  # tombstones cleared
+    after = sorted(r["doc_id"] for r in spark.read.parquet(live).collect())
+    assert after == before
+
+
+def test_tombstone_ratio_counts_footers_only(spark, tmp_path):
+    live, tomb = _live(tmp_path), str(tmp_path / "tombs")
+    _ids(spark, 200).write.parquet(live)
+    assert tombstone_ratio(tomb, live) is None  # no tombstones yet
+    write_tombstones(spark, tomb, range(20), "doc_id")
+    assert tombstone_ratio(tomb, live) == pytest.approx(0.10)
+    assert COMPACT_RATIO == 0.10
+
+
+def test_driver_side_delete_batch_is_capped(spark, tmp_path):
+    """An iterable bigger than MAX_DRIVER_DELETE_BATCH is rejected with
+    the pass-a-DataFrame message; a DataFrame of any size is accepted."""
+    tomb = str(tmp_path / "tombs")
+    with pytest.raises(ValueError, match="DataFrame"):
+        write_tombstones(
+            spark, tomb, range(MAX_DRIVER_DELETE_BATCH + 1), "doc_id"
+        )
+    write_tombstones(spark, tomb, _ids(spark, 3), "doc_id")
+    assert read_tombstones(spark, tomb).count() == 3
