@@ -128,6 +128,7 @@ def main() -> None:
         ext.update(_time_pq_index_tier(spark, sf_dir, min(runs, 2)))
         ext.update(_time_crawl_loop_tier(spark, sf_dir, min(runs, 2)))
         ext.update(_time_bm25_index_tier(spark, sf_dir, min(runs, 2)))
+        ext.update(_time_containment_index_tier(spark, sf_dir, min(runs, 2)))
     total = round(sum(timings.values()), 3)
     try:
         load1 = round(os.getloadavg()[0], 2)  # ambient-load context for
@@ -326,6 +327,46 @@ def _time_bm25_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
             ).mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out["bm25_probe_tombstoned"] = round(best, 3)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def _time_containment_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
+    """The containment crawl's production split (r9, the q136/q111
+    convention): build the slice-partitioned shingle index ONCE
+    (write-once, amortized — this is the re-shingling cost q156 used to
+    pay on EVERY run), then price the recurring per-batch probe (today's
+    crawl against the persisted corpus: prefix-pigeonhole candidate join
+    + exact verify; candidates carry ids only)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.operators.containment import (
+        build_containment_index,
+        query_containment_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 50 == 0)
+    path = tempfile.mkdtemp(prefix="bench_cont_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.perf_counter()
+        build_containment_index(docs, path)
+        out["q156_containment_build"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, n_runs)):
+            t0 = time.perf_counter()
+            query_containment_index(spark, path, batch).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out["containment_probe"] = round(best, 3)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

@@ -212,7 +212,7 @@ def _generation_dirs(live_path: str) -> list:
     ]
 
 
-def swap_in(live_path: str, staged_df: DataFrame) -> None:
+def swap_in(live_path: str, staged_df: DataFrame, partition_by=()) -> None:
     """Staged-swap rewrite of one physical table, safe for concurrent
     readers: write the new snapshot to a fresh generation directory
     ``<live>.gen.<id>``, then flip the ``live_path`` symlink to it with
@@ -229,7 +229,12 @@ def swap_in(live_path: str, staged_df: DataFrame) -> None:
     before the flip (a one-time two-rename window; every subsequent
     swap is the atomic pointer flip)."""
     gen = f"{live_path}.gen.{uuid.uuid4().hex}"
-    staged_df.write.mode("overwrite").parquet(gen)
+    writer = staged_df.write.mode("overwrite")
+    if partition_by:
+        # tables laid out hive-partitioned (e.g. the containment index's
+        # size slices) keep that layout through compaction
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(gen)
 
     prev: Optional[str] = (
         os.path.realpath(live_path) if os.path.exists(live_path) else None
