@@ -14,7 +14,13 @@ partition-parallel decode — behind a pluggable :class:`Decoder` protocol:
   stage;
 * :func:`default_decoder` picks the best available backend (real if
   importable, stub otherwise). Adding ffmpeg/torchvision/… is one new
-  class implementing ``decode()``.
+  class implementing ``decode()``;
+* :class:`BMPDecoder`/:class:`PNGDecoder` + :func:`bmp_gray_pixels`/
+  :func:`png_rgb_pixels` (stdlib ``struct``/``zlib`` only): REAL
+  header and pixel decodes for the two public fixed formats, so the
+  real-format path is executed and pinned in environments without any
+  media library — :func:`gray_pixels` sniffs the container for mixed
+  corpora.
 
 The distributed execution shape is decoder-independent:
 
@@ -409,6 +415,162 @@ def bmp_encode_gray(gray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return header + body
+
+
+def png_rgb_pixels(payload: bytes):
+    """REAL pixel decode of an 8-bit RGB/RGBA (color type 2/6),
+    non-interlaced PNG with NOTHING beyond the stdlib: the container is
+    public (ISO/IEC 15948 — 8-byte signature, length/type/data/CRC
+    chunks), the pixel stream is ``zlib`` (stdlib), and the five
+    scanline filters (None/Sub/Up/Average/Paeth) are a dozen lines of
+    integer arithmetic. Critical chunks only: IHDR is parsed, IDAT
+    segments are concatenated (the stream may be split arbitrarily),
+    everything else is skipped, IEND ends the scan. Returns an
+    (h, w, channels) float64 array; raises on anything outside the
+    supported profile — callers dead-letter (the :func:`bmp_gray_pixels`
+    contract). Exists so the real-format decode path is TESTED in
+    environments without Pillow instead of env-skipping."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack_from(">I", b, pos), b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype_v, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_v not in (2, 6) or comp != 0 or filt != 0:
+        raise ValueError(
+            f"only 8-bit RGB/RGBA supported (depth={depth} color={ctype_v})"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced PNGs not supported")
+    if w == 0 or h == 0:
+        raise ValueError("empty image")
+    ch = 3 if ctype_v == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("pixel stream length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int64)
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left pixel
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                bb = prev[x]
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + bb) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    cur[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown scanline filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch).astype(np.float64)
+
+
+def png_gray_pixels(payload: bytes):
+    """PNG counterpart of :func:`bmp_gray_pixels`: decode then reduce to
+    the same BT.601 luma matrix (alpha, when present, is ignored — the
+    fingerprint should not move when an opaque image gains an alpha
+    channel)."""
+    px = png_rgb_pixels(payload)
+    return px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+
+
+def gray_pixels(payload: bytes):
+    """Magic-sniffing grayscale reader for MIXED image corpora: BMP and
+    PNG payloads decode with the dependency-free readers; anything else
+    raises and dead-letters. Drop-in ``pixel_reader`` for
+    :func:`image_ahash` when one column carries both formats."""
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        return bmp_gray_pixels(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_gray_pixels(b)
+    raise ValueError("unrecognized image container")
+
+
+def png_encode_rgb(arr) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as a non-interlaced 8-bit PNG
+    (filter 0 rows, one zlib IDAT) — the exact profile
+    :func:`png_rgb_pixels` decodes; the inverse pair lets tests and
+    synthetic corpora round-trip pixels exactly, like
+    :func:`bmp_encode_gray` for BMP."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError(f"need (h, w, 3|4) uint8 pixels, got shape {a.shape}")
+    h, w, ch = a.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+class PNGDecoder:
+    """Metadata decoder for PNG payloads (the :class:`BMPDecoder`
+    counterpart): width/height straight from IHDR with ``struct`` alone;
+    no pixel inflate. Non-PNG payloads raise and dead-letter."""
+
+    name = "png-header-v1"
+
+    def decode(self, payload: bytes) -> dict:
+        import struct
+
+        b = bytes(payload)
+        if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+            raise ValueError("not a PNG payload")
+        w, h = struct.unpack_from(">II", b, 16)
+        return {"width": int(w), "height": int(h), "n_frames": 1}
 
 
 _M64 = (1 << 64) - 1
