@@ -23,10 +23,15 @@ centroids (one broadcast assign of the batch — no corpus access):
   (and vice versa: a uniform inflation keeps occupancy flat while the
   error ratio climbs).
 
-Baselines are per-cell (cid, n, sum_d2) partials — mergeable, so an
-append can fold its own batch into the baseline after passing the check.
-The oracle-checked q131 (``queries/similarity.py``) pins the same
-per-cell statistics against DuckDB with exact cross-engine math.
+Baselines are per-cell (segment, cid, n, sum_d2) partials — mergeable
+AND retractable: each accepted batch appends its partials under its own
+SEGMENT id (an O(batch) append, no read-modify-write), reports aggregate
+over segments at read time, and a poisoned batch's contribution is
+removed by deleting its segment's ROWS (``remove_drift_baseline``) —
+exact by construction, with no floating-point subtraction to drift
+(merge-then-remove leaves literally the same rows as never-merged). The
+oracle-checked q131 (``queries/similarity.py``) pins the same per-cell
+statistics against DuckDB with exact cross-engine math.
 """
 
 from __future__ import annotations
@@ -36,7 +41,13 @@ from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.operators.semdedup import assign_to_centroids
 
-__all__ = ["write_drift_baseline", "drift_report", "merge_drift_baseline"]
+__all__ = [
+    "write_drift_baseline",
+    "drift_report",
+    "merge_drift_baseline",
+    "remove_drift_baseline",
+    "drift_segments",
+]
 
 
 def _centroids(spark: SparkSession, path: str) -> DataFrame:
@@ -68,38 +79,91 @@ def _cell_stats(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def write_drift_baseline(spark: SparkSession, path: str, emb: DataFrame) -> None:
+def write_drift_baseline(
+    spark: SparkSession, path: str, emb: DataFrame, segment: str = "build"
+) -> None:
     """Materialize the build-time quantization baseline for the index at
     ``path`` (any index with a ``<path>/centroids`` (cid, cv) table —
-    the ``build_semdedup_index`` convention): per-cell (cid, n, sum_d2)
-    partials → ``<path>/drift_baseline``. Call once at build time with
-    the same corpus the index was built on."""
+    the ``build_semdedup_index`` convention): per-cell (segment, cid, n,
+    sum_d2) partials → ``<path>/drift_baseline``. Call once at build
+    time with the same corpus the index was built on."""
     cent = _centroids(spark, path)
-    _cell_stats(emb, cent).write.mode("overwrite").parquet(
-        f"{path}/drift_baseline"
+    _cell_stats(emb, cent).withColumn("segment", F.lit(segment)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/drift_baseline")
+
+
+def _read_baseline(spark: SparkSession, path: str) -> DataFrame:
+    """The segmented baseline table; pre-segment legacy tables (no
+    ``segment`` column) read as one 'build' segment."""
+    b = spark.read.parquet(f"{path}/drift_baseline")
+    if "segment" not in b.columns:
+        b = b.withColumn("segment", F.lit("build"))
+    return b
+
+
+def drift_segments(spark: SparkSession, path: str) -> list:
+    """The baseline's segment ids, sorted — what
+    :func:`remove_drift_baseline` can retract."""
+    return sorted(
+        r["segment"]
+        for r in _read_baseline(spark, path).select("segment").distinct().collect()
     )
+
+
+def _normalize_legacy(spark: SparkSession, path: str) -> None:
+    """One-time upgrade of a pre-segment baseline file so appends can't
+    create a mixed-schema directory (readers would resolve the schema
+    from an arbitrary file and silently drop the segment column)."""
+    b = spark.read.parquet(f"{path}/drift_baseline")
+    if "segment" not in b.columns:
+        b.withColumn("segment", F.lit("build")).localCheckpoint(
+            eager=True
+        ).write.mode("overwrite").parquet(f"{path}/drift_baseline")
 
 
 def merge_drift_baseline(
-    spark: SparkSession, path: str, new_emb: DataFrame
-) -> None:
+    spark: SparkSession, path: str, new_emb: DataFrame, segment: str = None
+) -> str:
     """Fold an ACCEPTED batch into the baseline (call after the batch
     passed :func:`drift_report` and was appended to the index): the
-    per-cell partials are sums, so the merge is one small aggregate —
-    the baseline tracks the corpus the index actually holds."""
+    batch's per-cell partials APPEND under their own segment id —
+    O(batch), no read-modify-write — so the baseline tracks the corpus
+    the index actually holds AND every batch stays individually
+    retractable (:func:`remove_drift_baseline`). Returns the segment id
+    (auto-assigned ``seg-<i>`` when not supplied); supplying an existing
+    id raises — segments are the retraction unit, so they must not
+    blur together."""
+    _normalize_legacy(spark, path)
+    existing = set(drift_segments(spark, path))
+    if segment is None:
+        i = len(existing)
+        while f"seg-{i}" in existing:
+            i += 1
+        segment = f"seg-{i}"
+    elif segment in existing:
+        raise ValueError(f"segment {segment!r} already exists in the baseline")
     cent = _centroids(spark, path)
-    merged = (
-        spark.read.parquet(f"{path}/drift_baseline")
-        .unionByName(_cell_stats(new_emb, cent))
-        .groupBy("cid")
-        .agg(
-            F.sum("n").cast("bigint").alias("n"),
-            F.sum("sum_d2").alias("sum_d2"),
-        )
-    )
+    _cell_stats(new_emb, cent).withColumn("segment", F.lit(segment)).write.mode(
+        "append"
+    ).parquet(f"{path}/drift_baseline")
+    return segment
+
+
+def remove_drift_baseline(spark: SparkSession, path: str, segment: str) -> None:
+    """RETRACT one segment's contribution (a poisoned or takedown batch):
+    delete its rows. Exact by construction — no floating-point
+    subtraction, so merge-then-remove leaves the baseline bit-identical
+    to never-merged. Unknown segments raise (silently 'removing' nothing
+    is the wrong failure mode for a retraction path, the
+    ``read_tombstones`` rule)."""
+    base = _read_baseline(spark, path)
+    if segment not in set(drift_segments(spark, path)):
+        raise ValueError(f"unknown baseline segment {segment!r}")
+    remaining = base.filter(F.col("segment") != segment)
     # parquet overwrite would delete the input mid-plan; stage through
-    # a local checkpoint (cells × 3 columns — tiny)
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+    # a local checkpoint (segments × cells × 4 columns — tiny)
+    remaining.localCheckpoint(eager=True).write.mode("overwrite").parquet(
         f"{path}/drift_baseline"
     )
 
@@ -124,8 +188,13 @@ def drift_report(
             f"in (0, 1], got {error_ratio_threshold}, {occupancy_l1_threshold}"
         )
     cent = _centroids(spark, path)
-    base = spark.read.parquet(f"{path}/drift_baseline").select(
-        "cid", F.col("n").alias("n0"), F.col("sum_d2").alias("s0")
+    base = (
+        _read_baseline(spark, path)
+        .groupBy("cid")
+        .agg(
+            F.sum("n").cast("bigint").alias("n0"),
+            F.sum("sum_d2").alias("s0"),
+        )
     )
     batch = _cell_stats(new_emb, cent).select(
         "cid", F.col("n").alias("n1"), F.col("sum_d2").alias("s1")

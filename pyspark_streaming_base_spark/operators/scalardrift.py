@@ -11,7 +11,11 @@ wanders outside the build-time range piles into the edge buckets and
 shows up as occupancy drift instead of silently re-gridding the
 comparison. What is mergeable: the per-bucket counts (additive), so
 ``merge_scalar_baseline`` after an accepted batch equals a rebuild over
-the union under the same edges — exactly, integers.
+the union under the same edges — exactly, integers. And retractable:
+each accepted batch's counts append under their own SEGMENT id, so a
+poisoned batch is removed by deleting its segment's rows
+(``remove_scalar_baseline``) — merge-then-remove leaves literally the
+same rows as never-merged (the ``operators/drift.py`` contract).
 
 Signals per batch (both one map-side aggregate over the batch + a
 ≤buckets-row broadcast of the baseline):
@@ -37,6 +41,8 @@ __all__ = [
     "write_scalar_baseline",
     "scalar_drift_report",
     "merge_scalar_baseline",
+    "remove_scalar_baseline",
+    "scalar_segments",
 ]
 
 #: Defaults: q141's geometry; chi2 critical value for df=15 at α=0.001.
@@ -83,8 +89,25 @@ def write_scalar_baseline(
     )
     edges.write.mode("overwrite").parquet(f"{path}/edges")
     edges = spark.read.parquet(f"{path}/edges")
-    _bucket_counts(df, col, edges).write.mode("overwrite").parquet(
-        f"{path}/counts"
+    _bucket_counts(df, col, edges).withColumn(
+        "segment", F.lit("build")
+    ).write.mode("overwrite").parquet(f"{path}/counts")
+
+
+def _read_counts(spark: SparkSession, path: str) -> DataFrame:
+    """The segmented counts table; pre-segment legacy tables read as one
+    'build' segment."""
+    c = spark.read.parquet(f"{path}/counts")
+    if "segment" not in c.columns:
+        c = c.withColumn("segment", F.lit("build"))
+    return c
+
+
+def scalar_segments(spark: SparkSession, path: str) -> list:
+    """The baseline's segment ids, sorted — the retraction units."""
+    return sorted(
+        r["segment"]
+        for r in _read_counts(spark, path).select("segment").distinct().collect()
     )
 
 
@@ -102,8 +125,10 @@ def scalar_drift_report(
     if chi2_crit <= 0 or not 0 < tv_max <= 1:
         raise ValueError(f"bad thresholds: {chi2_crit}, {tv_max}")
     edges = spark.read.parquet(f"{path}/edges")
-    base = spark.read.parquet(f"{path}/counts").select(
-        "bucket", F.col("n").alias("nb_base")
+    base = (
+        _read_counts(spark, path)
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("nb_base"))
     )
     got = _bucket_counts(batch, col, edges).select(
         "bucket", F.col("n").alias("nb_batch")
@@ -161,21 +186,45 @@ def scalar_drift_report(
 
 
 def merge_scalar_baseline(
-    spark: SparkSession, path: str, batch: DataFrame, col: str
-) -> None:
+    spark: SparkSession, path: str, batch: DataFrame, col: str, segment: str = None
+) -> str:
     """Fold an ACCEPTED batch into the baseline counts under the frozen
     edges — additive integers, so merge-after-build equals
-    build-on-the-union exactly. Edges are never rewritten (retrain =
-    ``write_scalar_baseline`` from scratch, the quantizer contract)."""
+    build-on-the-union exactly. The batch's counts APPEND under their
+    own segment id (O(batch), individually retractable via
+    :func:`remove_scalar_baseline`); returns the id (auto ``seg-<i>``
+    when not supplied; an existing id raises). Edges are never rewritten
+    (retrain = ``write_scalar_baseline`` from scratch, the quantizer
+    contract)."""
+    # one-time legacy upgrade so appends can't create a mixed-schema dir
+    c = spark.read.parquet(f"{path}/counts")
+    if "segment" not in c.columns:
+        c.withColumn("segment", F.lit("build")).localCheckpoint(
+            eager=True
+        ).write.mode("overwrite").parquet(f"{path}/counts")
+    existing = set(scalar_segments(spark, path))
+    if segment is None:
+        i = len(existing)
+        while f"seg-{i}" in existing:
+            i += 1
+        segment = f"seg-{i}"
+    elif segment in existing:
+        raise ValueError(f"segment {segment!r} already exists in the baseline")
     edges = spark.read.parquet(f"{path}/edges")
-    add = _bucket_counts(batch, col, edges)
-    merged = (
-        spark.read.parquet(f"{path}/counts")
-        .unionByName(add)
-        .groupBy("bucket")
-        .agg(F.sum("n").cast("bigint").alias("n"))
-    )
+    _bucket_counts(batch, col, edges).withColumn(
+        "segment", F.lit(segment)
+    ).write.mode("append").parquet(f"{path}/counts")
+    return segment
+
+
+def remove_scalar_baseline(spark: SparkSession, path: str, segment: str) -> None:
+    """RETRACT one segment (a poisoned batch): delete its rows — exact
+    integer removal, no subtraction; merge-then-remove == never-merged
+    bit for bit. Unknown segments raise (the retraction-path rule)."""
+    if segment not in set(scalar_segments(spark, path)):
+        raise ValueError(f"unknown baseline segment {segment!r}")
+    remaining = _read_counts(spark, path).filter(F.col("segment") != segment)
     # parquet overwrite would delete the input mid-plan; stage first
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+    remaining.localCheckpoint(eager=True).write.mode("overwrite").parquet(
         f"{path}/counts"
     )

@@ -197,3 +197,91 @@ def test_full_index_lifecycle_drift_triggers_rebuild(spark, tmp_path):
     assert not drift_report(spark, rebuilt, day3).collect()[0].drifted
     n = spark.read.parquet(f"{rebuilt}/assignments").count()
     assert n == current.count()
+
+
+def test_remove_baseline_segment_equals_never_merged(spark, indexed, tmp_path):
+    """The retraction contract: merge a batch, then remove its segment —
+    the baseline table is BIT-IDENTICAL to never having merged (row
+    deletion, no floating-point subtraction), and reports agree exactly."""
+    import shutil
+
+    from pyspark_streaming_base_spark.operators.drift import (
+        drift_segments,
+        remove_drift_baseline,
+    )
+
+    path, emb = indexed
+    mine = str(tmp_path / "idx")
+    shutil.copytree(path, mine)
+    probe = emb.filter(F.col("vec_id") % 11 == 0)
+
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(f"{mine}/drift_baseline").collect())
+    )
+    before_report = drift_report(spark, mine, probe).collect()[0]
+
+    poisoned = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 800_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 2.0).alias("v"),
+    )
+    seg = merge_drift_baseline(spark, mine, poisoned)
+    assert seg in drift_segments(spark, mine)
+    assert drift_report(spark, mine, probe).collect()[0].n_base > before_report.n_base
+
+    remove_drift_baseline(spark, mine, seg)
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(f"{mine}/drift_baseline").collect())
+    )
+    assert after_rows == before_rows
+    assert drift_report(spark, mine, probe).collect()[0] == before_report
+
+    with pytest.raises(ValueError, match="unknown baseline segment"):
+        remove_drift_baseline(spark, mine, seg)  # already gone — loud
+
+
+def test_merge_segments_are_unique_and_autonamed(spark, indexed, tmp_path):
+    import shutil
+
+    from pyspark_streaming_base_spark.operators.drift import drift_segments
+
+    path, emb = indexed
+    mine = str(tmp_path / "idx")
+    shutil.copytree(path, mine)
+    b = emb.filter(F.col("vec_id") % 13 == 0)
+    s1 = merge_drift_baseline(spark, mine, b)
+    s2 = merge_drift_baseline(spark, mine, b.select((F.col("vec_id") + 1).alias("vec_id"), "v"))
+    assert s1 != s2
+    assert set(drift_segments(spark, mine)) == {"build", s1, s2}
+    with pytest.raises(ValueError, match="already exists"):
+        merge_drift_baseline(spark, mine, b, segment="build")
+
+
+def test_legacy_unsegmented_baseline_upgrades_on_merge(spark, indexed, tmp_path):
+    """A pre-segment baseline (no segment column) reads as one 'build'
+    segment, upgrades in place on the first merge (no mixed-schema
+    directory), and reports identically before/after the upgrade."""
+    import shutil
+
+    from pyspark_streaming_base_spark.operators.drift import drift_segments
+
+    path, emb = indexed
+    mine = str(tmp_path / "idx")
+    shutil.copytree(path, mine)
+    # rewrite the baseline in the LEGACY format (segment column dropped)
+    legacy = spark.read.parquet(f"{mine}/drift_baseline").select(
+        "cid", "n", "sum_d2"
+    )
+    legacy.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        f"{mine}/drift_baseline"
+    )
+    probe = emb.filter(F.col("vec_id") % 11 == 0)
+    r_legacy = drift_report(spark, mine, probe).collect()[0]
+    assert drift_segments(spark, mine) == ["build"]
+
+    seg = merge_drift_baseline(spark, mine, probe)
+    cols = set(spark.read.parquet(f"{mine}/drift_baseline").columns)
+    assert cols == {"segment", "cid", "n", "sum_d2"}
+    from pyspark_streaming_base_spark.operators.drift import remove_drift_baseline
+
+    remove_drift_baseline(spark, mine, seg)
+    assert drift_report(spark, mine, probe).collect()[0] == r_legacy

@@ -124,3 +124,34 @@ def test_validation(spark, values, tmp_path):
     write_scalar_baseline(spark, p, values, "value")
     with pytest.raises(ValueError):
         scalar_drift_report(spark, p, values, "value", tv_max=0.0)
+
+
+def test_remove_scalar_segment_equals_never_merged(spark, values, tmp_path):
+    """Retraction: merge a poisoned batch, remove its segment — counts
+    table and report return bit-identical to never-merged (integer row
+    deletion), and unknown segments raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.operators.scalardrift import (
+        remove_scalar_baseline,
+        scalar_segments,
+    )
+
+    p = str(tmp_path / "b")
+    write_scalar_baseline(spark, p, values, "value")
+    probe = values.filter(F.col("event_id") % 7 == 0)
+    before_rows = sorted(map(tuple, spark.read.parquet(f"{p}/counts").collect()))
+    before = _report(spark, p, probe)
+
+    poison = values.limit(300).select(
+        "event_id", (F.col("value") + 10_000.0).alias("value")
+    )
+    seg = merge_scalar_baseline(spark, p, poison, "value")
+    assert seg in scalar_segments(spark, p)
+
+    remove_scalar_baseline(spark, p, seg)
+    assert sorted(map(tuple, spark.read.parquet(f"{p}/counts").collect())) == before_rows
+    assert _report(spark, p, probe) == before
+    with pytest.raises(ValueError, match="unknown baseline segment"):
+        remove_scalar_baseline(spark, p, seg)
