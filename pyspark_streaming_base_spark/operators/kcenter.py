@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.functions.vectorops import l2sq
+from pyspark_streaming_base_spark.queries._exact import dround
 
 
 def kcenter_select(emb: DataFrame, k: int) -> DataFrame:
@@ -67,7 +68,12 @@ def kcenter_select(emb: DataFrame, k: int) -> DataFrame:
         # ties pick the lowest id (struct comparison is lexicographic)
         d2min = (
             emb.join(F.broadcast(cent_v))
-            .select("vec_id", l2sq(F.col("v"), F.col("cv")).alias("d2"))
+            # every PAIRWISE distance on the 10⁻⁶ grid before the min/
+            # argmax (r9, the mmr_rerank convention): selection then
+            # compares bit-identical doubles on every engine, which is
+            # what lets q164 carry a recursive-CTE oracle (min of
+            # gridded == gridded min — the grid is monotone)
+            .select("vec_id", dround(l2sq(F.col("v"), F.col("cv")), 6).alias("d2"))
             .groupBy("vec_id")
             .agg(F.min("d2").alias("d2min"))
             # NEVER re-pick a selected center: once the remaining geometry

@@ -36,7 +36,13 @@ def mmr_rerank(
     Output: ``(sel_rank, <id_col>, <rel_col>, mmr_r)`` with ``mmr_r``
     rounded to the 10⁻⁶ grid. Deterministic given the shortlist: the
     scan order is (rel desc, id asc) and diversity uses cosine over the
-    provided vectors.
+    provided vectors, with every PAIRWISE similarity rounded to the
+    10⁻⁶ grid BEFORE it enters a selection score (r9) — so the greedy
+    argmax compares doubles that are bit-identical across engines
+    (``lam·rel_r − (1−lam)·div_r`` of two grid values), which is what
+    lets q140 carry a full recursive-CTE DuckDB oracle instead of a
+    rows-only check. Cosine is computed dot/(‖a‖·‖b‖) (one division
+    after the full-precision dot), the exact shape the oracle mirrors.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -47,8 +53,11 @@ def mmr_rerank(
         ids = pdf[id_col].to_numpy()
         rel = pdf[rel_col].to_numpy(dtype=np.float64)
         V = np.stack(pdf[vec_col].to_numpy())
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        sim = Vn @ Vn.T
+        norms = np.linalg.norm(V, axis=1)
+        sim = (V @ V.T) / np.outer(norms, norms)
+        # 10⁻⁶-grid the pairwise sims (see docstring: cross-engine
+        # determinism of the greedy argmax)
+        sim = np.floor(sim * 1e6 + 0.5) / 1e6
         order = np.lexsort((ids, -rel))
         ids, rel, sim = ids[order], rel[order], sim[np.ix_(order, order)]
         chosen: list = []

@@ -1954,7 +1954,62 @@ def q163_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q164_kcenter_coreset", oracle=None)  # iterative float refinement
+_KCENTER_K = 16
+_D2G_SQL = (
+    "FLOOR(list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2]))) * 1000000.0 + 0.5) / 1000000.0"
+)
+
+
+@query(
+    "q164_kcenter_coreset",
+    # ORACLE since r9 (rows-only before; the q44/q168/q140 recursive-CTE
+    # precedent): with every pairwise d2 on the 10⁻⁶ grid
+    # (operators/kcenter.py), the greedy farthest-point recursion is a
+    # recursive CTE whose working table carries BOTH the per-vector
+    # d2min state rows ('s') and one chosen-list/selection row ('c') —
+    # each round: argmax of d2min excluding chosen (ties lowest id),
+    # then one LEAST-fold of the state against the new center. One d2
+    # per vector per round, the same O(k·n) the Spark operator pays.
+    oracle=f"""
+    WITH RECURSIVE
+    e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    st AS (
+      SELECT 's' AS kind, CAST(1 AS BIGINT) AS rank, e.vec_id,
+             {_D2G_SQL.format(a='e.v', b='c0.v')} AS d2min,
+             CAST(NULL AS BIGINT[]) AS chosen, CAST(NULL AS BIGINT) AS cid,
+             CAST(NULL AS DOUBLE) AS d2cov
+      FROM e, (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1) c0
+      UNION ALL
+      SELECT 'c', CAST(1 AS BIGINT), NULL, NULL,
+             [c0.vec_id], c0.vec_id, 0.0
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 1) c0
+      UNION ALL
+      (
+        WITH cur AS (SELECT * FROM st),
+        ch AS (SELECT chosen, rank FROM cur WHERE kind = 'c'),
+        nxt AS (
+          SELECT s.vec_id, s.d2min
+          FROM cur s, ch
+          WHERE s.kind = 's' AND NOT list_contains(ch.chosen, s.vec_id)
+          ORDER BY s.d2min DESC, s.vec_id LIMIT 1
+        )
+        SELECT 's', ch.rank + 1, s.vec_id,
+               LEAST(s.d2min, {_D2G_SQL.format(a='ev.v', b='nv.v')}),
+               NULL, NULL, NULL
+        FROM cur s, ch, nxt, e nv, e ev
+        WHERE s.kind = 's' AND ch.rank < {_KCENTER_K}
+          AND nv.vec_id = nxt.vec_id AND ev.vec_id = s.vec_id
+        UNION ALL
+        SELECT 'c', ch.rank + 1, NULL, NULL,
+               list_append(ch.chosen, nxt.vec_id), nxt.vec_id, nxt.d2min
+        FROM ch, nxt WHERE ch.rank < {_KCENTER_K}
+      )
+    )
+    SELECT rank, cid AS vec_id, d2cov AS d2_covered_r
+    FROM st WHERE kind = 'c'
+    """,
+)
 def q164_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (Gonzalez 1985; ``operators/kcenter.py``):
     the 16 most mutually-distant embedding vectors in selection order,
@@ -1962,10 +2017,12 @@ def q164_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-curation primitive (coreset seeds, active-learning batches,
     diverse eval panels) complementing SemDeDup's redundancy removal.
 
-    Rows-only by design (iterative float refinement, the q94 k-means
-    category); the pytest twin runs a numpy greedy k-center with the
-    identical start (lowest vec_id) and (distance, lowest-id)
-    tie-breaks and matches the sequence exactly.
+    ORACLE-checked since r9 (rows-only before): pairwise distances are
+    10⁻⁶-gridded inside the operator, so the greedy argmax compares
+    bit-identical doubles on both engines and the DuckDB recursive CTE
+    replays the selection pick for pick. The numpy twin (identical
+    start, grid, and (distance, lowest-id) tie-breaks) still pins the
+    sequence independently.
 
     Scale: k scans with a ≤ k-row broadcast each, 1-row argmax state,
     localCheckpoint lineage cuts — nothing corpus-sized leaves the
@@ -1976,7 +2033,7 @@ def q164_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id", dvec("embedding").alias("v")
     )
-    sel = kcenter_select(emb, k=16)
+    sel = kcenter_select(emb, k=_KCENTER_K)
     return sel.select(
         "rank", "vec_id", dround(F.col("d2_covered"), 6).alias("d2_covered_r")
     )

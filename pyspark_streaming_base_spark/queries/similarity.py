@@ -735,9 +735,65 @@ _MMR_CAND = 32
 _MMR_K = 10
 
 
-@query("q140_mmr_diverse_topk", oracle=None)  # greedy selection is
-# sequential by definition — pinned by the independent numpy mirror +
-# diversity property in tests/test_mmr.py (the q94/q134 pattern)
+_MMR_COS = (
+    "FLOOR((list_dot_product({a}, {b}) / "
+    "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))) "
+    "* 1000000.0 + 0.5) / 1000000.0"
+)
+
+
+@query(
+    "q140_mmr_diverse_topk",
+    # ORACLE since r9 (rows-only before): greedy selection over the
+    # 32-candidate shortlist is a single-row recursive CTE carrying the
+    # selected LIST; with all pairwise sims and relevances on the 10⁻⁶
+    # grid (operators/mmr.py rounds them before scoring), the argmax
+    # compares bit-identical doubles on both engines, so the selection
+    # — not just the scores — hash-matches. The q168/q44 rows-only →
+    # recursive-CTE precedent applied to an iterative GREEDY op.
+    oracle=f"""
+    WITH RECURSIVE
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT vec_id, v, rel_r FROM (
+        SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS v,
+               {_MMR_COS.format(a="CAST(c.embedding AS DOUBLE[])", b="q.qv")} AS rel_r
+        FROM embeddings c, q WHERE c.vec_id <> 0
+      ) ORDER BY rel_r DESC, vec_id LIMIT {{cand}}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             {_MMR_COS.format(a="a.v", b="b.v")} AS sim_r
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel AS (
+      SELECT CAST(1 AS BIGINT) AS sel_rank, p.vec_id, p.rel_r,
+             FLOOR(({{lam}} * p.rel_r) * 1000000.0 + 0.5) / 1000000.0 AS mmr_r,
+             [p.vec_id] AS chosen
+      FROM (SELECT vec_id, rel_r FROM cand
+            ORDER BY {{lam}} * rel_r DESC, vec_id LIMIT 1) p
+      UNION ALL
+      SELECT s.sel_rank + 1, nxt.vec_id, nxt.rel_r,
+             FLOOR(nxt.score * 1000000.0 + 0.5) / 1000000.0,
+             list_append(s.chosen, nxt.vec_id)
+      FROM sel s, LATERAL (
+        SELECT c.vec_id, c.rel_r,
+               {{lam}} * c.rel_r - (1 - {{lam}}) * COALESCE((
+                 SELECT MAX(m.sim_r) FROM sims m
+                 WHERE m.ia = c.vec_id AND list_contains(s.chosen, m.ib)
+               ), 0.0) AS score
+        FROM cand c
+        WHERE NOT list_contains(s.chosen, c.vec_id)
+        ORDER BY score DESC, c.vec_id
+        LIMIT 1
+      ) nxt
+      WHERE s.sel_rank < {{k}}
+    )
+    SELECT sel_rank, vec_id, rel_r, mmr_r FROM sel
+    """.replace("{cand}", str(_MMR_CAND))
+    .replace("{lam}", str(_MMR_LAMBDA))
+    .replace("{k}", str(_MMR_K)),
+)
 def q140_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance diverse top-k (C18 extension): re-rank
     the cosine top-32 around query vector 0 by greedily picking

@@ -31,8 +31,11 @@ def _numpy_mirror():
     rel = np.floor(Cn @ qn * 1e6 + 0.5) / 1e6  # the dround grid
     # top-_MMR_CAND candidates by (rel desc, vec_id asc)
     order = np.lexsort((cids, -rel))[:_MMR_CAND]
-    cids, rel, Cn = cids[order], rel[order], Cn[order]
-    sim = Cn @ Cn.T
+    cids, rel, C = cids[order], rel[order], C[order]
+    # dot/(|a||b|) then the 10^-6 grid — the r9 mmr_rerank semantics
+    # that make the greedy argmax engine-portable
+    norms = np.linalg.norm(C, axis=1)
+    sim = np.floor((C @ C.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
     chosen: list = []
     avail = list(range(len(cids)))
     out = []

@@ -224,16 +224,21 @@ def test_q164_kcenter_matches_numpy_greedy(spark):
     pdf = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet").sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
     X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+    def d2g(a, B):  # the operator's 10^-6 pairwise grid (r9)
+        return np.floor(((B - a) ** 2).sum(axis=1) * 1e6 + 0.5) / 1e6
+
     sel = [0]  # index of lowest vec_id after the sort
     radii = [0.0]
-    d2min = ((X - X[0]) ** 2).sum(axis=1)
+    d2min = d2g(X[0], X)
     for _ in range(2, 17):
-        best = d2min.max()
-        # lowest id among argmax ties
-        pick = int(np.flatnonzero(d2min == best)[0])
+        mask = np.ones(len(ids), bool)
+        mask[sel] = False  # the operator anti-joins selected centers
+        cand = np.where(mask)[0]
+        pick = int(cand[np.lexsort((ids[cand], -d2min[cand]))[0]])
         sel.append(pick)
-        radii.append(float(best))
-        d2min = np.minimum(d2min, ((X - X[pick]) ** 2).sum(axis=1))
+        radii.append(float(d2min[pick]))
+        d2min = np.minimum(d2min, d2g(X[pick], X))
     want_ids = [int(ids[i]) for i in sel]
     assert [r["vec_id"] for r in got] == want_ids
     for r, radius in zip(got, radii):
