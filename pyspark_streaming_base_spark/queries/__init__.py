@@ -118,12 +118,20 @@ DRIVER_PRIORITY: tuple = (
     # slots; C6/C9/C13/C23/C17 stay covered by the q01/q96/q17/q73/
     # q40+q44 keepers)
     "q156_containment_pairs",
-    "q157_vocab_profile",
     "q158_quality_threshold_sweep",
     "q159_source_overlap",
     "q160_column_profile",
-    "q161_join_skew_report",
-    "q162_rank_correlation",
+    # ROUND-9 NEW OPERATORS, rotated in the same round they were
+    # written (the r8 convention — no never-driver-checked debt):
+    # char-level quality stats, the cross-source near-dup matrix, and
+    # the Jaccard-vs-containment measure-overlap report — all
+    # oracle-bearing. Their slots come from q157/q161/q162 (driver-
+    # green in CORRECTNESS_r08, code unchanged; C19 text stays covered
+    # by q47/q147/q170, the stats family by q162's mirror + the
+    # q166/q169 keepers here).
+    "q170_char_stats",
+    "q172_cross_source_dup_matrix",
+    "q173_dedup_measure_overlap",
     "q163_pps_token_sample",    # q61 yields (rows-only, driver-green r7;
     # C18 stays covered by the q60 keeper + pytest recall pins)
     "q164_kcenter_coreset",     # q44 yields (driver-green r7, engine

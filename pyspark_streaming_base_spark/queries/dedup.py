@@ -1195,10 +1195,10 @@ def q148_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q156_containment_pairs",
-    oracle="""
-    WITH sh AS (
+#: q156's directed containment pairs as a standalone CTE fragment —
+#: shared by the q156 oracle and the q173 measure-overlap oracle.
+_CONTAINMENT_PAIRS_SQL = """
+    sh AS MATERIALIZED (
       SELECT doc_id, lang,
              CASE WHEN len(toks) >= 3
                   THEN list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
@@ -1207,17 +1207,27 @@ def q148_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, lang,
                    list_filter(string_split(text, ' '), x -> x <> '') AS toks
             FROM documents) WHERE len(toks) > 0
+    ),
+    cp AS MATERIALIZED (
+      SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
+             CAST(len(a.shingles) AS BIGINT) AS n_small,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(a.shingles) AS containment
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.doc_id <> b.doc_id
+           AND 10 * len(b.shingles) >= 9 * len(a.shingles)
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(a.shingles) >= 0.9
     )
-    SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_common,
-           CAST(len(a.shingles) AS BIGINT) AS n_small,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / len(a.shingles) AS containment
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.doc_id <> b.doc_id
-         AND 10 * len(b.shingles) >= 9 * len(a.shingles)
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / len(a.shingles) >= 0.9
+"""
+
+
+@query(
+    "q156_containment_pairs",
+    oracle=f"""
+    WITH {_CONTAINMENT_PAIRS_SQL}
+    SELECT doc_small, doc_big, n_common, n_small, containment FROM cp
     """,
 )
 def q156_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1364,3 +1374,143 @@ def q168_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return kcore(edges, k=2).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "q172_cross_source_dup_matrix",
+    oracle=f"""
+    WITH {_PAIRS_SQL}
+    SELECT LEAST(da.source, db.source) AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT pr.doc_a) + COUNT(DISTINCT pr.doc_b) AS BIGINT)
+             AS n_docs_involved
+    FROM pr
+    JOIN documents da ON da.doc_id = pr.doc_a
+    JOIN documents db ON db.doc_id = pr.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q172_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH crawls duplicate each other (C17 extension): the near-dup
+    pair mass of q40's verified edge set, folded to an (unordered)
+    source×source matrix — the diagonal is each source's internal
+    duplication, off-diagonal cells say "these two feeds overlap; stop
+    paying to ingest both". q159 compares sources by token-distribution
+    overlap (could be coincidence of topic); this counts actual
+    verified near-duplicate DOCUMENT pairs between them, the number a
+    data-acquisition owner acts on.
+
+    Exactness: pure joins + integer counts (`n_docs_involved` counts
+    each side's distinct endpoints — a doc pairing twice counts once
+    per side). Scale: the expensive part IS q40 (already blocked and
+    size-gated); this adds two broadcast-able id→source joins and a
+    source²-bounded aggregate.
+    """
+    pr = q40_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pr.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+            "doc_a",
+            "doc_b",
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+            .cast("bigint")
+            .alias("n_docs_involved"),
+        )
+    )
+
+
+@query(
+    "q173_dedup_measure_overlap",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    {_CONTAINMENT_PAIRS_SQL},
+    ju AS (SELECT doc_a, doc_b FROM pr),
+    cu AS (
+      SELECT DISTINCT LEAST(doc_small, doc_big) AS doc_a,
+             GREATEST(doc_small, doc_big) AS doc_b
+      FROM cp
+    ),
+    u AS (
+      SELECT COALESCE(j.doc_a, c.doc_a) AS doc_a,
+             COALESCE(j.doc_b, c.doc_b) AS doc_b,
+             (j.doc_a IS NOT NULL) AS in_j,
+             (c.doc_a IS NOT NULL) AS in_c
+      FROM ju j FULL OUTER JOIN cu c
+        ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    )
+    SELECT d.lang,
+           CAST(SUM(CASE WHEN in_j AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN in_j AND NOT in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_jaccard_only,
+           CAST(SUM(CASE WHEN in_c AND NOT in_j THEN 1 ELSE 0 END) AS BIGINT) AS n_containment_only
+    FROM u JOIN documents d ON d.doc_id = u.doc_a
+    GROUP BY d.lang
+    """,
+)
+def q173_dedup_measure_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHAT each dedup measure uniquely catches (C17 extension): the
+    per-language overlap matrix between symmetric Jaccard ≥ 0.8 pairs
+    (q40) and containment ≥ 0.9 pairs (q156, undirected-normalized) —
+    `n_jaccard_only` are mutual-overlap near-dups (shared vocabulary,
+    but no 90%-phrase-containment either way: q40 works on token SETS,
+    q156 on 3-shingle PHRASES), `n_containment_only` are the subset/
+    truncation duplicates symmetric Jaccard structurally misses (the
+    reason q156 exists). The report a dedup-policy owner reads to
+    decide whether running BOTH measures pays — measured on the actual
+    corpus, not asserted from theory (on this fixture the token-soup
+    docs make Jaccard the wide net and containment the precise one).
+
+    Exactness: set operations on two already-exact pair sets + integer
+    counts (lang attaches via the lower endpoint; pairs are same-lang
+    by construction on both measures). Scale: the expensive parts ARE
+    q40/q156 (blocked, size-gated); this adds one pair-keyed full-outer
+    join and a lang-sized aggregate — keys-only throughout.
+    """
+    ju = q40_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cu = (
+        q156_containment_pairs(spark, sf_dir)
+        .select(
+            F.least("doc_small", "doc_big").alias("doc_a"),
+            F.greatest("doc_small", "doc_big").alias("doc_b"),
+        )
+        .distinct()
+    )
+    u = (
+        ju.withColumn("in_j", F.lit(True))
+        .join(
+            cu.withColumn("in_c", F.lit(True)),
+            ["doc_a", "doc_b"],
+            "full_outer",
+        )
+        .select(
+            "doc_a",
+            F.coalesce("in_j", F.lit(False)).alias("in_j"),
+            F.coalesce("in_c", F.lit(False)).alias("in_c"),
+        )
+    )
+    lang = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        u.join(lang.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("in_j") & F.col("in_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_both"),
+            F.sum(F.when(F.col("in_j") & ~F.col("in_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_jaccard_only"),
+            F.sum(F.when(F.col("in_c") & ~F.col("in_j"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_containment_only"),
+        )
+    )

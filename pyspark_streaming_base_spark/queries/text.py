@@ -2253,3 +2253,65 @@ def q167_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (tot.cast("double") * tot.cast("double"))
         ).alias("hhi"),
     )
+
+
+@query(
+    "q170_char_stats",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+      FROM documents
+      WHERE len(text) > 0
+    ),
+    cnt AS (
+      SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ch GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+           CAST(MAX(c) AS BIGINT) AS modal_cnt,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS modal_frac,
+           CAST(SUM(c * c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS char_hhi
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q170_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level quality stats per document (C19 extension) — the
+    Gopher/Dolma-style gibberish and encoding-junk signals that fire
+    BELOW the token level, where q51's word-level gate is blind: a doc
+    of one repeated character, base64/hex blobs, or collapsed-alphabet
+    OCR junk all read as "words" upstream but have degenerate character
+    distributions. Three exact signals per doc: distinct-character
+    count, modal-character fraction (Dolma's most-common-character
+    rule), and the character Simpson/HHI concentration Σ(c/n)² — the
+    transcendental-free twin of character entropy (same ordering, no
+    log, so it hash-matches cross-engine where an entropy would hit the
+    libm-ULP wall that made q134 rows-only).
+
+    Exactness: every metric is integer counts or a SINGLE division of
+    exact integers — bit-identical IEEE on both engines, no rounding
+    grid needed. Σc² ≤ n² keeps int64 exact to ~3·10⁹ chars per doc.
+
+    Scale: the character explode is corpus-sized, but the FIRST
+    aggregate is map-side combined on (doc_id, char) — the shuffle
+    carries at most |alphabet| rows per doc, not characters; the second
+    fold is per-doc. Nothing else moves.
+    """
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        F.max("c").cast("bigint").alias("modal_cnt"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("modal_frac"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c").cast("double"))
+        ).alias("char_hhi"),
+    )
