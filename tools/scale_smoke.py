@@ -340,6 +340,7 @@ def main() -> None:
     crawl_smoke(spark, reps)
     bloom_smoke(spark, reps)
     semdedup_smoke(spark, reps)
+    containment_smoke(spark, reps)
 
 
 def semdedup_smoke(spark, reps) -> None:
@@ -495,3 +496,85 @@ def bloom_smoke(spark, reps) -> None:
             f" ({100.0 * survivors / probed:5.2f}%)  exact={t_exact:6.3f}s"
             f"  bloom={t_pre:6.3f}s  hit_docs={ne}"
         )
+
+
+def containment_smoke(spark, reps) -> None:
+    """Containment crawl (r9, `operators/containment.py`) vs the
+    re-shingle-everything rebuild it replaces, corpus n× / batch FIXED
+    (the crawl_smoke shape). containment_incremental: append the batch
+    (shingle the batch only) + probe the persisted index — the batch
+    prefix side broadcasts, so the corpus-sized postings stream through
+    their own scan with NO corpus shuffle; wall grows with the postings
+    SCAN only. containment_rebuild: rebuild the index over the union
+    (re-shingle + rewrite the corpus) + the same probe — O(corpus)
+    write amplification every crawl. The gap is the index's reason to
+    exist; the probe's candidate exchange stays O(batch-candidates) at
+    every n."""
+    import shutil
+    import tempfile
+
+    from pyspark_streaming_base_spark.operators.containment import (
+        append_containment_index,
+        build_containment_index,
+        query_containment_index,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    batch = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"),
+        "lang",
+        F.concat_ws(
+            " ", F.transform(toks, lambda x: F.concat(x, F.lit("_day")))
+        ).alias("text"),
+    )
+    for n in reps:
+        # like _crawl_corpus (shifted ids, replica-suffixed tokens so
+        # replicas share no shingles) but carrying lang for the blocking
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "lang", "text"
+        )
+        parts = [docs]
+        for i in range(1, n):
+            t2 = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                    "lang",
+                    F.concat_ws(
+                        " ",
+                        F.transform(t2, lambda x: F.concat(x, F.lit(f"_r{i}"))),
+                    ).alias("text"),
+                )
+            )
+        corpus = parts[0]
+        for p in parts[1:]:
+            corpus = corpus.unionByName(p)
+
+        root = tempfile.mkdtemp(prefix="cont_smoke_")
+        try:
+            idx = f"{root}/idx"
+            build_containment_index(corpus, idx)
+
+            run_idx = f"{root}/idx_inc"
+            shutil.copytree(idx, run_idx)
+            t0 = time.perf_counter()
+            append_containment_index(batch, run_idx)
+            query_containment_index(spark, run_idx, batch).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt_inc = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            full_idx = f"{root}/idx_full"
+            build_containment_index(corpus.unionByName(batch), full_idx)
+            query_containment_index(spark, full_idx, batch).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt_reb = time.perf_counter() - t0
+            print(f"{'containment_incremental':>24}  x{n:<3} {dt_inc:7.3f}s")
+            print(f"{'containment_rebuild':>24}  x{n:<3} {dt_reb:7.3f}s")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
