@@ -92,3 +92,70 @@ def test_mmr_selection_is_more_diverse_than_topk():
     assert mean_pairwise(sel) <= mean_pairwise(topk) + 1e-12
     # and it still retrieves relevant items: every pick is a candidate
     assert all(0 <= i < _MMR_CAND for i in sel)
+
+
+def test_q150_retrieval_pipeline_matches_replayed_composition(spark):
+    """End-to-end pin for the serving capstone: q150's output must equal
+    the oracle-checked q138 head + the min-max rescale + the (now
+    oracle-checked) gridded MMR greedy, replayed independently in
+    numpy from q138's own rows and the raw parquet vectors. Closes the
+    composition glue (the affine rescale and the stage wiring) that the
+    per-stage oracles don't cover."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pyspark_streaming_base_spark.queries.similarity import (
+        q138_rrf_hybrid_fusion,
+        q150_retrieval_pipeline,
+    )
+
+    fused = {
+        r["doc_id"]: r["rrf_score"]
+        for r in q138_rrf_hybrid_fusion(spark, SF_SMALL).collect()
+    }
+    lo, hi = min(fused.values()), max(fused.values())
+    rel = {
+        d: ((s - lo) / (hi - lo)) if hi > lo else 1.0 for d, s in fused.items()
+    }
+
+    tbl = pq.read_table(f"{SF_SMALL}/embeddings.parquet")
+    vids = np.asarray(tbl["vec_id"])
+    V = np.stack(tbl["embedding"].to_pylist()).astype(np.float64)
+    vec = {int(i): V[n] for n, i in enumerate(vids) if int(i) in rel}
+    ids = sorted(vec)  # shortlist docs that have vectors
+    X = np.stack([vec[i] for i in ids])
+    norms = np.linalg.norm(X, axis=1)
+    sim = np.floor((X @ X.T) / np.outer(norms, norms) * 1e6 + 0.5) / 1e6
+    r = np.array([rel[i] for i in ids])
+    order = np.lexsort((ids, -r))
+    ids_o = [ids[i] for i in order]
+    r_o, sim_o = r[order], sim[np.ix_(order, order)]
+
+    chosen, avail = [], list(range(len(ids_o)))
+    out = []
+    for rank in range(1, min(_MMR_K, len(ids_o)) + 1):
+        best, best_key = None, None
+        for i in avail:
+            div = max((sim_o[i, j] for j in chosen), default=0.0)
+            key = (_MMR_LAMBDA * r_o[i] - (1 - _MMR_LAMBDA) * div, -ids_o[i])
+            if best_key is None or key > best_key:
+                best, best_key = i, key
+        chosen.append(best)
+        avail.remove(best)
+        div = max((sim_o[best, j] for j in chosen[:-1]), default=0.0)
+        mmr = _MMR_LAMBDA * r_o[best] - (1 - _MMR_LAMBDA) * div
+        out.append(
+            (rank, ids_o[best], float(r_o[best]),
+             float(np.floor(mmr * 1e6 + 0.5) / 1e6))
+        )
+
+    got = [
+        (x.sel_rank, x.doc_id, x.rel_r, x.mmr_r)
+        for x in q150_retrieval_pipeline(spark, SF_SMALL)
+        .orderBy("sel_rank")
+        .collect()
+    ]
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in out]
+    for g, w in zip(got, out):
+        assert abs(g[2] - w[2]) < 1e-12
+        assert abs(g[3] - w[3]) < 1e-12
