@@ -118,7 +118,6 @@ DRIVER_PRIORITY: tuple = (
     # slots; C6/C9/C13/C23/C17 stay covered by the q01/q96/q17/q73/
     # q40+q44 keepers)
     "q156_containment_pairs",
-    "q158_quality_threshold_sweep",
     "q159_source_overlap",
     "q160_column_profile",
     # ROUND-9 NEW OPERATORS, rotated in the same round they were
@@ -132,6 +131,8 @@ DRIVER_PRIORITY: tuple = (
     "q170_char_stats",
     "q172_cross_source_dup_matrix",
     "q173_dedup_measure_overlap",
+    "q174_keeper_policy_report",  # q158 yields (driver-green r8; the
+    # quality-gate family stays covered by the q145/q47 keepers)
     "q163_pps_token_sample",    # q61 yields (rows-only, driver-green r7;
     # C18 stays covered by the q60 keeper + pytest recall pins)
     "q164_kcenter_coreset",     # q44 yields (driver-green r7, engine

@@ -1514,3 +1514,90 @@ def q173_dedup_measure_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_containment_only"),
         )
     )
+
+
+@query(
+    "q174_keeper_policy_report",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CLOSURE_SQL},
+    toks AS (
+      SELECT c.doc_id, c.canonical,
+             CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+                  AS BIGINT) AS nt
+      FROM canon c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, canonical, nt,
+             (doc_id = canonical) AS keep_low,
+             (ROW_NUMBER() OVER (PARTITION BY canonical
+                                 ORDER BY nt DESC, doc_id) = 1) AS keep_long
+      FROM toks
+    )
+    SELECT policy,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(nt) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE nt END) AS BIGINT) AS tokens_dropped
+    FROM (
+      SELECT 'lowest_id' AS policy, canonical, nt, keep_low AS kept FROM ranked
+      UNION ALL
+      SELECT 'longest_doc', canonical, nt, keep_long FROM ranked
+    )
+    GROUP BY policy
+    """,
+)
+def q174_keeper_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH keeper policy to run (C17 extension): for each dedup-family
+    keeper rule — keep-lowest-id (q44's canonical, the reproducibility
+    default) vs keep-longest-doc (the token-retention default, ties on
+    lowest id) — the documents and TOKENS kept/dropped across the q44
+    near-dup clusters. q148 says how much a dedup pass reclaims; this
+    says what each policy's reclaim COSTS in training tokens — the
+    number that decides the keeper rule before anyone deletes anything.
+
+    Exactness: integer counts end-to-end (token counts via the one
+    shared tokenizer); the longest-doc rank ties on doc_id. Scale: q44's
+    closure + one token-count join + a per-cluster window over
+    cluster-sized partitions (dup families, never the corpus) + a 2-row
+    fold.
+    """
+    clusters = q44_dedup_clusters(spark, sf_dir)
+    nt = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("bigint").alias("nt")
+    )
+    from pyspark.sql import Window as W
+
+    ranked = (
+        clusters.join(nt, "doc_id")
+        .withColumn("keep_low", F.col("doc_id") == F.col("canonical"))
+        .withColumn(
+            "keep_long",
+            F.row_number().over(
+                W.partitionBy("canonical").orderBy(F.col("nt").desc(), "doc_id")
+            )
+            == 1,
+        )
+    )
+    both = ranked.select(
+        F.lit("lowest_id").alias("policy"), "canonical", "nt",
+        F.col("keep_low").alias("kept"),
+    ).unionByName(
+        ranked.select(
+            F.lit("longest_doc").alias("policy"), "canonical", "nt",
+            F.col("keep_long").alias("kept"),
+        )
+    )
+    return both.groupBy("policy").agg(
+        F.countDistinct("canonical").cast("bigint").alias("n_clusters"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("nt").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("kept"), F.col("nt")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(F.col("nt")))
+        .cast("bigint")
+        .alias("tokens_dropped"),
+    )
