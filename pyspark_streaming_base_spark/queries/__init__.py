@@ -107,7 +107,9 @@ DRIVER_PRIORITY: tuple = (
     # concentration, decile Q-Q (oracle) and k-core (closure-CTE
     # oracle as of r9). They take the slots of the four late-r7
     # rows-only entries (q140/q143/q146/q150 — driver-green r8,
-    # pytest-pinned twins keep them covered).
+    # pytest-pinned twins keep them covered; q140 additionally gained a
+    # recursive-CTE oracle later in r9, hash-checked by the stricter
+    # local mirror at both sf even though it sits outside this prefix).
     "q166_mann_whitney",
     "q167_source_concentration",
     "q168_kcore",
