@@ -42,10 +42,21 @@ def pagerank(
 
     ranks = nodes.withColumn("r", F.lit(1.0 / n_nodes)).localCheckpoint(eager=True)
     for _ in range(iters):
+        # each edge's message is gridded to the 10⁻¹² lattice and SUMMED
+        # AS int64 (r9, the grid-before-argmax discipline applied to an
+        # exact-sum): per-message ints are ≤ 10¹² and Σranks ≈ 1, so the
+        # int64 fold is exact at ANY scale and partition-order-free —
+        # which is what makes the whole iteration engine-portable and
+        # lets q103 carry a recursive-CTE oracle. The 0.5·10⁻¹²
+        # per-message perturbation is far below PageRank's own
+        # iteration tolerance.
+        m_int = F.floor(
+            F.col("r") / F.col("deg") * F.lit(1e12) + F.lit(0.5)
+        ).cast("bigint")
         contribs = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .join(outdeg, "src")
-            .select("dst", (F.col("r") / F.col("deg")).alias("m"))
+            .select("dst", m_int.alias("m"))
             .groupBy("dst")
             .agg(F.sum("m").alias("msum"))
         )
@@ -53,9 +64,14 @@ def pagerank(
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("msum", F.lit(0.0))).alias(
-                    "r"
-                ),
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("msum", F.lit(0)).cast("double")
+                        / F.lit(1e12)
+                    )
+                ).alias("r"),
             )
             .localCheckpoint(eager=True)
         )

@@ -628,13 +628,68 @@ def q102_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") <= _HH_TOP_K).orderBy("rnk")
 
 
-@query("q103_pagerank_top20")  # iterative float refinement — rows-only by design
+@query(
+    "q103_pagerank_top20",
+    # ORACLE since r9 (rows-only before): with every edge message on the
+    # 10⁻¹² grid and the per-node fold an EXACT int64 sum
+    # (operators/pagerank.py), each round's ranks are identical doubles
+    # on both engines, so the recursive CTE replays the power iteration
+    # value-for-value. The q44/q168/q140/q164 precedent applied to
+    # message passing.
+    oracle="""
+    WITH RECURSIVE
+    cs AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    e AS MATERIALIZED (
+      SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    pr AS (
+      SELECT 0 AS round, node, 1.0 / nn.n AS r FROM nodes, nn
+      UNION ALL
+      SELECT p.round, p.node,
+             (1 - 0.85) / nn.n
+               + 0.85 * (COALESCE(c.msum, 0) / 1000000000000.0) AS r
+      FROM (
+        SELECT MAX(round) + 1 AS round, node FROM pr GROUP BY node
+      ) p
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(FLOOR(p2.r / d.deg * 1000000000000.0 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS msum
+        FROM pr p2 JOIN e ON e.src = p2.node JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) c ON c.node = p.node
+      CROSS JOIN nn
+      WHERE p.round <= 3
+    ),
+    lastround AS (SELECT MAX(round) AS mr FROM pr)
+    SELECT node, rank_r, rnk FROM (
+      SELECT node,
+             FLOOR(r * 1000000000.0 + 0.5) / 1000000000.0 AS rank_r,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY FLOOR(r * 1000000000.0 + 0.5) / 1000000000.0 DESC,
+                        node
+             ) AS BIGINT) AS rnk
+      FROM pr, lastround WHERE round = lastround.mr
+    ) WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
 def q103_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier transaction graph (edges from
     lineitem⋈orders, symmetrized so there are no dangling nodes), 3
     message-passing rounds, top-20 nodes by rounded rank with id
-    tie-break. Float iteration is engine-specific → rows-only; the
-    pytest twin checks against a numpy power-iteration oracle.
+    tie-break. ORACLE-checked since r9: per-edge messages are gridded
+    and exact-summed inside the operator, so the iteration — not just
+    the rounded output — is engine-portable and a DuckDB recursive CTE
+    replays it round for round. The numpy power-iteration twin (same
+    grid) still pins it independently.
 
     Scale: per round, ONE edge-shuffle (join ranks on src, aggregate on
     dst); ranks are localCheckpoint-ed so round i+1 never replays round
@@ -657,11 +712,14 @@ def q103_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = cs.unionByName(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = pagerank(edges, damping=0.85, iters=3)
-    w = W.orderBy(F.round("r", 9).desc(), "node")
+    # dround, not ROUND: the final rank grid must match the oracle's
+    # floor(x·1e9 + 0.5) exactly (invariant 1 — plain ROUND of a
+    # computed double flips on representation-boundary ties)
+    w = W.orderBy(dround(F.col("r"), 9).desc(), "node")
     return (
         ranks.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 20)
-        .select("node", F.round("r", 9).alias("rank_r"), "rnk")
+        .select("node", dround(F.col("r"), 9).alias("rank_r"), "rnk")
     )
 
 

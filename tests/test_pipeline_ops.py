@@ -141,13 +141,17 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         out[a] += 1.0
     r = np.full(n, 1.0 / n)
     for _ in range(4):
-        contrib = np.zeros(n)
+        # the operator's exact-sum semantics (r9): each message gridded
+        # to 1e-12 and summed as integers, so equality is EXACT
+        contrib_int = np.zeros(n, dtype=np.int64)
         for a in range(n):
             if out[a]:
-                contrib += adj[a] * (r[a] / out[a])
-        r = (1 - 0.85) / n + 0.85 * contrib
+                contrib_int += (adj[a] > 0) * int(
+                    np.floor(r[a] / out[a] * 1e12 + 0.5)
+                )
+        r = (1 - 0.85) / n + 0.85 * (contrib_int.astype(np.float64) / 1e12)
     for i in range(n):
-        assert got[i] == pytest.approx(r[i], rel=1e-9, abs=1e-12)
+        assert got[i] == r[i]  # bit-exact under the gridded fold
     # ranks form a probability distribution (no dangling loss)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
