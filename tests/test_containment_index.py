@@ -143,3 +143,36 @@ def test_prefix_probe_is_sublinear_in_shingles(spark, tmp_path):
     )
     prefix_rows = sets.select(k.alias("k")).agg(F.sum("k")).collect()[0][0]
     assert prefix_rows <= 0.2 * total
+
+
+def test_append_after_compact_through_pointer(spark, tmp_path):
+    """The crawl loop keeps working ACROSS a compaction: after
+    delete+compact turns the tables into generation pointers, a
+    partitioned APPEND must land in the current generation and the next
+    probe must see old + appended docs minus the deleted one —
+    i.e. equal the inline operator over exactly that surviving corpus."""
+    path = str(tmp_path / "cidx")
+    docs = _docs(spark)
+    day1 = docs.filter(F.col("doc_id") % 3 != 2)
+    day2 = docs.filter(F.col("doc_id") % 3 == 2)
+    build_containment_index(day1, path)
+
+    victim = day1.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    delete_from_containment_index(spark, path, [victim])
+    compact_containment_index(spark, path)
+    assert os.path.islink(f"{path}/sets")
+
+    append_containment_index(day2, path)
+    got = _rows(containment_pairs_from_index(spark, path))
+
+    # inline q156 over the exact surviving corpus
+    from pyspark_streaming_base_spark.operators.containment import (
+        query_containment_index,
+    )
+
+    surviving = docs.filter(F.col("doc_id") != victim)
+    want_path = str(tmp_path / "ref")
+    build_containment_index(surviving, want_path)
+    want = _rows(containment_pairs_from_index(spark, want_path))
+    assert got == want
+    assert all(victim not in (a, b) for a, b, *_ in got)
