@@ -329,3 +329,23 @@ def test_bloom_probe_joins_are_broadcast(spark):
     # hash exchanges in the whole plan are the distinct val-shingle set,
     # the bloom word aggregate, the candidate verify, and the final agg
     assert plan.count("Exchange hashpartitioning") <= 5, plan[:2000]
+
+
+def test_char_stats_shuffle_carries_aggregated_chars(spark):
+    """q170's character explode must be absorbed by a map-side partial
+    aggregate BEFORE any exchange: the shuffle carries (doc_id, char)
+    groups (≤ alphabet per doc), never raw character rows — the claim
+    that makes a corpus-sized char explode viable at 100 TB. Pinned as:
+    ≤ 2 exchanges (char-count agg, per-doc fold) and a partial
+    HashAggregate below the first exchange."""
+    import re
+
+    df = R["q170_char_stats"].fn(spark, SF_SMALL)
+    assert shuffle_count(df) <= 2
+    plan = formatted_plan(df)
+    ops = re.findall(r"^\s*(?:[:+\-\s]*)\(\d+\)\s+([A-Za-z]+)", plan, re.M)
+    # bottom-up numbering: a HashAggregate (the partial) precedes the
+    # first Exchange, and the Generate (explode) precedes that aggregate
+    first_exchange = ops.index("Exchange")
+    assert "HashAggregate" in ops[:first_exchange], ops
+    assert "Generate" in ops[: ops.index("HashAggregate")], ops
