@@ -257,13 +257,29 @@ def delete_from_bm25_index(
     path: str,
     ids,
     id_col: str = "doc_id",
+    compact_ratio: float = None,
 ) -> None:
     """Tombstone a batch of document ids — O(batch), no table rewrite.
     Set semantics (unknown ids no-op, repeats idempotent); see
-    ``operators/tombstones.py`` for the shared lifecycle contract."""
-    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
+    ``operators/tombstones.py`` for the shared lifecycle contract.
+    ``compact_ratio`` (r9, opt-in self-maintenance): when set, fold the
+    tombstones in right here once they reach that fraction of the live
+    docs — the delete call becomes the compaction scheduler, so an
+    operator who never runs maintenance still never degrades past the
+    ratio."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        maybe_compact,
+        write_tombstones,
+    )
 
     write_tombstones(spark, f"{path}/tombstones", ids, id_col)
+    if compact_ratio is not None:
+        maybe_compact(
+            f"{path}/tombstones",
+            f"{path}/doclens",
+            lambda: compact_bm25_index(spark, path, id_col),
+            ratio=compact_ratio,
+        )
 
 
 def load_bm25_index(

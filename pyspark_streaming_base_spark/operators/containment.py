@@ -285,11 +285,23 @@ def _probe(
     )
 
 
-def delete_from_containment_index(spark: SparkSession, path: str, ids) -> None:
+def delete_from_containment_index(
+    spark: SparkSession, path: str, ids, compact_ratio: float = None
+) -> None:
     """Tombstone documents — O(batch); probes stop pairing them on
     either side. Set semantics; shared contract in
-    ``operators/tombstones.py``."""
+    ``operators/tombstones.py``. ``compact_ratio`` opts into the
+    delete-time auto-compaction hook (the bm25 convention)."""
+    from pyspark_streaming_base_spark.operators.tombstones import maybe_compact
+
     write_tombstones(spark, f"{path}/tombstones", ids, "doc_id")
+    if compact_ratio is not None:
+        maybe_compact(
+            f"{path}/tombstones",
+            f"{path}/sets",
+            lambda: compact_containment_index(spark, path),
+            ratio=compact_ratio,
+        )
 
 
 def compact_containment_index(spark: SparkSession, path: str) -> None:

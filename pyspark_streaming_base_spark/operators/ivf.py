@@ -114,14 +114,27 @@ def query_ivf_index(
     return ivf_search(queries, centroids, assigned, nprobe, top_k)
 
 
-def delete_from_ivf_index(spark: SparkSession, path: str, ids) -> None:
+def delete_from_ivf_index(
+    spark: SparkSession, path: str, ids, compact_ratio: float = None
+) -> None:
     """Tombstone vectors — O(batch); probes stop returning them. Set
     semantics; shared contract in ``operators/tombstones.py``. The
     frozen quantizer is untouched (deletes don't retrain, exactly like
-    appends don't)."""
-    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
+    appends don't). ``compact_ratio`` opts into the delete-time
+    auto-compaction hook (the bm25 convention)."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        maybe_compact,
+        write_tombstones,
+    )
 
     write_tombstones(spark, f"{path}/tombstones", ids, "vec_id")
+    if compact_ratio is not None:
+        maybe_compact(
+            f"{path}/tombstones",
+            f"{path}/assignments",
+            lambda: compact_ivf_index(spark, path),
+            ratio=compact_ratio,
+        )
 
 
 def compact_ivf_index(spark: SparkSession, path: str) -> None:

@@ -160,13 +160,26 @@ def index_band_pairs(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def delete_from_minhash_index(
-    spark: SparkSession, path: str, ids, id_col: str = "doc_id"
+    spark: SparkSession, path: str, ids, id_col: str = "doc_id",
+    compact_ratio: float = None,
 ) -> None:
     """Tombstone documents — O(batch), no signature rewrite. Set
-    semantics; shared contract in ``operators/tombstones.py``."""
-    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
+    semantics; shared contract in ``operators/tombstones.py``.
+    ``compact_ratio`` opts into the delete-time auto-compaction hook
+    (the bm25 convention)."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        maybe_compact,
+        write_tombstones,
+    )
 
     write_tombstones(spark, f"{path}.tombstones", ids, id_col)
+    if compact_ratio is not None:
+        maybe_compact(
+            f"{path}.tombstones",
+            path,
+            lambda: compact_minhash_index(spark, path, id_col),
+            ratio=compact_ratio,
+        )
 
 
 def load_minhash_index(

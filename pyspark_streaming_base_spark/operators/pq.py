@@ -509,15 +509,26 @@ def query_pq_index(
     return _exact_rerank(index.select("vec_id", "vec"), short, queries, top_k)
 
 
-def delete_from_pq_index(spark, path: str, ids) -> None:
+def delete_from_pq_index(spark, path: str, ids, compact_ratio: float = None) -> None:
     """Tombstone vectors in the IVFADC index — O(batch); probes exclude
     them from the compressed scan AND the exact re-rank (both read the
     one ``index`` table through the live view). Codebooks/centroids are
     frozen artifacts and untouched. Shared contract:
-    ``operators/tombstones.py``."""
-    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
+    ``operators/tombstones.py``. ``compact_ratio`` opts into the
+    delete-time auto-compaction hook (the bm25 convention)."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        maybe_compact,
+        write_tombstones,
+    )
 
     write_tombstones(spark, f"{path}/tombstones", ids, "vec_id")
+    if compact_ratio is not None:
+        maybe_compact(
+            f"{path}/tombstones",
+            f"{path}/index",
+            lambda: compact_pq_index(spark, path),
+            ratio=compact_ratio,
+        )
 
 
 def compact_pq_index(spark, path: str) -> None:

@@ -331,12 +331,26 @@ def _live_assignments(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def delete_from_semdedup_index(spark: SparkSession, path: str, ids) -> None:
+def delete_from_semdedup_index(
+    spark: SparkSession, path: str, ids, compact_ratio: float = None
+) -> None:
     """Tombstone vectors — O(batch); the frozen centroids are untouched.
-    Set semantics; shared contract in ``operators/tombstones.py``."""
-    from pyspark_streaming_base_spark.operators.tombstones import write_tombstones
+    Set semantics; shared contract in ``operators/tombstones.py``.
+    ``compact_ratio`` opts into the delete-time auto-compaction hook
+    (the bm25 convention)."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        maybe_compact,
+        write_tombstones,
+    )
 
     write_tombstones(spark, f"{path}/tombstones", ids, "vec_id")
+    if compact_ratio is not None:
+        maybe_compact(
+            f"{path}/tombstones",
+            f"{path}/assignments",
+            lambda: compact_semdedup_index(spark, path),
+            ratio=compact_ratio,
+        )
 
 
 def compact_semdedup_index(spark: SparkSession, path: str) -> None:

@@ -223,3 +223,56 @@ def test_driver_side_delete_batch_is_capped(spark, tmp_path):
         )
     write_tombstones(spark, tomb, _ids(spark, 3), "doc_id")
     assert read_tombstones(spark, tomb).count() == 3
+
+
+def test_delete_time_auto_compaction_hook(spark, tmp_path):
+    """Every index family's delete takes an opt-in compact_ratio: once
+    tombstones reach it, the delete call itself folds them in (probe
+    preserved, tombstone table gone) — an operator who never schedules
+    maintenance still never degrades past the ratio. Exercised on the
+    BM25 and containment families (the same shared hook serves all six)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.operators.bm25 import (
+        build_bm25_index,
+        delete_from_bm25_index,
+        query_bm25_index,
+    )
+    from pyspark_streaming_base_spark.operators.containment import (
+        build_containment_index,
+        containment_pairs_from_index,
+        delete_from_containment_index,
+    )
+    from pyspark_streaming_base_spark.queries._tables import t
+
+    from tests.conftest import SF_SMALL
+
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "lang", "text")
+
+    # BM25: 20% delete with ratio 0.1 -> compacts in the delete call
+    bidx = str(tmp_path / "bm25")
+    build_bm25_index(docs.select("doc_id", "text"), bidx)
+    gone = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    delete_from_bm25_index(spark, bidx, gone, compact_ratio=0.1)
+    assert not os.path.exists(f"{bidx}/tombstones")  # folded immediately
+    hits = query_bm25_index(spark, bidx, ["spark", "data"], top_k=10).collect()
+    assert hits and all(r["doc_id"] % 5 != 0 for r in hits)
+
+    # containment: tiny delete under the ratio -> tombstones stay
+    cidx = str(tmp_path / "cont")
+    build_containment_index(docs, cidx)
+    base = sorted(
+        (r["doc_small"], r["doc_big"])
+        for r in containment_pairs_from_index(spark, cidx).collect()
+    )
+    victim = base[0][0]
+    delete_from_containment_index(spark, cidx, [victim], compact_ratio=0.5)
+    assert os.path.exists(f"{cidx}/tombstones")  # 1 doc < 50%: no fold
+    # and with ratio 0.0 the next delete folds everything
+    delete_from_containment_index(spark, cidx, [victim], compact_ratio=0.0)
+    assert not os.path.exists(f"{cidx}/tombstones")
+    after = sorted(
+        (r["doc_small"], r["doc_big"])
+        for r in containment_pairs_from_index(spark, cidx).collect()
+    )
+    assert after == [p for p in base if victim not in p]
