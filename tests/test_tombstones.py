@@ -276,3 +276,28 @@ def test_delete_time_auto_compaction_hook(spark, tmp_path):
         for r in containment_pairs_from_index(spark, cidx).collect()
     )
     assert after == [p for p in base if victim not in p]
+
+
+def test_swap_sweeps_crash_debris(spark, tmp_path):
+    """A crash between the generation write and the pointer flip leaves
+    a stale gen dir (and possibly a stale ptr temp); the live pointer is
+    untouched — the old snapshot still serves — and the NEXT successful
+    swap sweeps the debris (everything but current + previous)."""
+    import os
+
+    live = _live(tmp_path)
+    _ids(spark, 9).write.parquet(live)
+    swap_in(live, _ids(spark, 10))  # establish pointer layout
+
+    # simulate the crash: a written-but-never-flipped generation + a
+    # stale pointer temp file
+    stale_gen = f"{live}.gen.deadbeef"
+    os.makedirs(stale_gen)
+    open(f"{stale_gen}/part-0.parquet", "wb").close()
+    os.symlink(stale_gen, f"{live}.ptr.deadbeef")
+
+    assert read_live(spark, live).count() == 10  # old snapshot intact
+
+    swap_in(live, _ids(spark, 11))
+    assert read_live(spark, live).count() == 11
+    assert not os.path.exists(stale_gen)  # debris swept by the swap
