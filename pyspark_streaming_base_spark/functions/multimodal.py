@@ -53,6 +53,12 @@ DECODE_SCHEMA = (
 #: feature keys a decoder must produce
 _FEATURE_KEYS = ("width", "height", "n_frames")
 
+#: Hard cap on the decoded size of one PNG (filter bytes + pixels) —
+#: dimensions come from attacker-controlled IHDR, so the decoder refuses
+#: anything that would allocate more than this (64 MiB ≈ a 4.6k×4.6k
+#: RGB frame; corpus thumbnails are orders of magnitude smaller).
+MAX_PNG_DECODED_BYTES = 1 << 26
+
 
 @runtime_checkable
 class Decoder(Protocol):
@@ -463,9 +469,20 @@ def png_rgb_pixels(payload: bytes):
     if w == 0 or h == 0:
         raise ValueError("empty image")
     ch = 3 if ctype_v == 2 else 4
-    raw = zlib.decompress(b"".join(idat))
     stride = w * ch
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    # IHDR is attacker-controlled: bound the allocation BEFORE it happens
+    # and decompress at most `expected` bytes, so a decompression bomb or
+    # a huge-declared-dims payload raises a dead-letterable ValueError
+    # instead of OOMing the executor.
+    if expected > MAX_PNG_DECODED_BYTES:
+        raise ValueError(
+            f"declared dimensions {w}x{h}x{ch} decode to {expected} bytes, "
+            f"over the {MAX_PNG_DECODED_BYTES}-byte cap"
+        )
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected or dec.decompress(b"", 1):
         raise ValueError("pixel stream length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)

@@ -137,13 +137,19 @@ def build_bm25_index(
     docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> None:
     """Materialize the inverted file + doc lengths as the persisted
-    lexical index (write-once/probe-many)."""
+    lexical index (write-once/probe-many). Clears any tombstones a
+    previous index at ``path`` left behind — a build defines the corpus,
+    so stale deletes must not shadow freshly indexed ids (the
+    family-wide fresh-build contract)."""
+    from pyspark_streaming_base_spark.operators.tombstones import clear_tombstones
+
     bm25_postings(docs, id_col, text_col).write.mode("overwrite").parquet(
         f"{path}/postings"
     )
     bm25_doclens(docs, id_col, text_col).write.mode("overwrite").parquet(
         f"{path}/doclens"
     )
+    clear_tombstones(f"{path}/tombstones")
 
 
 def append_bm25_index(

@@ -112,7 +112,13 @@ def build_containment_index(
     text_col: str = "text",
     lang_col: str = "lang",
 ) -> None:
-    """Materialize sets + postings (slice-partitioned) + df stats."""
+    """Materialize sets + postings (slice-partitioned) + df stats.
+
+    A build DEFINES the corpus at ``path``: any tombstones left from a
+    previous index at the same location are cleared, so rebuilding over
+    a previously-deleted-from path can't silently drop freshly indexed
+    docs whose ids happen to match old tombstones (the family-wide
+    fresh-build contract — every ``build_*_index`` does this)."""
     sets = shingle_sets(docs, id_col, text_col, lang_col)
     sets.write.mode("overwrite").partitionBy("slice").parquet(f"{path}/sets")
     spark = docs.sparkSession
@@ -121,6 +127,7 @@ def build_containment_index(
     _df_table(read_live(spark, f"{path}/postings")).write.mode("overwrite").parquet(
         f"{path}/df"
     )
+    clear_tombstones(f"{path}/tombstones")
 
 
 def append_containment_index(

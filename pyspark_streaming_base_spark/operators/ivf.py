@@ -75,6 +75,11 @@ def build_ivf_index(
         )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     ivf_assign(emb, centroids).write.mode("overwrite").parquet(f"{path}/assignments")
+    # a build defines the corpus: stale tombstones from a previous index
+    # at this path must not shadow freshly indexed ids (family contract)
+    from pyspark_streaming_base_spark.operators.tombstones import clear_tombstones
+
+    clear_tombstones(f"{path}/tombstones")
 
 
 def append_ivf_index(spark: SparkSession, path: str, new_emb: DataFrame) -> None:

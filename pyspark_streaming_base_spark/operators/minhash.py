@@ -71,8 +71,14 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def build_minhash_index(
     docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> None:
-    """Materialize the signature table as the persisted near-dup index."""
+    """Materialize the signature table as the persisted near-dup index.
+    Clears any tombstones a previous index at ``path`` left behind — a
+    build defines the corpus, so stale deletes must not shadow freshly
+    indexed ids (the family-wide fresh-build contract)."""
+    from pyspark_streaming_base_spark.operators.tombstones import clear_tombstones
+
     minhash_bands(docs, id_col, text_col).write.mode("overwrite").parquet(path)
+    clear_tombstones(f"{path}.tombstones")
 
 
 def append_minhash_index(

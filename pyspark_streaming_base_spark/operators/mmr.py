@@ -52,9 +52,23 @@ def mmr_rerank(
     def select(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         rel = pdf[rel_col].to_numpy(dtype=np.float64)
-        V = np.stack(pdf[vec_col].to_numpy())
-        norms = np.linalg.norm(V, axis=1)
-        sim = (V @ V.T) / np.outer(norms, norms)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        # Pairwise cosine with the SAME sequential left-to-right fold as
+        # DuckDB's list_dot_product / vectorops.dot: acc = acc + a[t]*b[t]
+        # in dimension order, double throughout. BLAS matmul /
+        # np.linalg.norm reorder the accumulation (pairwise/SIMD sums),
+        # whose ULP differences can land exactly on a
+        # floor(x·1e6+0.5) boundary and flip the gridded argmax
+        # cross-engine — the latent flip CLAUDE.md invariants 1/9 forbid.
+        n, d = V.shape
+        dotm = np.zeros((n, n), dtype=np.float64)
+        nrm2 = np.zeros(n, dtype=np.float64)
+        for t_dim in range(d):
+            col = V[:, t_dim]
+            dotm += col[:, None] * col[None, :]
+            nrm2 += col * col
+        norms = np.sqrt(nrm2)
+        sim = dotm / (norms[:, None] * norms[None, :])
         # 10⁻⁶-grid the pairwise sims (see docstring: cross-engine
         # determinism of the greedy argmax)
         sim = np.floor(sim * 1e6 + 0.5) / 1e6

@@ -438,6 +438,11 @@ def build_pq_index(
         .write.mode("overwrite")
         .parquet(f"{path}/index")
     )
+    # a build defines the corpus: stale tombstones from a previous index
+    # at this path must not shadow freshly indexed ids (family contract)
+    from pyspark_streaming_base_spark.operators.tombstones import clear_tombstones
+
+    clear_tombstones(f"{path}/tombstones")
 
 
 def append_pq_index(spark, path: str, new_emb: DataFrame, m: int) -> None:

@@ -284,6 +284,11 @@ def build_semdedup_index(emb: DataFrame, path: str, centroids: DataFrame) -> Non
     assign_to_centroids(emb, centroids).select("vec_id", "cid").write.mode(
         "overwrite"
     ).parquet(f"{path}/assignments")
+    # a build defines the corpus: stale tombstones from a previous index
+    # at this path must not shadow freshly indexed ids (family contract)
+    from pyspark_streaming_base_spark.operators.tombstones import clear_tombstones
+
+    clear_tombstones(f"{path}/tombstones")
 
 
 def append_semdedup_index(

@@ -96,10 +96,13 @@ def read_tombstones(spark: SparkSession, tomb_path: str) -> Optional[DataFrame]:
         return None
     try:
         return spark.read.parquet(tomb_path).distinct()
-    except AnalysisException as e:
+    except AnalysisException:
         # the dir vanished between the existence check and the read
-        # (a racing clear_tombstones) — same meaning as path-missing
-        if "PATH_NOT_FOUND" in str(e):
+        # (a racing clear_tombstones) — same meaning as path-missing.
+        # Decided by RE-CHECKING the filesystem, not by matching the
+        # exception message (Spark versions phrase PATH_NOT_FOUND
+        # differently); anything else propagates.
+        if not os.path.exists(tomb_path):
             return None
         raise
 

@@ -125,6 +125,25 @@ def test_delete_then_compact_lifecycle(spark, tmp_path):
     ).count() == 0
 
 
+def test_rebuild_over_deleted_from_path_resurrects_ids(spark, tmp_path):
+    """A build DEFINES the corpus: rebuilding an index in place over a
+    previously-deleted-from path must clear the stale tombstones, so
+    freshly indexed docs whose ids were tombstoned earlier pair again
+    (the family-wide fresh-build contract — without the clear they'd be
+    silently dropped)."""
+    path = str(tmp_path / "cidx")
+    docs = _docs(spark)
+    build_containment_index(docs, path)
+    base = _rows(containment_pairs_from_index(spark, path))
+    victim = base[0][0]
+    delete_from_containment_index(spark, path, [victim])
+    assert os.path.exists(f"{path}/tombstones")
+
+    build_containment_index(docs, path)  # rebuild in place, same corpus
+    assert not os.path.exists(f"{path}/tombstones")
+    assert _rows(containment_pairs_from_index(spark, path)) == base
+
+
 def test_prefix_probe_is_sublinear_in_shingles(spark, tmp_path):
     """The candidate join consumes only each probe's pigeonhole prefix
     (~(1−tau) of its shingles + 1), not the full shingle set — the

@@ -632,6 +632,53 @@ def test_png_decoder_metadata_and_rejections():
         png_rgb_pixels(gray_png)
 
 
+def test_png_decode_bombs_raise_instead_of_allocating():
+    """IHDR is attacker-controlled: a payload declaring huge dimensions,
+    and a decompression bomb whose zlib stream inflates past the
+    declared size, must both raise a dead-letterable ValueError BEFORE
+    allocating/inflating — not OOM the executor."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        MAX_PNG_DECODED_BYTES,
+        png_rgb_pixels,
+    )
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    def png(w, h, payload):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(payload))
+            + chunk(b"IEND", b"")
+        )
+
+    # ~120 GB declared from a <100-byte payload: rejected at the cap,
+    # before any decompression or allocation
+    bomb_dims = png(200_000, 200_000, b"\x00")
+    assert len(bomb_dims) < 100
+    with pytest.raises(ValueError, match="cap"):
+        png_rgb_pixels(bomb_dims)
+    assert 200_000 * (1 + 200_000 * 3) > MAX_PNG_DECODED_BYTES
+
+    # stream inflates far past the 2x2 declared size: the bounded
+    # decompressobj stops at expected+1 bytes and raises
+    bomb_stream = png(2, 2, b"\x00" * 10_000_000)
+    with pytest.raises(ValueError, match="length mismatch"):
+        png_rgb_pixels(bomb_stream)
+
+    # stream SHORTER than declared still raises (the pre-existing check)
+    with pytest.raises(ValueError, match="length mismatch"):
+        png_rgb_pixels(png(4, 4, b"\x00" * 5))
+
+
 def test_image_ahash_over_mixed_bmp_png_corpus(spark):
     """image_ahash with the gray_pixels dispatcher over ONE binary
     column carrying BOTH formats: BMP and PNG rows hash, junk
