@@ -141,8 +141,13 @@ def build_bm25_index(
     previous index at ``path`` left behind — a build defines the corpus,
     so stale deletes must not shadow freshly indexed ids (the
     family-wide fresh-build contract)."""
-    from pyspark_streaming_base_spark.operators.tombstones import clear_tombstones
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        clear_tombstones,
+        reset_live,
+    )
 
+    reset_live(f"{path}/postings")
+    reset_live(f"{path}/doclens")
     bm25_postings(docs, id_col, text_col).write.mode("overwrite").parquet(
         f"{path}/postings"
     )
@@ -159,12 +164,10 @@ def append_bm25_index(
     statistics (N, avgdl, df) self-update because probes always compute
     them from the tables. Callers must not append an id twice (the same
     id-uniqueness contract as every index in this family)."""
-    bm25_postings(new_docs, id_col, text_col).write.mode("append").parquet(
-        f"{path}/postings"
-    )
-    bm25_doclens(new_docs, id_col, text_col).write.mode("append").parquet(
-        f"{path}/doclens"
-    )
+    from pyspark_streaming_base_spark.operators.tombstones import append_live
+
+    append_live(bm25_postings(new_docs, id_col, text_col), f"{path}/postings")
+    append_live(bm25_doclens(new_docs, id_col, text_col), f"{path}/doclens")
 
 
 def query_bm25_index(

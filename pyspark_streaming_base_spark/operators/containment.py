@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.functions.textops import tokens, word_shingles
 from pyspark_streaming_base_spark.operators.tombstones import (
+    append_live,
     apply_tombstones,
     clear_tombstones,
     read_live,
@@ -119,6 +120,10 @@ def build_containment_index(
     a previously-deleted-from path can't silently drop freshly indexed
     docs whose ids happen to match old tombstones (the family-wide
     fresh-build contract — every ``build_*_index`` does this)."""
+    from pyspark_streaming_base_spark.operators.tombstones import reset_live
+
+    for table in ("sets", "postings", "df"):
+        reset_live(f"{path}/{table}")
     sets = shingle_sets(docs, id_col, text_col, lang_col)
     sets.write.mode("overwrite").partitionBy("slice").parquet(f"{path}/sets")
     spark = docs.sparkSession
@@ -143,10 +148,8 @@ def append_containment_index(
     recall is k-subset-invariant); compaction refreshes it. Callers must
     not append an id twice (the family's id-uniqueness contract)."""
     sets = shingle_sets(new_docs, id_col, text_col, lang_col)
-    sets.write.mode("append").partitionBy("slice").parquet(f"{path}/sets")
-    _postings(sets).write.mode("append").partitionBy("slice").parquet(
-        f"{path}/postings"
-    )
+    append_live(sets, f"{path}/sets", partition_by=("slice",))
+    append_live(_postings(sets), f"{path}/postings", partition_by=("slice",))
 
 
 def _live_sets(spark: SparkSession, path: str) -> DataFrame:

@@ -73,12 +73,17 @@ def build_ivf_index(
             .limit(k)
             .select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec"))
         )
+    # a build defines the corpus: tear down any pointer layout from a
+    # previous index at this path, and clear its stale tombstones so
+    # they can't shadow freshly indexed ids (family contract)
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        clear_tombstones,
+        reset_live,
+    )
+
+    reset_live(f"{path}/assignments")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     ivf_assign(emb, centroids).write.mode("overwrite").parquet(f"{path}/assignments")
-    # a build defines the corpus: stale tombstones from a previous index
-    # at this path must not shadow freshly indexed ids (family contract)
-    from pyspark_streaming_base_spark.operators.tombstones import clear_tombstones
-
     clear_tombstones(f"{path}/tombstones")
 
 
@@ -90,8 +95,10 @@ def append_ivf_index(spark: SparkSession, path: str, new_emb: DataFrame) -> None
     + rebuild when the vector distribution drifts). Existing rows are
     untouched, so append == build-on-union under pinned centroids row
     for row. Callers must not append a vec_id twice."""
+    from pyspark_streaming_base_spark.operators.tombstones import append_live
+
     centroids = spark.read.parquet(f"{path}/centroids")
-    ivf_assign(new_emb, centroids).write.mode("append").parquet(f"{path}/assignments")
+    append_live(ivf_assign(new_emb, centroids), f"{path}/assignments")
 
 
 def query_ivf_index(

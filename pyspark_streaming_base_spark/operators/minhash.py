@@ -75,8 +75,12 @@ def build_minhash_index(
     Clears any tombstones a previous index at ``path`` left behind — a
     build defines the corpus, so stale deletes must not shadow freshly
     indexed ids (the family-wide fresh-build contract)."""
-    from pyspark_streaming_base_spark.operators.tombstones import clear_tombstones
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        clear_tombstones,
+        reset_live,
+    )
 
+    reset_live(path)
     minhash_bands(docs, id_col, text_col).write.mode("overwrite").parquet(path)
     clear_tombstones(f"{path}.tombstones")
 
@@ -94,7 +98,9 @@ def append_minhash_index(
     corpus) → ``merge_components`` (clusters absorb the new edges) — each
     step O(batch), never O(corpus). Callers must not append an id twice
     (the same contract as the build input's id uniqueness)."""
-    minhash_bands(new_docs, id_col, text_col).write.mode("append").parquet(path)
+    from pyspark_streaming_base_spark.operators.tombstones import append_live
+
+    append_live(minhash_bands(new_docs, id_col, text_col), path)
 
 
 def query_minhash_index(

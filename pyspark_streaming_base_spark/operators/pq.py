@@ -425,6 +425,11 @@ def build_pq_index(
             .limit(n_cells)
             .select(F.col("vec_id").alias("cent_id"), F.col("vec").alias("cvec"))
         )
+    # a build defines the corpus: tear down any pointer layout a
+    # previous compaction left at the swapped table (family contract)
+    from pyspark_streaming_base_spark.operators.tombstones import reset_live
+
+    reset_live(f"{path}/index")
     cb = codebooks if codebooks is not None else pq_codebooks(emb, m, k, iters=iters)
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     cb_saved = cb.sparkSession.read.parquet(f"{path}/codebooks")
@@ -463,12 +468,13 @@ def append_pq_index(spark, path: str, new_emb: DataFrame, m: int) -> None:
     centroids = spark.read.parquet(f"{path}/centroids")
     assigned = ivf_assign(new_emb, centroids).select("vec_id", "cell")
     enc = pq_encode(new_emb, cb, m)
-    (
+    from pyspark_streaming_base_spark.operators.tombstones import append_live
+
+    append_live(
         new_emb.join(assigned, "vec_id")
         .join(enc, "vec_id")
-        .select("vec_id", "cell", "codes", "vec")
-        .write.mode("append")
-        .parquet(f"{path}/index")
+        .select("vec_id", "cell", "codes", "vec"),
+        f"{path}/index",
     )
 
 

@@ -278,6 +278,9 @@ def build_semdedup_index(emb: DataFrame, path: str, centroids: DataFrame) -> Non
         # under-population lesson, applied to the caller-supplied table);
         # one tiny action at write-once build time buys the loud failure
         raise ValueError("centroids table is empty — cannot build index")
+    from pyspark_streaming_base_spark.operators.tombstones import reset_live
+
+    reset_live(f"{path}/assignments")
     centroids.select("cid", "cv").write.mode("overwrite").parquet(
         f"{path}/centroids"
     )
@@ -300,10 +303,13 @@ def append_semdedup_index(
     under pinned centroids (pytest parity, same contract as
     ``append_ivf_index``/``append_pq_index``). Callers must not append a
     vec_id twice."""
+    from pyspark_streaming_base_spark.operators.tombstones import append_live
+
     cent = spark.read.parquet(f"{path}/centroids")
-    assign_to_centroids(new_emb, cent).select("vec_id", "cid").write.mode(
-        "append"
-    ).parquet(f"{path}/assignments")
+    append_live(
+        assign_to_centroids(new_emb, cent).select("vec_id", "cid"),
+        f"{path}/assignments",
+    )
 
 
 def semdedup_removed_from_index(

@@ -14,30 +14,49 @@ anti-join. Semantics: a tombstone set — unknown ids are no-ops, repeats
 are idempotent. Single-writer maintenance contract, like the appends.
 
 Reader safety (the part appends get for free and rewrites don't): the
-live table path is a GENERATION POINTER — a symlink flipped atomically
-with ``os.replace`` — so a probe racing a compaction resolves either
-the old snapshot or the new one, never a missing directory. The
-previous generation is retained through the next swap (a reader that
-resolved the pointer just before the flip keeps a full
-compaction-cycle grace period before its files disappear);
-``vacuum_generations`` reclaims everything but the current snapshot
-once no readers remain. Crash-safety: the only mutation of the live
-path is the single atomic pointer flip — a crash before it leaves the
-old snapshot live, a crash after it leaves the new one live, and stale
-generation/pointer temp files are swept by the next swap or vacuum.
+live table path is a GENERATION POINTER flipped atomically with
+``os.replace`` — so a probe racing a compaction resolves either the old
+snapshot or the new one, never a missing directory. Retention is
+COUNT-BASED over the published-generation HISTORY (the
+``<live>.gen.history`` sidecar): the newest ``GENERATIONS_RETAINED``
+previous generations survive each swap, so even back-to-back swaps
+(delete-time auto-compaction can produce two rapid flips) leave a
+reader that resolved the pointer before BOTH flips with intact files;
+generation dirs that were never published (crash debris) are swept by
+the next swap regardless of age. ``vacuum_generations`` reclaims
+everything but the current snapshot once no readers remain.
+Crash-safety: the only mutation of the live path is the single atomic
+pointer flip — a crash before it leaves the old snapshot live, a crash
+after it leaves the new one live, and stale generation/pointer temp
+files are swept by the next swap or vacuum.
 One documented exception: the FIRST swap over a legacy real-directory
 layout (an index built before this scheme) must rename that directory
 aside before the flip — a one-time, two-rename migration window.
 
-This module is local-FS (``os``-level) like the rest of the persisted
-index family; on an object store without atomic rename the pointer
-would be a manifest file (the ``sinks/manifest_parquet.py`` protocol).
+Two POINTER MODES share the one lifecycle (``set_pointer_mode``):
+
+* ``symlink`` — the pointer is an ``os.symlink`` flipped with one atomic
+  ``os.replace``; the local-FS default.
+* ``manifest`` — the pointer is a tiny TEXT FILE naming the current
+  generation directory, published with write-temp + atomic replace (the
+  ``sinks/manifest_parquet.py`` commit idea applied to a pointer). This
+  is the object-store shape: S3/GCS-style stores have no symlinks, but
+  a single-key overwrite-with-replace (or put-if-absent of versioned
+  manifests) is exactly what their APIs give you.
+
+Mode is WRITE-time only: ``snapshot_path`` resolves either pointer kind
+regardless of the active mode, so an index can migrate between modes one
+swap at a time and concurrent readers never care. ``auto`` (the default)
+probes symlink support once and falls back to manifest files where
+symlinks don't exist.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import tempfile
 import uuid
 import warnings
 from typing import Callable, Optional
@@ -55,6 +74,65 @@ COMPACT_RATIO = 0.10
 #: bigger deletes must arrive as a DataFrame so the ids never ride
 #: through the driver.
 MAX_DRIVER_DELETE_BATCH = 100_000
+
+#: How many PREVIOUS published generations each swap retains (besides
+#: the current one). 2 — not 1 — because delete-time auto-compaction
+#: hooks make back-to-back swaps plausible: a reader that resolved the
+#: pointer just before TWO rapid flips must still find its snapshot.
+GENERATIONS_RETAINED = 2
+
+#: First line of a manifest pointer file — identifies the file as a
+#: generation pointer (vs any stray file at the live path).
+_POINTER_MAGIC = "spark-graft-generation-pointer"
+
+_pointer_mode: str = "auto"
+_symlink_probe: Optional[bool] = None
+
+
+def set_pointer_mode(mode: str) -> str:
+    """Select how ``swap_in`` publishes the generation pointer:
+    ``symlink`` (local-FS default), ``manifest`` (pointer FILE — the
+    object-store shape), or ``auto`` (probe symlink support once, fall
+    back to manifest). Returns the previous mode so tests/fixtures can
+    restore it. Read-side resolution is mode-agnostic."""
+    global _pointer_mode
+    if mode not in ("auto", "symlink", "manifest"):
+        raise ValueError(f"unknown pointer mode: {mode!r}")
+    prev, _pointer_mode = _pointer_mode, mode
+    return prev
+
+
+def _symlinks_available() -> bool:
+    """One cached probe: can this filesystem create symlinks at all?
+    (Windows without privileges, some fuse/object-store mounts: no.)"""
+    global _symlink_probe
+    if _symlink_probe is None:
+        d = tempfile.mkdtemp(prefix="ptrprobe_")
+        try:
+            os.symlink(d, os.path.join(d, "ln"))
+            _symlink_probe = True
+        except OSError:  # pragma: no cover — exercised on symlink-less FS
+            _symlink_probe = False
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return _symlink_probe
+
+
+def _effective_pointer_mode() -> str:
+    if _pointer_mode != "auto":
+        return _pointer_mode
+    return "symlink" if _symlinks_available() else "manifest"
+
+
+def _read_pointer_file(live_path: str) -> str:
+    with open(live_path, "r", encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    if len(lines) < 2 or lines[0] != _POINTER_MAGIC:
+        raise ValueError(
+            f"{live_path} is a file but not a generation pointer "
+            f"(expected first line {_POINTER_MAGIC!r})"
+        )
+    return lines[1]
 
 
 class TombstoneCompactionNeeded(UserWarning):
@@ -162,8 +240,8 @@ def tombstone_ratio(tomb_path: str, live_path: str) -> Optional[float]:
     either side is missing/empty. The tombstone count includes
     idempotent repeat-appends (footers can't distinct), so this is an
     upper bound — exactly the right bias for a compaction trigger."""
-    tomb = _parquet_rows(tomb_path)
-    live = _parquet_rows(live_path)
+    tomb = _parquet_rows(snapshot_path(tomb_path))
+    live = _parquet_rows(snapshot_path(live_path))
     if tomb is None or not live:
         return None
     return tomb / live
@@ -188,12 +266,18 @@ def maybe_compact(
 
 def snapshot_path(live_path: str) -> str:
     """Resolve the generation POINTER to the immutable snapshot
-    directory it names. Probes must read the resolved path, not the
-    pointer: file paths listed through the symlink would dangle if a
-    compaction flipped it mid-read, while the resolved generation dir
-    is never mutated and survives at least one further swap (see
-    ``swap_in``'s retention rule)."""
-    return os.path.realpath(live_path) if os.path.islink(live_path) else live_path
+    directory it names — MODE-AGNOSTIC (a symlink resolves via
+    realpath, a manifest pointer file via its recorded target, a plain
+    directory is its own snapshot). Probes must read the resolved path,
+    not the pointer: file paths listed through the pointer would dangle
+    if a compaction flipped it mid-read, while the resolved generation
+    dir is never mutated and survives at least ``GENERATIONS_RETAINED``
+    further swaps (see ``swap_in``'s retention rule)."""
+    if os.path.islink(live_path):
+        return os.path.realpath(live_path)
+    if os.path.isfile(live_path):
+        return _read_pointer_file(live_path)
+    return live_path
 
 
 def read_live(spark: SparkSession, live_path: str) -> DataFrame:
@@ -201,6 +285,22 @@ def read_live(spark: SparkSession, live_path: str) -> DataFrame:
     ``live_path`` — the one read entry point for every persisted-index
     probe, so the pointer-resolution rule lives in one place."""
     return spark.read.parquet(snapshot_path(live_path))
+
+
+def append_live(df: DataFrame, live_path: str, partition_by=()) -> None:
+    """Parquet-append a batch to the CURRENT generation behind
+    ``live_path`` — the one WRITE entry point for every index family's
+    O(batch) append, mirroring ``read_live``. Resolving the pointer
+    first is what makes appends work in manifest mode (a raw
+    ``.parquet(live_path)`` would try to write into the pointer FILE);
+    in symlink mode it lands in the same place writing through the link
+    would. Single-writer maintenance contract: an append racing a
+    compaction flip may land in the pre-flip generation — same as the
+    family-wide contract that appends and compactions don't race."""
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(snapshot_path(live_path))
 
 
 def _generation_dirs(live_path: str) -> list:
@@ -211,26 +311,89 @@ def _generation_dirs(live_path: str) -> list:
     return [
         os.path.join(parent, n)
         for n in os.listdir(parent)
-        if n.startswith(prefix)
+        if n.startswith(prefix) and os.path.isdir(os.path.join(parent, n))
     ]
+
+
+def _history_path(live_path: str) -> str:
+    return f"{live_path}.gen.history"
+
+
+def _read_history(live_path: str) -> list:
+    """Published-generation history (oldest → newest, realpaths,
+    current last). Missing/corrupt → empty (retention then degrades to
+    current+previous for one swap — the pre-history behavior — and the
+    sidecar is rebuilt by that swap)."""
+    try:
+        with open(_history_path(live_path), "r", encoding="utf-8") as f:
+            hist = json.load(f)
+        return [g for g in hist if isinstance(g, str)]
+    except (OSError, json.JSONDecodeError):
+        return []
+
+
+def _write_history(live_path: str, hist: list) -> None:
+    tmp = f"{_history_path(live_path)}.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(hist, f)
+    os.replace(tmp, _history_path(live_path))
+
+
+def _publish_pointer(live_path: str, gen: str) -> Optional[str]:
+    """Atomically point ``live_path`` at ``gen`` (mode-selected pointer
+    kind), migrating a legacy real-directory live table aside first.
+    Returns the pre-flip snapshot path (None for a fresh live path)."""
+    prev: Optional[str] = (
+        os.path.realpath(snapshot_path(live_path))
+        if os.path.lexists(live_path)
+        else None
+    )
+    if os.path.isdir(live_path) and not os.path.islink(live_path):
+        # legacy real-directory live: rename aside, then flip (a
+        # one-time two-rename window; every later swap is atomic)
+        legacy = f"{live_path}.gen.legacy-{uuid.uuid4().hex}"
+        os.rename(live_path, legacy)
+        prev = os.path.realpath(legacy)
+
+    tmp = f"{live_path}.ptr.{uuid.uuid4().hex}"
+    if _effective_pointer_mode() == "symlink":
+        os.symlink(os.path.abspath(gen), tmp)
+    else:
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(f"{_POINTER_MAGIC}\n{os.path.abspath(gen)}\n")
+    try:
+        os.replace(tmp, live_path)
+    except BaseException:
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        raise
+    return prev
 
 
 def swap_in(live_path: str, staged_df: DataFrame, partition_by=()) -> None:
     """Staged-swap rewrite of one physical table, safe for concurrent
     readers: write the new snapshot to a fresh generation directory
-    ``<live>.gen.<id>``, then flip the ``live_path`` symlink to it with
-    one atomic ``os.replace``. A reader resolving the pointer sees the
-    old snapshot or the new one, never a missing directory; the
-    pre-flip generation is RETAINED (a reader already inside it keeps
-    its files) and reclaimed by the NEXT swap or by
-    ``vacuum_generations``. Crash-safety: a crash before the flip
-    leaves the old snapshot live (stale generation dirs are swept
-    later); after the flip, the new one.
+    ``<live>.gen.<id>``, then flip the ``live_path`` pointer to it with
+    one atomic ``os.replace`` (symlink or manifest file —
+    ``set_pointer_mode``). A reader resolving the pointer sees the old
+    snapshot or the new one, never a missing directory.
+
+    Retention: the newest ``GENERATIONS_RETAINED`` PUBLISHED previous
+    generations survive each swap (recorded in the ``.gen.history``
+    sidecar), so back-to-back swaps — plausible under the delete-time
+    auto-compaction hooks — still leave a reader that resolved the
+    pointer before several flips with intact files. Generation dirs
+    that were never published (crash debris: written but never flipped
+    to) are swept immediately. ``vacuum_generations`` reclaims all but
+    the current snapshot once no readers remain. Crash-safety: a crash
+    before the flip leaves the old snapshot live; after it, the new
+    one; a crash between flip and history write only delays retention
+    bookkeeping by one swap (the next swap re-derives the pre-flip
+    generation from the pointer itself).
 
     Legacy migration: an index built before this scheme has a real
     directory at ``live_path`` — that first swap renames it aside
-    before the flip (a one-time two-rename window; every subsequent
-    swap is the atomic pointer flip)."""
+    before the flip (a one-time two-rename window)."""
     gen = f"{live_path}.gen.{uuid.uuid4().hex}"
     writer = staged_df.write.mode("overwrite")
     if partition_by:
@@ -239,50 +402,58 @@ def swap_in(live_path: str, staged_df: DataFrame, partition_by=()) -> None:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(gen)
 
-    prev: Optional[str] = (
-        os.path.realpath(live_path) if os.path.exists(live_path) else None
-    )
-    tmp = f"{live_path}.ptr.{uuid.uuid4().hex}"
-    os.symlink(os.path.abspath(gen), tmp)
-    try:
-        if os.path.islink(live_path) or not os.path.lexists(live_path):
-            os.replace(tmp, live_path)
-        else:
-            # legacy real-directory live: rename aside, then flip
-            legacy = f"{live_path}.gen.legacy-{uuid.uuid4().hex}"
-            os.rename(live_path, legacy)
-            prev = legacy
-            os.replace(tmp, live_path)
-    except BaseException:
-        if os.path.lexists(tmp):
-            os.remove(tmp)
-        raise
+    prev = _publish_pointer(live_path, gen)
 
-    # sweep generations older than (current, previous): current serves
-    # new readers, previous covers readers who resolved the pointer
-    # just before this flip
-    keep = {os.path.realpath(live_path)}
-    if prev is not None:
-        keep.add(os.path.realpath(prev))
+    # retention: newest GENERATIONS_RETAINED published gens + current
+    hist = _read_history(live_path)
+    if prev is not None and prev not in hist:
+        hist.append(prev)  # pre-history index or legacy migration
+    cur = os.path.realpath(os.path.abspath(gen))
+    hist = [g for g in hist if g != cur] + [cur]
+    hist = hist[-(GENERATIONS_RETAINED + 1):]
+    keep = set(hist)
     for d in _generation_dirs(live_path):
         if os.path.realpath(d) not in keep:
             shutil.rmtree(d, ignore_errors=True)
+    _write_history(live_path, [g for g in hist if os.path.isdir(g)])
 
 
 def vacuum_generations(live_path: str) -> int:
     """Reclaim every generation directory except the current pointer
     target — the maintenance job to run once no reader can still hold
-    the previous snapshot. Returns the number of directories removed."""
+    a previous snapshot. Returns the number of directories removed."""
     if not os.path.lexists(live_path):
         return 0
-    current = os.path.realpath(live_path)
+    current = os.path.realpath(snapshot_path(live_path))
     removed = 0
     for d in _generation_dirs(live_path):
         if os.path.realpath(d) != current:
             shutil.rmtree(d, ignore_errors=True)
             removed += 1
+    if os.path.isdir(current):
+        _write_history(live_path, [current])
     return removed
 
 
 def clear_tombstones(tomb_path: str) -> None:
     shutil.rmtree(tomb_path, ignore_errors=True)
+
+
+def reset_live(live_path: str) -> None:
+    """Tear down any generation pointer, retained generations and
+    history sidecar at ``live_path`` so a fresh BUILD writes a plain
+    directory. ``build_*_index`` call this before their overwrite
+    writes: a parquet overwrite THROUGH a pointer would mutate an
+    immutable snapshot (symlink mode) or fail outright (manifest mode).
+    A build defines the corpus — it is not a reader-safe operation, so
+    tearing the pointer down is in contract (rewrites that must stay
+    reader-safe go through ``swap_in``)."""
+    if os.path.islink(live_path) or os.path.isfile(live_path):
+        os.remove(live_path)
+    elif os.path.isdir(live_path):
+        shutil.rmtree(live_path, ignore_errors=True)
+    for d in _generation_dirs(live_path):
+        shutil.rmtree(d, ignore_errors=True)
+    hp = _history_path(live_path)
+    if os.path.exists(hp):
+        os.remove(hp)

@@ -161,7 +161,9 @@ def test_delete_is_idempotent_and_ignores_unknown_ids(spark, docs, tmp_path):
     assert _probe(spark, idx) == before
 
 
-def test_compact_folds_tombstones_and_preserves_probes(spark, docs, tmp_path):
+def test_compact_folds_tombstones_and_preserves_probes(
+    spark, docs, tmp_path, pointer_mode
+):
     import os
 
     from pyspark_streaming_base_spark.operators.bm25 import (
@@ -182,7 +184,9 @@ def test_compact_folds_tombstones_and_preserves_probes(spark, docs, tmp_path):
     assert _probe(spark, idx) == before             # same answers, no anti-join
     assert load_bm25_index(spark, idx)[1].count() == n_live
     # the physical tables no longer contain the deleted ids at all
-    raw = spark.read.parquet(f"{idx}/doclens")
+    from pyspark_streaming_base_spark.operators.tombstones import read_live
+
+    raw = read_live(spark, f"{idx}/doclens")
     assert raw.filter(F.col("doc_id").isin(gone)).count() == 0
 
 

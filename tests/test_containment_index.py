@@ -96,10 +96,13 @@ def test_probe_does_not_reshingle_corpus(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,3)" in plan
 
 
-def test_delete_then_compact_lifecycle(spark, tmp_path):
+def test_delete_then_compact_lifecycle(spark, tmp_path, pointer_mode):
     """Tombstoned docs vanish from BOTH pair sides immediately; compact
-    folds them in (pointer swap, slice layout preserved), clears the
-    tombstone set, and preserves the probe exactly."""
+    folds them in (pointer swap — symlink or manifest file, per mode —
+    slice layout preserved), clears the tombstone set, and preserves
+    the probe exactly."""
+    from pyspark_streaming_base_spark.operators.tombstones import snapshot_path
+
     path = str(tmp_path / "cidx")
     build_containment_index(_docs(spark), path)
     base = _rows(containment_pairs_from_index(spark, path))
@@ -112,9 +115,14 @@ def test_delete_then_compact_lifecycle(spark, tmp_path):
 
     compact_containment_index(spark, path)
     assert not os.path.exists(f"{path}/tombstones")
-    assert os.path.islink(f"{path}/sets") and os.path.islink(f"{path}/postings")
+    for table in ("sets", "postings"):
+        live = f"{path}/{table}"
+        if pointer_mode == "symlink":
+            assert os.path.islink(live)
+        else:
+            assert os.path.isfile(live) and not os.path.islink(live)
     # hive slice layout survives the swap
-    gen = os.path.realpath(f"{path}/sets")
+    gen = snapshot_path(f"{path}/sets")
     assert any(n.startswith("slice=") for n in os.listdir(gen))
     assert _rows(containment_pairs_from_index(spark, path)) == after
     # deleted doc's rows are physically gone from the live tables
@@ -164,11 +172,11 @@ def test_prefix_probe_is_sublinear_in_shingles(spark, tmp_path):
     assert prefix_rows <= 0.2 * total
 
 
-def test_append_after_compact_through_pointer(spark, tmp_path):
+def test_append_after_compact_through_pointer(spark, tmp_path, pointer_mode):
     """The crawl loop keeps working ACROSS a compaction: after
-    delete+compact turns the tables into generation pointers, a
-    partitioned APPEND must land in the current generation and the next
-    probe must see old + appended docs minus the deleted one —
+    delete+compact turns the tables into generation pointers (either
+    kind), a partitioned APPEND must land in the current generation and
+    the next probe must see old + appended docs minus the deleted one —
     i.e. equal the inline operator over exactly that surviving corpus."""
     path = str(tmp_path / "cidx")
     docs = _docs(spark)
@@ -179,7 +187,8 @@ def test_append_after_compact_through_pointer(spark, tmp_path):
     victim = day1.select("doc_id").orderBy("doc_id").first()["doc_id"]
     delete_from_containment_index(spark, path, [victim])
     compact_containment_index(spark, path)
-    assert os.path.islink(f"{path}/sets")
+    # live path is a pointer now, either kind
+    assert os.path.islink(f"{path}/sets") or os.path.isfile(f"{path}/sets")
 
     append_containment_index(day2, path)
     got = _rows(containment_pairs_from_index(spark, path))

@@ -217,10 +217,11 @@ def test_default_quantizer_survives_offset_id_space(spark, tmp_path):
     assert {r.cent_id for r in cent.collect()} == set(range(5_000, 5_008))
 
 
-def test_delete_equals_rebuild_without(spark, tmp_path):
+def test_delete_equals_rebuild_without(spark, tmp_path, pointer_mode):
     """Tombstoned probe == index rebuilt over survivors (frozen
     centroids shared, so cells are identical and only membership
-    changes). Lifecycle template: operators/tombstones.py."""
+    changes). Lifecycle template: operators/tombstones.py — run under
+    both pointer modes."""
     from pyspark_streaming_base_spark.operators.ivf import (
         compact_ivf_index,
         delete_from_ivf_index,
@@ -266,5 +267,7 @@ def test_delete_equals_rebuild_without(spark, tmp_path):
     import os
     assert not os.path.exists(f"{path}/tombstones")
     assert res(path) == before
-    raw = spark.read.parquet(f"{path}/assignments")
+    from pyspark_streaming_base_spark.operators.tombstones import read_live
+
+    raw = read_live(spark, f"{path}/assignments")
     assert raw.filter(F.col("vec_id").isin(gone)).count() == 0

@@ -144,7 +144,7 @@ def test_delete_removes_candidates_and_equals_rebuild(spark, tmp_path):
     assert not any(ix in gone for _, ix in got)
 
 
-def test_compact_folds_tombstones(spark, tmp_path):
+def test_compact_folds_tombstones(spark, tmp_path, pointer_mode):
     import os
 
     from pyspark_streaming_base_spark.operators.minhash import (
@@ -167,5 +167,7 @@ def test_compact_folds_tombstones(spark, tmp_path):
     compact_minhash_index(spark, idx)
     assert not os.path.exists(f"{idx}.tombstones")
     assert _pairs(spark, idx, probe) == before
-    raw = spark.read.parquet(idx)
+    from pyspark_streaming_base_spark.operators.tombstones import read_live
+
+    raw = read_live(spark, idx)
     assert raw.filter(F.col("doc_id").isin(gone)).count() == 0

@@ -35,45 +35,91 @@ def _live(tmp_path, name="live"):
     return str(tmp_path / name)
 
 
-def test_swap_in_migrates_legacy_dir_then_flips_symlink(spark, tmp_path):
+def _pointer_ok(live: str, mode: str) -> bool:
+    if mode == "symlink":
+        return os.path.islink(live)
+    return os.path.isfile(live) and not os.path.islink(live)
+
+
+def _gen_dirs(tmp_path):
+    return [
+        n
+        for n in os.listdir(tmp_path)
+        if n.startswith("live.gen.") and os.path.isdir(tmp_path / n)
+    ]
+
+
+def test_swap_in_migrates_legacy_dir_then_flips_pointer(
+    spark, tmp_path, pointer_mode
+):
     """First swap over a plain directory (a pre-pointer-layout index)
-    migrates it to a generation dir + symlink; subsequent swaps are
-    pure pointer flips and the table contents follow."""
+    migrates it to a generation dir + pointer (symlink or manifest
+    file, per mode); subsequent swaps are pure pointer flips and the
+    table contents follow."""
     live = _live(tmp_path)
     _ids(spark, 10).write.parquet(live)
     assert not os.path.islink(live)
 
     swap_in(live, _ids(spark, 6))
-    assert os.path.islink(live)
-    assert spark.read.parquet(live).count() == 6
+    assert _pointer_ok(live, pointer_mode)
+    assert read_live(spark, live).count() == 6
 
     swap_in(live, _ids(spark, 3))
-    assert os.path.islink(live)
-    assert spark.read.parquet(live).count() == 3
+    assert _pointer_ok(live, pointer_mode)
+    assert read_live(spark, live).count() == 3
 
 
-def test_swap_retains_previous_generation_and_vacuum_reclaims(spark, tmp_path):
-    """The pre-flip generation survives the swap (readers inside it keep
-    their files for a full cycle); vacuum_generations removes everything
-    but the current target."""
+def test_swap_retains_published_generations_and_vacuum_reclaims(
+    spark, tmp_path, pointer_mode
+):
+    """Retention is count-based over PUBLISHED generations: the newest
+    GENERATIONS_RETAINED (2) previous gens survive each swap — so even
+    back-to-back swaps leave a slightly-stale reader's files intact —
+    and vacuum_generations removes everything but the current target."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        GENERATIONS_RETAINED,
+    )
+
+    assert GENERATIONS_RETAINED == 2
     live = _live(tmp_path)
     _ids(spark, 4).write.parquet(live)
     swap_in(live, _ids(spark, 5))  # migrates legacy → gen + current gen
-    gens = [n for n in os.listdir(tmp_path) if n.startswith("live.gen.")]
-    assert len(gens) == 2  # current + retained previous (the legacy dir)
+    assert len(_gen_dirs(tmp_path)) == 2  # current + the legacy dir
 
     swap_in(live, _ids(spark, 7))
-    gens = [n for n in os.listdir(tmp_path) if n.startswith("live.gen.")]
-    assert len(gens) == 2  # older-than-previous swept by the swap
+    assert len(_gen_dirs(tmp_path)) == 3  # current + 2 retained
+
+    swap_in(live, _ids(spark, 9))
+    assert len(_gen_dirs(tmp_path)) == 3  # oldest swept, still cur + 2
 
     removed = vacuum_generations(live)
-    assert removed == 1
-    gens = [n for n in os.listdir(tmp_path) if n.startswith("live.gen.")]
-    assert len(gens) == 1
-    assert spark.read.parquet(live).count() == 7
+    assert removed == 2
+    assert len(_gen_dirs(tmp_path)) == 1
+    assert read_live(spark, live).count() == 9
 
 
-def test_snapshot_resolved_before_swap_survives_the_swap(spark, tmp_path):
+def test_reader_survives_back_to_back_swaps(spark, tmp_path, pointer_mode):
+    """The delete-time auto-compaction scenario: two rapid flips after a
+    reader resolved the pointer. With count-based retention (2 previous
+    published generations) the reader's snapshot files are still there;
+    the pointer itself already serves the newest snapshot."""
+    from pyspark_streaming_base_spark.operators.tombstones import snapshot_path
+
+    live = _live(tmp_path)
+    _ids(spark, 20).write.parquet(live)
+    swap_in(live, _ids(spark, 21))  # establish pointer layout
+
+    old_df = spark.read.parquet(snapshot_path(live))  # reader mid-flight
+    swap_in(live, _ids(spark, 22))  # first rapid flip
+    swap_in(live, _ids(spark, 23))  # second rapid flip, back-to-back
+
+    assert old_df.count() == 21  # two flips later, files still intact
+    assert read_live(spark, live).count() == 23
+
+
+def test_snapshot_resolved_before_swap_survives_the_swap(
+    spark, tmp_path, pointer_mode
+):
     """The deterministic core of reader safety: a reader that resolved
     the pointer (the read_live protocol) BEFORE a compaction flip can
     still read its snapshot completely afterwards — the pre-flip
@@ -93,7 +139,9 @@ def test_snapshot_resolved_before_swap_survives_the_swap(spark, tmp_path):
     assert read_live(spark, live).count() == 42  # new readers see the swap
 
 
-def test_concurrent_reader_never_sees_missing_table(spark, tmp_path):
+def test_concurrent_reader_never_sees_missing_table(
+    spark, tmp_path, pointer_mode
+):
     """A reader thread hammering the live table through repeated swaps
     (via the read_live pointer-resolution protocol every probe uses)
     always lands on SOME complete snapshot — the missing-directory
@@ -129,15 +177,90 @@ def test_concurrent_reader_never_sees_missing_table(spark, tmp_path):
     assert set(seen) <= sizes
 
 
-def test_append_through_pointer_reaches_current_generation(spark, tmp_path):
-    """Index APPEND paths write through the live path; after a swap that
-    path is a symlink — appends must land in the current generation and
-    be visible to readers."""
+def test_append_through_pointer_reaches_current_generation(
+    spark, tmp_path, pointer_mode
+):
+    """Index APPEND paths go through append_live (resolve the pointer,
+    then parquet-append into the current generation) — mode-agnostic:
+    a raw write through a manifest pointer FILE would fail outright."""
+    from pyspark_streaming_base_spark.operators.tombstones import append_live
+
     live = _live(tmp_path)
     _ids(spark, 5).write.parquet(live)
     swap_in(live, _ids(spark, 5))
-    _ids(spark, 3, start=100).write.mode("append").parquet(live)
-    assert spark.read.parquet(live).count() == 8
+    append_live(_ids(spark, 3, start=100), live)
+    assert read_live(spark, live).count() == 8
+
+
+def test_pointer_mode_migration_both_directions(spark, tmp_path):
+    """Mode is WRITE-time only: an index compacted under symlink
+    pointers keeps working when the next swap publishes a manifest
+    file, and vice versa — readers resolve either pointer kind, so a
+    deployment can move an index between filesystems one swap at a
+    time."""
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        set_pointer_mode,
+    )
+
+    live = _live(tmp_path)
+    _ids(spark, 5).write.parquet(live)
+    prev = set_pointer_mode("symlink")
+    try:
+        swap_in(live, _ids(spark, 6))
+        assert os.path.islink(live)
+
+        set_pointer_mode("manifest")
+        swap_in(live, _ids(spark, 7))  # file replaces the symlink
+        assert os.path.isfile(live) and not os.path.islink(live)
+        assert read_live(spark, live).count() == 7
+
+        set_pointer_mode("symlink")
+        swap_in(live, _ids(spark, 8))  # symlink replaces the file
+        assert os.path.islink(live)
+        assert read_live(spark, live).count() == 8
+    finally:
+        set_pointer_mode(prev)
+
+
+def test_manifest_pointer_file_is_validated(spark, tmp_path):
+    """A stray regular file at a live path is NOT silently treated as a
+    pointer: snapshot_path raises so the caller hears about the
+    corruption instead of reading a nonsense location. An actual
+    manifest pointer carries the magic first line."""
+    import pytest
+
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        set_pointer_mode,
+        snapshot_path,
+    )
+
+    stray = str(tmp_path / "stray")
+    with open(stray, "w") as f:
+        f.write("not a pointer\n")
+    with pytest.raises(ValueError, match="generation pointer"):
+        snapshot_path(stray)
+
+    live = _live(tmp_path)
+    _ids(spark, 4).write.parquet(live)
+    prev = set_pointer_mode("manifest")
+    try:
+        swap_in(live, _ids(spark, 5))
+        first = open(live).readline().strip()
+        assert first == "spark-graft-generation-pointer"
+        assert os.path.isdir(snapshot_path(live))
+    finally:
+        set_pointer_mode(prev)
+
+
+def test_set_pointer_mode_rejects_unknown(spark):
+    import pytest
+
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        set_pointer_mode,
+    )
+
+    with pytest.raises(ValueError, match="unknown pointer mode"):
+        set_pointer_mode("s3-special")
 
 
 def test_read_tombstones_missing_vs_corrupt(spark, tmp_path):
@@ -278,11 +401,13 @@ def test_delete_time_auto_compaction_hook(spark, tmp_path):
     assert after == [p for p in base if victim not in p]
 
 
-def test_swap_sweeps_crash_debris(spark, tmp_path):
+def test_swap_sweeps_crash_debris(spark, tmp_path, pointer_mode):
     """A crash between the generation write and the pointer flip leaves
     a stale gen dir (and possibly a stale ptr temp); the live pointer is
     untouched — the old snapshot still serves — and the NEXT successful
-    swap sweeps the debris (everything but current + previous)."""
+    swap sweeps the debris: a gen dir that was never PUBLISHED (absent
+    from the history sidecar) is reclaimed regardless of age, while
+    published previous generations are retained by count."""
     import os
 
     live = _live(tmp_path)
