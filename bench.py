@@ -396,6 +396,7 @@ def _time_containment_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, f
     from pyspark.sql import functions as F
 
     from pyspark_streaming_base_spark.operators.containment import (
+        append_containment_index,
         build_containment_index,
         query_containment_index,
     )
@@ -418,6 +419,27 @@ def _time_containment_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, f
             ).mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out["containment_probe"] = round(best, 3)
+        # the crawl loop's recurring append step (r10: the foreachBatch
+        # micro-batch == batch-build equality is pytest-pinned; this
+        # prices one day's fold so an O(batch)→O(corpus) regression
+        # shows in the BENCH trend). Offset ids + token-suffixed text —
+        # the same near-dup construction as the minhash crawl tier.
+        day = batch.select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"),
+            "lang",
+            F.concat(F.col("text"), F.lit(" crawl day tail")).alias("text"),
+        )
+        best = float("inf")
+        for i in range(max(1, n_runs)):
+            run_idx = f"{path}_run{i}"  # fresh copy: appends don't compound
+            shutil.copytree(path, run_idx)
+            try:
+                t0 = time.perf_counter()
+                append_containment_index(day, run_idx)
+                best = min(best, time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(run_idx, ignore_errors=True)
+        out["containment_append"] = round(best, 3)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

@@ -141,12 +141,30 @@ def append_containment_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    assert_unique: bool = False,
 ) -> None:
     """Fold a new batch in — O(batch): shingle the batch once, append its
     sets and postings partitions. The df ORDERING table goes stale (new
     shingles probe as df-0/rarest, which only re-orders prefixes —
     recall is k-subset-invariant); compaction refreshes it. Callers must
-    not append an id twice (the family's id-uniqueness contract)."""
+    not append an id twice (the family's id-uniqueness contract): a
+    duplicate id is invisible to the probe (candidates are distinct'd)
+    but silently doubles its verify cost. ``assert_unique=True`` buys
+    the loud failure instead — one keys-only semi-join of the batch ids
+    against the live sets table (O(corpus ids), so opt-in; see
+    ``tombstones.assert_ids_absent``)."""
+    if assert_unique:
+        from pyspark_streaming_base_spark.operators.tombstones import (
+            assert_ids_absent,
+        )
+
+        # the persisted sets table stores the id as doc_id regardless of
+        # the caller's id_col
+        assert_ids_absent(
+            f"{path}/sets",
+            new_docs.select(F.col(id_col).alias("doc_id")),
+            "doc_id",
+        )
     sets = shingle_sets(new_docs, id_col, text_col, lang_col)
     append_live(sets, f"{path}/sets", partition_by=("slice",))
     append_live(_postings(sets), f"{path}/postings", partition_by=("slice",))

@@ -439,6 +439,31 @@ def clear_tombstones(tomb_path: str) -> None:
     shutil.rmtree(tomb_path, ignore_errors=True)
 
 
+def assert_ids_absent(
+    live_path: str, batch_ids: DataFrame, id_col: str, n_sample: int = 5
+) -> None:
+    """Raise ``ValueError`` if any id in ``batch_ids`` already exists in
+    the live table — the OPT-IN guard for the family-wide "never append
+    an id twice" contract (a silent double-append doesn't corrupt
+    results where probes distinct their candidates, but it silently
+    doubles storage and verify cost). Costs one keys-only scan of the
+    live table's id column (semi-join; the batch side broadcasts), so
+    it is a flag rather than a default: the O(batch) append property is
+    the family's scale story, and callers with an external uniqueness
+    guarantee (e.g. a crawl frontier that never re-emits an id) skip
+    it."""
+    spark = batch_ids.sparkSession
+    existing = read_live(spark, live_path).select(id_col)
+    dup = batch_ids.select(id_col).distinct().join(existing, id_col, "semi")
+    sample = [r[0] for r in dup.limit(n_sample).collect()]
+    if sample:
+        raise ValueError(
+            f"append would duplicate {id_col}s already present in "
+            f"{live_path} (sample: {sample}); the family contract is one "
+            "append per id — dedupe the batch or delete the old rows first"
+        )
+
+
 def reset_live(live_path: str) -> None:
     """Tear down any generation pointer, retained generations and
     history sidecar at ``live_path`` so a fresh BUILD writes a plain

@@ -133,6 +133,76 @@ def test_delete_then_compact_lifecycle(spark, tmp_path, pointer_mode):
     ).count() == 0
 
 
+def test_streaming_append_then_probe_equals_batch_build(spark, tmp_path):
+    """The containment index in the crawl loop (the test_bm25_index
+    streaming pattern): day-0 docs seed the index; later days stream in
+    as micro-batches folded via append_containment_index (foreachBatch).
+    After the stream drains, the repeated-crawl probe over the
+    incrementally grown index equals the probe over a from-scratch
+    build on the full corpus — exact containment doubles included."""
+    docs = _docs(spark)
+    day0 = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path / "cont_idx")
+    build_containment_index(day0, idx)
+
+    staging = str(tmp_path / "days")
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+
+    def fold(batch_df, batch_id):
+        if not batch_df.isEmpty():
+            append_containment_index(batch_df, idx)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    full = str(tmp_path / "cont_full")
+    build_containment_index(docs, full)
+    got = _rows(containment_pairs_from_index(spark, idx))
+    want = _rows(containment_pairs_from_index(spark, full))
+    assert got == want and got
+
+
+def test_double_append_raises_with_assert_unique(spark, tmp_path):
+    """The id-uniqueness contract has a loud failure mode on demand:
+    appending a batch whose ids are already indexed raises (naming
+    sample duplicates) when assert_unique=True — instead of silently
+    doubling the probe's verify cost — and leaves the index unchanged;
+    the default stays O(batch)-pure (no corpus scan)."""
+    import pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "cidx")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    build_containment_index(day1, idx)
+    base = _rows(containment_pairs_from_index(spark, idx))
+
+    with pytest.raises(ValueError, match="duplicate"):
+        append_containment_index(day1.limit(3), idx, assert_unique=True)
+    assert _rows(containment_pairs_from_index(spark, idx)) == base  # unchanged
+
+    # a genuinely-new batch passes the guard and lands normally
+    append_containment_index(day2, idx, assert_unique=True)
+    full = str(tmp_path / "full")
+    build_containment_index(docs, full)
+    assert _rows(containment_pairs_from_index(spark, idx)) == _rows(
+        containment_pairs_from_index(spark, full)
+    )
+
+
 def test_rebuild_over_deleted_from_path_resurrects_ids(spark, tmp_path):
     """A build DEFINES the corpus: rebuilding an index in place over a
     previously-deleted-from path must clear the stale tombstones, so
