@@ -239,7 +239,7 @@ def main() -> None:
         prev_load = prev.get("prev_load_avg_1m")
         if not prev.get("same_sf"):
             out["headline_delta_basis"] = "incomparable_sf"
-            print(json.dumps(out))
+            _emit(out)
             return
         loads_differ = (
             prev_load is not None
@@ -257,7 +257,64 @@ def main() -> None:
                 out["headline_delta_pct"] = prev[key]
                 out["headline_delta_basis"] = basis
                 break
-    print(json.dumps(out))
+    _emit(out)
+
+
+def _emit(out: dict) -> None:
+    """Two-tier output (r10, closing the record-truncation loss): the
+    FULL record goes to a committed ``BENCH_DETAIL_r{N}.json`` next to
+    this script (N = the round in progress, i.e. latest driver
+    ``BENCH_r{N}`` + 1), and stdout gets ONE COMPACT line (<1500 chars:
+    driver-contract fields + the one-number delta + calibration) — the
+    driver's capture truncates ~2000 chars, which is how the r8 record
+    became unrecoverable and r9's delta had to anchor on r7. Future
+    rounds' ``_delta_vs_prev`` reads the detail file, so per-query
+    trends survive even though the captured line is compact."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_name = f"BENCH_DETAIL_r{_current_round(here)}.json"
+    try:
+        with open(os.path.join(here, detail_name), "w") as f:
+            json.dump(out, f, indent=1)
+        out_detail = detail_name
+    except OSError:  # pragma: no cover — read-only checkout
+        out_detail = None
+    compact = {
+        # driver contract first: metric/value/unit/queries/sf
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "extended_value": out.get("extended_value"),
+        "load_avg_1m": out.get("load_avg_1m"),
+        "load_gate_ok": (out.get("load_gate") or {}).get("satisfied"),
+        "host_calibration": out.get("host_calibration"),
+        "headline_delta_pct": out.get("headline_delta_pct"),
+        "headline_delta_basis": out.get("headline_delta_basis"),
+        "prev_record": (out.get("delta_vs_prev") or {}).get("prev_record"),
+        "detail": out_detail,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # pragma: no cover — headline set would have grown
+        compact.pop("queries", None)
+        compact["queries_in"] = out_detail
+        line = json.dumps(compact)
+    print(line)
+
+
+def _current_round(here: str) -> int:
+    """The round in progress: one past the newest driver-written
+    ``BENCH_r{N}.json`` (the driver records this round's capture only
+    after the round ends, so during round N the newest record is
+    N−1)."""
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for n in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", n))
+    ]
+    return max(rounds, default=0) + 1
 
 
 def _calibrate(spark) -> dict[str, float]:
@@ -609,18 +666,30 @@ def _recover_tail(tail: str) -> dict | None:
 
 def _delta_vs_prev(total: float, timings: dict, ext: dict) -> dict | None:
     """Self-reporting round-over-round trend: compare against the latest
-    BENCH_r{N}.json next to this script (the driver's per-round record).
-    Extra JSON field only — the driver contract line is unchanged. Only
-    comparable when the previous record ran at the same sf."""
+    prior-round record next to this script — preferring the committed
+    ``BENCH_DETAIL_r{N}.json`` (complete, r10+) over the driver's
+    ``BENCH_r{N}.json`` capture (truncates ~2000 chars; r8's is
+    unrecoverable). Only comparable when the previous record ran at the
+    same sf."""
     here = os.path.dirname(os.path.abspath(__file__))
     recs = sorted(
         n for n in os.listdir(here)
         if n.startswith("BENCH_r") and n.endswith(".json")
+        and not n.startswith("BENCH_DETAIL")
     )
     for name in reversed(recs):
+        detail = name.replace("BENCH_r", "BENCH_DETAIL_r")
         try:
-            with open(os.path.join(here, name)) as f:
+            with open(os.path.join(here, detail)) as f:
                 prev = json.load(f)
+            if isinstance(prev, dict) and "value" in prev:
+                prev["_from"] = detail
+        except (OSError, json.JSONDecodeError):
+            prev = None
+        try:
+            if not isinstance(prev, dict):
+                with open(os.path.join(here, name)) as f:
+                    prev = json.load(f)
         except (OSError, json.JSONDecodeError):  # pragma: no cover
             continue
         if isinstance(prev, dict) and "parsed" in prev:
@@ -641,6 +710,7 @@ def _delta_vs_prev(total: float, timings: dict, ext: dict) -> dict | None:
             continue
         delta = {
             "prev_record": name,
+            "prev_source": prev.get("_from", name),
             "prev_value": prev["value"],
             "prev_load_avg_1m": prev.get("load_avg_1m"),
             "total_pct": round(100.0 * (total - prev["value"]) / prev["value"], 1),

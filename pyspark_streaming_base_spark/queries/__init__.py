@@ -97,8 +97,6 @@ DRIVER_PRIORITY: tuple = (
     "q147_corpus_profile",
     "q148_cluster_size_histogram",
     "q149_interval_coverage",
-    "q151_negative_sampling",
-    "q152_hard_negative_mining",
     "q153_epoch_materialization",
     "q154_bm25_batch_retrieval",
     "q155_prf_query_expansion",
@@ -142,6 +140,16 @@ DRIVER_PRIORITY: tuple = (
     # the q148 closure-CTE oracle in this prefix)
     "q165_cvm_drift",           # q41 yields (rows-only, driver-green r7;
     # C17's scale path stays pinned by the recall pytest + local mirror)
+    # ROUND-10 ROTATION (the r9 verdict's task 4): q103 and q140 were
+    # upgraded to recursive-CTE oracles in r9 (pipeline.py / mmr.py +
+    # similarity.py) but have never had a driver HASH row — q140's r8
+    # row was rows-only, q103 predates its oracle. Their slots come
+    # from q151/q152 (driver-green hash rows in BOTH r8 and r9, code
+    # unchanged since; the sampling family stays covered by the
+    # q153_epoch_materialization and q163_pps_token_sample keepers in
+    # this prefix).
+    "q103_pagerank_top20",
+    "q140_mmr_diverse_topk",
 )
 
 
