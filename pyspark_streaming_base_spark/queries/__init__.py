@@ -96,8 +96,6 @@ DRIVER_PRIORITY: tuple = (
     "q145_relative_quality_gate",
     "q147_corpus_profile",
     "q148_cluster_size_histogram",
-    "q149_interval_coverage",
-    "q153_epoch_materialization",
     "q154_bm25_batch_retrieval",
     "q155_prf_query_expansion",
     # ROUND-8 LATE SET (the r9 rotation's whole budget): registered
@@ -150,6 +148,15 @@ DRIVER_PRIORITY: tuple = (
     # this prefix).
     "q103_pagerank_top20",
     "q140_mmr_diverse_topk",
+    # ROUND-10 NEW OPERATORS, rotated in their birth round (the
+    # standing convention — no never-driver-checked debt): line-level
+    # repetition stats (the Gopher/Dolma boilerplate tier) and
+    # top/duplicate-bigram character share — both oracle-bearing.
+    # Their slots come from q149/q153 (driver-green hash rows in BOTH
+    # r8 and r9, code unchanged since; interval/epoch machinery stays
+    # covered by the q73/q79 streaming keepers and the q163 sampler).
+    "q175_line_repetition",
+    "q176_topgram_share",
 )
 
 

@@ -2315,3 +2315,207 @@ def q170_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c").cast("double") * F.sum("c").cast("double"))
         ).alias("char_hhi"),
     )
+
+
+@query(
+    "q175_line_repetition",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, TRIM(x) AS line
+      FROM documents, UNNEST(string_split(text, chr(10))) AS t(x)
+      WHERE TRIM(x) <> ''
+    ),
+    p AS (
+      SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c
+      FROM l GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+           CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS dup_line_frac,
+           CAST(MAX(c) AS BIGINT) AS top_line_cnt,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_line_share,
+           CAST(SUM(CASE WHEN c > 1 THEN c * len(line) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c * len(line)) AS DOUBLE) AS dup_line_char_frac
+    FROM p GROUP BY doc_id
+    """,
+)
+def q175_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level repetition stats per document (C19 extension) — the
+    Gopher/Dolma duplicate-line and top-line-share boilerplate rules
+    (Rae et al. 2021 §A1.1; Dolma's paragraph dedup), the standard
+    nav-bar/footer detector for web corpora. Sits between q47's
+    token-bigram tier and whole-doc dedup: a page whose text is 40%
+    repeated "cookie notice" lines passes both, and this is the signal
+    that catches it. Per doc (non-blank trimmed lines): line counts,
+    duplicate-line fraction (total−distinct)/total, modal-line share,
+    and the character-weighted duplicate-line fraction (Gopher's actual
+    rule weights by characters, so one huge repeated line can't hide
+    behind many tiny unique ones).
+
+    Exactness: integer counts and single divisions of exact integers —
+    bit-identical IEEE cross-engine, no rounding grid needed.
+
+    Fixture note: the synthetic documents fixture is single-line (no
+    newlines), so on it every doc reports n_lines = n_distinct = 1 and
+    zero duplicate fractions — the oracle hash still pins the full
+    segmentation+aggregation plumbing, and the OPERATOR logic is pinned
+    on crafted multi-line docs against an independent python mirror in
+    ``tests/test_properties.py`` (the q41/q42 recall-pin convention:
+    driver checks structure, pytest checks the interesting values).
+
+    Scale: pure per-row expression tree — the line multiset never
+    leaves its scan task, zero shuffles, no UDF. The per-distinct-line
+    count is O(distinct·lines) per doc in whole-stage codegen; web docs
+    have hundreds of lines, so the quadratic term is bounded and local
+    (the same budget as q47's array_distinct).
+    """
+    return line_repetition_stats(t(spark, sf_dir, "documents"))
+
+
+def line_repetition_stats(docs: DataFrame) -> DataFrame:
+    """q175's operator body over any (doc_id, text) frame — factored out
+    so the synthetic multi-line mirror test (test_properties.py) drives
+    the SAME expressions the registered query runs."""
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    dst = F.array_distinct(lines)
+    d = docs.select(
+        "doc_id",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(dst).cast("bigint").alias("n_distinct_lines"),
+        F.array_max(
+            F.transform(dst, lambda l: F.size(F.filter(lines, lambda x: x == l)))
+        )
+        .cast("bigint")
+        .alias("top_line_cnt"),
+        F.aggregate(
+            F.transform(
+                dst,
+                lambda l: F.when(
+                    F.size(F.filter(lines, lambda x: x == l)) > 1,
+                    F.size(F.filter(lines, lambda x: x == l)) * F.length(l),
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dup_line_chars"),
+        F.aggregate(
+            F.transform(lines, lambda l: F.length(l)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_line_chars"),
+    )
+    return d.filter(F.col("n_lines") > 0).select(
+        "doc_id",
+        "n_lines",
+        "n_distinct_lines",
+        (
+            (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
+            / F.col("n_lines").cast("double")
+        ).alias("dup_line_frac"),
+        "top_line_cnt",
+        (
+            F.col("top_line_cnt").cast("double") / F.col("n_lines").cast("double")
+        ).alias("top_line_share"),
+        (
+            F.col("dup_line_chars").cast("double")
+            / F.col("total_line_chars").cast("double")
+        ).alias("dup_line_char_frac"),
+    )
+
+
+@query(
+    "q176_topgram_share",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_chars, tk[i] || ' ' || tk[i + 1] AS ng
+      FROM toks, UNNEST(range(1, len(tk))) AS t(i)
+    ),
+    p AS (
+      SELECT doc_id, n_chars, ng, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY doc_id, n_chars, ng
+    ),
+    a AS (
+      SELECT doc_id, n_chars, ng, c,
+             SUM(c) OVER (PARTITION BY doc_id) AS n_bigrams,
+             SUM(CASE WHEN c > 1 THEN c * len(ng) ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS dup_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY c DESC, ng DESC
+             ) AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           ng AS top_bigram,
+           c AS top_cnt,
+           CAST(c * len(ng) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             AS top_char_frac,
+           CAST(dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE)
+             AS dup_char_frac
+    FROM a WHERE rn = 1
+    """,
+)
+def q176_topgram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top/duplicate n-gram CHARACTER share per document (C19
+    extension) — Gopher repetition rules 8–13 (Rae et al. 2021 §A1.1):
+    the fraction of a doc's characters covered by its most frequent
+    word bigram, and by ALL bigrams occurring more than once. The
+    character weighting is the rules' point (and what q47's count-ratio
+    misses): "buy now buy now buy now" boilerplate concentrates
+    characters, not just counts. Ties on the top bigram break on the
+    bigram string itself (largest under binary collation — identical
+    in Spark and DuckDB for these ASCII tokens), so the reported
+    top_bigram is deterministic.
+
+    Exactness: integer counts, integer char lengths, single divisions —
+    bit-identical IEEE cross-engine.
+
+    Scale: the bigram explode is corpus-sized but the first aggregate
+    is map-side combined on (doc_id, ng) — the exchange carries at most
+    distinct-bigrams rows per doc (the q170 absorption pin); the
+    argmax is a struct MAX inside the same per-doc fold, not a window
+    over the corpus.
+    """
+    from pyspark_streaming_base_spark.functions.textops import word_bigrams
+
+    d0 = t(spark, sf_dir, "documents")
+    g = d0.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.explode(word_bigrams(F.col("text"))).alias("ng"),
+    )
+    cnt = g.groupBy("doc_id", "n_chars", "ng").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = cnt.groupBy("doc_id", "n_chars").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.max(F.struct(F.col("c"), F.col("ng"))).alias("_top"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("ng")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dup_chars"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.col("_top.ng").alias("top_bigram"),
+        F.col("_top.c").cast("bigint").alias("top_cnt"),
+        (
+            (F.col("_top.c") * F.length("_top.ng")).cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("top_char_frac"),
+        (
+            F.col("dup_chars").cast("double") / F.col("n_chars").cast("double")
+        ).alias("dup_char_frac"),
+    )

@@ -277,3 +277,55 @@ def test_containment_pairs_match_python_brute_force(spark, texts):
         .collect()
     }
     assert gated == want
+
+
+# ---------------------------------------------------------------------------
+# q175 line repetition: the documents fixture is single-line, so the
+# interesting values (duplicate lines, modal shares) are pinned here on
+# crafted multi-line docs against an independent python mirror.
+# ---------------------------------------------------------------------------
+
+line_token = st.sampled_from(["alpha", "beta", "gamma gamma", "x", "  pad  ", ""])
+doc_lines = st.lists(line_token, min_size=0, max_size=12)
+
+
+@given(docs=st.lists(doc_lines, min_size=1, max_size=6))
+@SETTINGS
+def test_line_repetition_matches_python_mirror(spark, docs):
+    from collections import Counter
+
+    from pyspark_streaming_base_spark.queries.text import line_repetition_stats
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"],
+            r["n_distinct_lines"],
+            r["dup_line_frac"],
+            r["top_line_cnt"],
+            r["top_line_share"],
+            r["dup_line_char_frac"],
+        )
+        for r in line_repetition_stats(df).collect()
+    }
+
+    want = {}
+    for i, ls in enumerate(docs):
+        lines = [x.strip() for x in ls if x.strip() != ""]
+        if not lines:
+            continue  # blank docs are excluded, like the SQL oracle
+        c = Counter(lines)
+        n, d = len(lines), len(c)
+        top = max(c.values())
+        dup_chars = sum(k * len(line) for line, k in c.items() if k > 1)
+        tot_chars = sum(len(line) for line in lines)
+        want[i] = (
+            n,
+            d,
+            (n - d) / n,
+            top,
+            top / n,
+            dup_chars / tot_chars,
+        )
+    assert got == want
