@@ -300,6 +300,7 @@ def crawl_smoke(spark, reps) -> None:
 
             run_idx = f"{root}/idx_inc"
             shutil.copytree(idx, run_idx)
+            before = spark.read.parquet(run_idx).count()
             t0 = time.perf_counter()
             append_minhash_index(batch, run_idx)
             edges = query_minhash_index(spark, run_idx, batch).select(
@@ -309,6 +310,14 @@ def crawl_smoke(spark, reps) -> None:
                 "noop"
             ).mode("overwrite").save()
             dt_inc = time.perf_counter() - t0
+            # O(batch) append, structurally: the rows the append added are
+            # exactly the batch's own signatures — INDEPENDENT of n (the
+            # timing evidence is ambient-noise-prone; this is not)
+            from pyspark_streaming_base_spark.operators.minhash import minhash_bands
+
+            added = spark.read.parquet(run_idx).count() - before
+            expect = minhash_bands(batch).count()
+            assert added == expect, (n, added, expect)
 
             t0 = time.perf_counter()
             full_idx = f"{root}/idx_full"
@@ -323,24 +332,40 @@ def crawl_smoke(spark, reps) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+#: selectable smoke families (CLI: non-integer args pick a subset)
+FAMILIES = ("shapes", "crawl", "bloom", "semdedup", "containment", "bm25")
+
+
 def main() -> None:
-    reps = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    reps = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 4, 16]
+    picked = [a for a in sys.argv[1:] if not a.isdigit()]
+    unknown = [a for a in picked if a not in FAMILIES]
+    if unknown:
+        raise SystemExit(f"unknown smoke families {unknown}; choose from {FAMILIES}")
+    run = set(picked or FAMILIES)
     spark = SessionFactory.local(app_name="scale-smoke")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for n in reps:
-        for name, df in shapes(spark, n).items():
-            df.write.format("noop").mode("overwrite").save()  # warm codegen
-            spark.catalog.clearCache()  # re-materialize persisted stages cold
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            print(f"{name:>20}  x{n:<3} {dt:7.3f}s")
-            # drop cached pass-1 data so replications don't stack heap
-            spark.catalog.clearCache()
-    crawl_smoke(spark, reps)
-    bloom_smoke(spark, reps)
-    semdedup_smoke(spark, reps)
-    containment_smoke(spark, reps)
+    if "shapes" in run:
+        for n in reps:
+            for name, df in shapes(spark, n).items():
+                df.write.format("noop").mode("overwrite").save()  # warm codegen
+                spark.catalog.clearCache()  # re-materialize persisted stages cold
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                print(f"{name:>20}  x{n:<3} {dt:7.3f}s")
+                # drop cached pass-1 data so replications don't stack heap
+                spark.catalog.clearCache()
+    if "crawl" in run:
+        crawl_smoke(spark, reps)
+    if "bloom" in run:
+        bloom_smoke(spark, reps)
+    if "semdedup" in run:
+        semdedup_smoke(spark, reps)
+    if "containment" in run:
+        containment_smoke(spark, reps)
+    if "bm25" in run:
+        bm25_smoke(spark, reps)
 
 
 def semdedup_smoke(spark, reps) -> None:
@@ -438,8 +463,6 @@ def semdedup_smoke(spark, reps) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def bloom_smoke(spark, reps) -> None:
@@ -560,12 +583,23 @@ def containment_smoke(spark, reps) -> None:
 
             run_idx = f"{root}/idx_inc"
             shutil.copytree(idx, run_idx)
+            from pyspark_streaming_base_spark.operators.containment import (
+                shingle_sets,
+            )
+            from pyspark_streaming_base_spark.operators.tombstones import read_live
+
+            before = read_live(spark, f"{run_idx}/sets").count()
             t0 = time.perf_counter()
             append_containment_index(batch, run_idx)
             query_containment_index(spark, run_idx, batch).write.format(
                 "noop"
             ).mode("overwrite").save()
             dt_inc = time.perf_counter() - t0
+            # structural O(batch): the append added exactly the batch's own
+            # shingle-set rows, independent of corpus size n
+            added = read_live(spark, f"{run_idx}/sets").count() - before
+            expect = shingle_sets(batch).count()
+            assert added == expect, (n, added, expect)
 
             t0 = time.perf_counter()
             full_idx = f"{root}/idx_full"
@@ -578,3 +612,88 @@ def containment_smoke(spark, reps) -> None:
             print(f"{'containment_rebuild':>24}  x{n:<3} {dt_reb:7.3f}s")
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def bm25_smoke(spark, reps) -> None:
+    """BM25 lexical-index growth evidence, SPLIT into the three costs a
+    deployment actually pays (r9 verdict task: per-family build/append/
+    probe numbers): corpus n× token-salted (replicas share no terms, so
+    the vocabulary grows linearly — the real crawl shape), daily batch
+    FIXED. bm25_build re-tokenizes and rewrites the whole corpus —
+    O(corpus), grows with n; bm25_append folds the fixed batch —
+    O(batch), near-flat, with the structural assertion that the rows it
+    wrote are exactly the batch's own postings/doclens regardless of n;
+    bm25_probe scores a fixed 8-term query through the persisted index —
+    its only corpus-proportional cost is the term-pushed postings scan
+    (probes never re-tokenize; `operators/bm25.py::query_bm25_index`)."""
+    import shutil
+    import tempfile
+
+    from pyspark_streaming_base_spark.operators.bm25 import (
+        append_bm25_index,
+        bm25_doclens,
+        bm25_postings,
+        build_bm25_index,
+        query_bm25_index,
+    )
+    from pyspark_streaming_base_spark.operators.tombstones import read_live
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    batch = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(toks, lambda x: F.concat(x, F.lit("_day")))
+        ).alias("text"),
+    )
+    for n in reps:
+        corpus = _crawl_corpus(spark, n)
+        root = tempfile.mkdtemp(prefix="bm25_smoke_")
+        try:
+            idx = f"{root}/idx"
+            build_bm25_index(corpus, idx)  # prior state, amortized
+            # probe terms: the 8 highest-df REPLICA-0 terms (deterministic,
+            # tie-broken on the term string; replica-0 terms exist at every
+            # n so the probe's work is comparable across rows)
+            terms = [
+                r["term"]
+                for r in read_live(spark, f"{idx}/postings")
+                .filter(~F.col("term").contains("_r") & ~F.col("term").contains("_day"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .orderBy(F.col("df").desc(), "term")
+                .limit(8)
+                .collect()
+            ]
+
+            run_idx = f"{root}/idx_inc"
+            shutil.copytree(idx, run_idx)
+            p0 = read_live(spark, f"{run_idx}/postings").count()
+            d0 = read_live(spark, f"{run_idx}/doclens").count()
+            t0 = time.perf_counter()
+            append_bm25_index(batch, run_idx)
+            dt_app = time.perf_counter() - t0
+            # structural O(batch): rows written == the batch's own rows
+            p_add = read_live(spark, f"{run_idx}/postings").count() - p0
+            d_add = read_live(spark, f"{run_idx}/doclens").count() - d0
+            assert p_add == bm25_postings(batch).count(), (n, p_add)
+            assert d_add == bm25_doclens(batch).count(), (n, d_add)
+
+            probe = query_bm25_index(spark, run_idx, terms, top_k=20)
+            probe.write.format("noop").mode("overwrite").save()  # warm codegen
+            t0 = time.perf_counter()
+            probe.write.format("noop").mode("overwrite").save()
+            dt_probe = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            build_bm25_index(corpus.unionByName(batch), f"{root}/idx_full")
+            dt_build = time.perf_counter() - t0
+            print(f"{'bm25_build':>20}  x{n:<3} {dt_build:7.3f}s  (rebuild over union)")
+            print(f"{'bm25_append':>20}  x{n:<3} {dt_app:7.3f}s  (fixed batch)")
+            print(f"{'bm25_probe':>20}  x{n:<3} {dt_probe:7.3f}s  (8-term top-20)")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
