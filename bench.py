@@ -74,6 +74,7 @@ EXTENDED = [
     "q150_retrieval_pipeline",     # BM25 + vector arms → RRF → MMR (r8):
     #                                the serving capstone a deployment runs
     "q155_prf_query_expansion",    # two-pass PRF/RM3-lite retrieval (r8)
+    "q180_filter_waterfall",       # 5-rule quality waterfall, one scan (r10)
 ]
 # r6: the inline q111_ivfadc_ann entry (5.5 s at r5, dominated by
 # re-training codebooks + re-encoding the corpus inside the query) is

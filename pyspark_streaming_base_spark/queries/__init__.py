@@ -92,12 +92,7 @@ DRIVER_PRIORITY: tuple = (
     # These are round 7's flagship operators — KS drift, PRF expansion,
     # batch BM25, interval coverage, epoch materialization — and the
     # driver CORRECTNESS row is the graded signal they lack.
-    "q144_ks_drift",
-    "q145_relative_quality_gate",
-    "q147_corpus_profile",
-    "q148_cluster_size_histogram",
     "q154_bm25_batch_retrieval",
-    "q155_prf_query_expansion",
     # ROUND-8 LATE SET (the r9 rotation's whole budget): registered
     # after the r8 prefix froze — Mann-Whitney/AUC drift, source
     # concentration, decile Q-Q (oracle) and k-core (closure-CTE
@@ -107,7 +102,6 @@ DRIVER_PRIORITY: tuple = (
     # recursive-CTE oracle later in r9, hash-checked by the stricter
     # local mirror at both sf even though it sits outside this prefix).
     "q166_mann_whitney",
-    "q167_source_concentration",
     "q168_kcore",
     "q169_decile_qq",
     # ROUND-8 NEW OPERATORS, rotated in the same round they were written
@@ -116,7 +110,6 @@ DRIVER_PRIORITY: tuple = (
     # slots; C6/C9/C13/C23/C17 stay covered by the q01/q96/q17/q73/
     # q40+q44 keepers)
     "q156_containment_pairs",
-    "q159_source_overlap",
     "q160_column_profile",
     # ROUND-9 NEW OPERATORS, rotated in the same round they were
     # written (the r8 convention — no never-driver-checked debt):
@@ -130,7 +123,7 @@ DRIVER_PRIORITY: tuple = (
     "q172_cross_source_dup_matrix",
     "q173_dedup_measure_overlap",
     "q174_keeper_policy_report",  # q158 yields (driver-green r8; the
-    # quality-gate family stays covered by the q145/q47 keepers)
+    # quality-gate family stays covered by q47 + the q180 waterfall)
     "q163_pps_token_sample",    # q61 yields (rows-only, driver-green r7;
     # C18 stays covered by the q60 keeper + pytest recall pins)
     "q164_kcenter_coreset",     # q44 yields (driver-green r7, engine
@@ -157,6 +150,42 @@ DRIVER_PRIORITY: tuple = (
     # covered by the q73/q79 streaming keepers and the q163 sampler).
     "q175_line_repetition",
     "q176_topgram_share",
+    # ROUND-10 SECOND WAVE, rotated in their birth round: per-source
+    # shingle novelty (the marginal-contribution curve), template-prefix
+    # cluster report (the machine-generated-page detector), and
+    # inter-arrival burstiness cv² (the bot/scraper signature) — all
+    # oracle-bearing, exact-green at sf0.001/0.01/0.1. Their slots come
+    # from q145/q147/q148 (driver-green hash rows in BOTH r8 and r9,
+    # code unchanged since; the quality-gate family stays covered by
+    # q47+q174 in this prefix, C19 profiling by q170/q175/q176, and the
+    # components/cluster engine by the q168 closure-CTE oracle).
+    "q177_source_novelty",
+    "q178_template_prefix_clusters",
+    "q179_interarrival_burstiness",
+    # ... and the quality-filter waterfall report (rule-by-rule marginal
+    # kill + surviving docs/tokens — the artifact that prices a Gopher/
+    # Dolma rule stack in training tokens). Its slot comes from
+    # q144_ks_drift (driver-green hash rows in BOTH r8 and r9, code
+    # unchanged; the drift family keeps THREE prefix reps:
+    # q165_cvm_drift, q166_mann_whitney, q169_decile_qq).
+    "q180_filter_waterfall",
+    # ... plus the cross-LANGUAGE leakage matrix (the audit of the
+    # lang-blocking assumption every near-dup family builds on) and the
+    # event-type transition matrix (first-order Markov chain — funnel /
+    # behavioral-drift analytics one step finer than q141's marginals).
+    # Their slots come from q155_prf_query_expansion (driver-green hash
+    # rows in r8 AND r9; retrieval stays covered by the q154 keeper,
+    # whose BM25 machinery q155 composes) and q167_source_concentration
+    # (driver-green r9, code unchanged; the source-profiling family now
+    # has THREE prefix reps: q172, q177, q178).
+    "q181_cross_lingual_leakage",
+    "q182_event_transitions",
+    # ... and the cluster edge-density audit (the over-merge diagnostic
+    # for closure-based dedup — chain-shaped clusters are the docs a
+    # canonical-keeper delete would wrongly remove). Its slot comes from
+    # q159_source_overlap (driver-green r9, code unchanged; the source-
+    # overlap family now has FOUR prefix reps: q172, q177, q178, q181).
+    "q183_cluster_density_audit",
 )
 
 

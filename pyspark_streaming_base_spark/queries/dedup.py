@@ -1601,3 +1601,87 @@ def q174_keeper_policy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_dropped"),
     )
+
+
+@query(
+    "q183_cluster_density_audit",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CLOSURE_SQL},
+    sizes AS (
+      SELECT canonical, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM canon GROUP BY canonical
+    ),
+    per_cluster AS (
+      SELECT c.canonical, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pr p JOIN canon c ON c.doc_id = p.doc_a
+      GROUP BY c.canonical
+    )
+    SELECT s.sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(p.n_pairs) AS BIGINT) AS verified_pairs,
+           CAST(COUNT(*) * s.sz * (s.sz - 1) / 2 AS BIGINT) AS possible_pairs,
+           CAST(SUM(p.n_pairs) AS DOUBLE)
+             / (COUNT(*) * s.sz * (s.sz - 1) / 2) AS mean_density,
+           CAST(MIN(p.n_pairs) AS BIGINT) AS min_cluster_pairs,
+           CAST(MIN(p.n_pairs) AS DOUBLE) / (s.sz * (s.sz - 1) / 2)
+             AS min_density
+    FROM sizes s JOIN per_cluster p ON p.canonical = s.canonical
+    GROUP BY s.sz
+    """,
+)
+def q183_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge DENSITY inside the transitive near-dup clusters, bucketed by
+    cluster size (C17 quality audit) — the over-merge diagnostic for
+    closure-based dedup: transitive closure promotes A~B~C chains into
+    one cluster whether or not A~C verifies, so a size-k cluster backed
+    by only k−1 verified pairs (density → 2/k) is a CHAIN — likely two
+    distinct documents bridged by a hybrid — while density ≈ 1 means a
+    genuine duplicate family. Reports, per cluster size: cluster count,
+    verified q40 pairs inside them vs the C(k,2) possible, the mean
+    density, and the sparsest cluster's pair count/density — the number
+    that says whether ``canonical``-keeper deletion (q174's policies) is
+    safe or is about to delete non-duplicates that merely chained.
+
+    Exactness: integer pair/cluster counts; densities are single
+    divisions of exact integers (possible_pairs uses integer k(k−1)/2 —
+    k or k−1 is even, so the division is exact on both engines).
+
+    Scale: pairs and components are the ALREADY-BLOCKED q40/q44
+    machinery (pair mass is dup-family-bounded, never corpus²); the
+    audit adds one doc-keyed join of pairs to their component label, a
+    component-sized aggregate, and a size-bucketed fold over #clusters
+    rows. Pairs need no both-endpoint check: components are closed over
+    the pair set, so doc_a's component IS the pair's component.
+    """
+    pairs = q40_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = q44_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("canonical").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    per_cluster = (
+        pairs.join(
+            clusters.select(
+                F.col("doc_id").alias("doc_a"), "canonical"
+            ),
+            "doc_a",
+        )
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    possible = F.col("sz") * (F.col("sz") - 1) / F.lit(2)
+    per = sizes.join(per_cluster, "canonical")
+    return per.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_pairs").cast("bigint").alias("verified_pairs"),
+        (F.count(F.lit(1)) * F.first(possible)).cast("bigint").alias(
+            "possible_pairs"
+        ),
+        (
+            F.sum("n_pairs").cast("double")
+            / (F.count(F.lit(1)) * F.first(possible))
+        ).alias("mean_density"),
+        F.min("n_pairs").cast("bigint").alias("min_cluster_pairs"),
+        (F.min("n_pairs").cast("double") / F.first(possible)).alias(
+            "min_density"
+        ),
+    )

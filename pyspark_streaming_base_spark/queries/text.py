@@ -2519,3 +2519,547 @@ def q176_topgram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_chars").cast("double") / F.col("n_chars").cast("double")
         ).alias("dup_char_frac"),
     )
+
+
+@query(
+    "q177_source_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source,
+               unnest(CASE WHEN len(toks) >= 3
+                    THEN list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                        for i in generate_series(1, len(toks) - 2)])
+                    ELSE [array_to_string(toks, ' ')] END) AS sh
+        FROM (SELECT source,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents) WHERE len(toks) > 0
+      )
+    ), totals AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM sh GROUP BY source
+    ), firsts AS (
+      SELECT sh, MIN(source) AS first_source FROM sh GROUP BY sh
+    ), novel AS (
+      SELECT first_source AS source, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM firsts GROUP BY first_source
+    )
+    SELECT t.source,
+           t.n_shingles,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+             / CAST(t.n_shingles AS DOUBLE) AS novelty_ratio,
+           CAST(SUM(COALESCE(n.n_novel, 0)) OVER (
+                  ORDER BY t.source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS BIGINT) AS cum_shingles
+    FROM totals t LEFT JOIN novel n ON n.source = t.source
+    """,
+)
+def q177_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source shingle NOVELTY under the catalog ingestion order
+    (C19/dedup extension) — the marginal-contribution curve corpus
+    curation decides feeds with: for each source (ordered by source
+    name, the deterministic catalog order), how many distinct word
+    3-shingles it contains, how many are NOVEL (absent from every
+    earlier source), the novelty ratio, and the cumulative distinct
+    coverage after ingesting it. A feed whose novelty ratio is near
+    zero duplicates what earlier feeds already supplied — q159 says
+    *which pair* overlaps; this says *what adding the feed buys*, in
+    ingestion order (the diminishing-returns curve of Hernandez et al.
+    2022's data-scaling analyses).
+
+    Exactness: distinct-shingle counts (integers) + a single division;
+    attribution via MIN(source) is exact string comparison.
+
+    Scale: the corpus folds to DISTINCT (source, shingle) once (the
+    only corpus-sized exchange, shingle-keyed); firsts/novel are
+    vocabulary-sized aggregates on the same key; the cumulative window
+    runs over #sources rows (catalog-sized — a bounded frame, not a
+    corpus window), post-aggregation.
+    """
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.size(_tokens(F.col("text"))) > 0
+    )
+    sh = (
+        docs.select("source", F.explode(_shingles(F.col("text"))).alias("sh"))
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.min("source").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    joined = totals.join(novel, "source", "left").select(
+        "source",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+    )
+    w = W.orderBy("source").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "source",
+        "n_shingles",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+        ).alias("novelty_ratio"),
+        F.sum("n_novel").over(w).cast("bigint").alias("cum_shingles"),
+    )
+
+
+@query(
+    "q178_template_prefix_clusters",
+    oracle="""
+    WITH p AS (
+      SELECT source, array_to_string(list_slice(tk, 1, 8), ' ') AS prefix
+      FROM (SELECT source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents)
+      WHERE len(tk) > 0
+    ), sp AS (
+      SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS c
+      FROM p GROUP BY source, prefix
+    ), g AS (
+      SELECT prefix, CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS nsrc
+      FROM sp GROUP BY prefix
+    )
+    SELECT sp.source,
+           CAST(SUM(sp.c) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN g.tot > 1 THEN sp.c ELSE 0 END) AS BIGINT)
+             AS n_templated,
+           CAST(SUM(CASE WHEN g.tot > 1 THEN sp.c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(sp.c) AS DOUBLE) AS templated_share,
+           CAST(SUM(CASE WHEN g.nsrc > 1 THEN sp.c ELSE 0 END) AS BIGINT)
+             AS n_cross_source,
+           CAST(SUM(CASE WHEN g.tot > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_template_prefixes,
+           CAST(MAX(g.tot) AS BIGINT) AS top_template_size
+    FROM sp JOIN g USING (prefix)
+    GROUP BY sp.source
+    """,
+)
+def q178_template_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by duplicated 8-token document
+    PREFIX, reported per source (C17/C19 extension) — the
+    machine-generated-page detector: CMS templates, SEO farms and
+    mirrored listings share their opening tokens even when tails differ
+    enough to dodge whole-doc dedup (q22) and stay under near-dup
+    thresholds (q40/q41). Per source: docs, docs whose prefix is shared
+    by ≥2 docs ANYWHERE in the corpus (templated), that share, docs
+    whose prefix crosses ≥2 sources (the feed-mirroring signal), the
+    number of distinct template prefixes present, and the largest
+    template cluster the source participates in.
+
+    Exactness: integer counts + one single division; the prefix key is
+    the literal first-8-token string (both engines clip short docs the
+    same way), no hashing to disagree on.
+
+    Scale: one scan to (source, prefix) — the prefix is a bounded ~8
+    tokens per doc, a constant-width key off the scan; two aggregates
+    and a prefix-keyed equi-join whose fan-out is #sources per prefix
+    (bounded by the catalog). Never doc×doc: docs sharing a template
+    meet only inside hash aggregates, so a million-doc template cluster
+    costs the same exchange volume as a unique doc.
+    """
+    p = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.concat_ws(" ", F.slice(_tokens(F.col("text")), 1, 8)).alias(
+                "prefix"
+            ),
+            F.size(_tokens(F.col("text"))).alias("_nt"),
+        )
+        .filter(F.col("_nt") > 0)
+    )
+    sp = p.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    g = sp.groupBy("prefix").agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("nsrc"),
+    )
+    return (
+        sp.join(g, "prefix")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("tot") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_templated"),
+            (
+                F.sum(
+                    F.when(F.col("tot") > 1, F.col("c")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("templated_share"),
+            F.sum(F.when(F.col("nsrc") > 1, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_cross_source"),
+            F.sum(F.when(F.col("tot") > 1, 1).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_template_prefixes"),
+            F.max("tot").cast("bigint").alias("top_template_size"),
+        )
+    )
+
+
+#: q180 waterfall thresholds — ONE definition, interpolated into both the
+#: Spark expressions and the oracle SQL. Calibrated on the fixture so every
+#: rule fires on a real minority (nothing vacuous, nothing absorbing):
+#: token count ∈ [10, 99] (median 56), avg word len ∈ [3.7, 5.3] (median
+#: 4.5), 5-stopword frac median ≈ 0.05, dup-bigram frac p75 ≈ 0.09,
+#: top-bigram char cover p90 ≈ 0.14.
+_WF_MIN_TOKENS = 25
+_WF_WLEN_LO = 4.2
+_WF_WLEN_HI = 5.0
+_WF_STOP_MIN = 0.03
+_WF_DUP_MAX = 0.12
+_WF_TOP_MAX = 0.15
+
+_WF_RULES = (
+    "too_short",
+    "word_length",
+    "low_stopword",
+    "bigram_repetition",
+    "top_bigram_share",
+)
+
+
+@query(
+    "q180_filter_waterfall",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS nt,
+             CAST(length(array_to_string(tk, '')) AS DOUBLE) / len(tk)
+               AS avg_wlen,
+             CAST(len(list_filter(tk, x -> x IN
+               ({", ".join("'" + w + "'" for w in _QUALITY_STOPWORDS)})))
+               AS DOUBLE) / len(tk) AS stop_frac,
+             CAST(len(text) AS BIGINT) AS n_chars
+      FROM d WHERE len(tk) > 0
+    ), g AS (
+      SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS ng
+      FROM d, UNNEST(range(1, len(tk))) AS t(i)
+    ), p AS (
+      SELECT doc_id, ng, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY doc_id, ng
+    ), r AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupbg,
+             CAST(SUM(c) AS BIGINT) AS nbg,
+             CAST(MAX(c * len(ng)) AS BIGINT) AS top_cover
+      FROM p GROUP BY doc_id
+    ), f AS (
+      SELECT m.nt,
+             (m.nt < {_WF_MIN_TOKENS}) AS f1,
+             (m.avg_wlen < {_WF_WLEN_LO} OR m.avg_wlen > {_WF_WLEN_HI}) AS f2,
+             (m.stop_frac < {_WF_STOP_MIN}) AS f3,
+             (COALESCE(CAST(r.dupbg AS DOUBLE) / NULLIF(r.nbg, 0), 0)
+               > {_WF_DUP_MAX}) AS f4,
+             (COALESCE(CAST(r.top_cover AS DOUBLE) / m.n_chars, 0)
+               > {_WF_TOP_MAX}) AS f5
+      FROM m LEFT JOIN r ON r.doc_id = m.doc_id
+    ), a AS (
+      SELECT
+        CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS nf1,
+        CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS nf2,
+        CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS nf3,
+        CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS nf4,
+        CAST(SUM(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS nf5,
+        CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS ff1,
+        CAST(SUM(CASE WHEN NOT f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS ff2,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND f3 THEN 1 ELSE 0 END)
+          AS BIGINT) AS ff3,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND f4 THEN 1
+          ELSE 0 END) AS BIGINT) AS ff4,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 AND f5
+          THEN 1 ELSE 0 END) AS BIGINT) AS ff5,
+        CAST(SUM(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT) AS da1,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS da2,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END)
+          AS BIGINT) AS da3,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 THEN 1
+          ELSE 0 END) AS BIGINT) AS da4,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4
+          AND NOT f5 THEN 1 ELSE 0 END) AS BIGINT) AS da5,
+        CAST(SUM(CASE WHEN NOT f1 THEN nt ELSE 0 END) AS BIGINT) AS ta1,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 THEN nt ELSE 0 END) AS BIGINT)
+          AS ta2,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 THEN nt ELSE 0 END)
+          AS BIGINT) AS ta3,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4 THEN nt
+          ELSE 0 END) AS BIGINT) AS ta4,
+        CAST(SUM(CASE WHEN NOT f1 AND NOT f2 AND NOT f3 AND NOT f4
+          AND NOT f5 THEN nt ELSE 0 END) AS BIGINT) AS ta5
+      FROM f
+    )
+    SELECT CAST(1 AS BIGINT) AS rule_idx, 'too_short' AS rule,
+           nf1 AS n_fail, ff1 AS n_first_fail, da1 AS docs_after,
+           ta1 AS tokens_after FROM a
+    UNION ALL SELECT CAST(2 AS BIGINT), 'word_length', nf2, ff2, da2, ta2
+      FROM a
+    UNION ALL SELECT CAST(3 AS BIGINT), 'low_stopword', nf3, ff3, da3, ta3
+      FROM a
+    UNION ALL SELECT CAST(4 AS BIGINT), 'bigram_repetition', nf4, ff4, da4,
+      ta4 FROM a
+    UNION ALL SELECT CAST(5 AS BIGINT), 'top_bigram_share', nf5, ff5, da5,
+      ta5 FROM a
+    """,
+)
+def q180_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter WATERFALL report (C19 extension) — the pipeline-
+    design artifact behind Gopher/Dolma/FineWeb rule stacks: five
+    document rules applied in a fixed order (too short → degenerate
+    word length → low stopword fraction → repeated-bigram mass →
+    top-bigram character cover), and per rule: how many docs fail it at
+    all, how many fail FIRST there (its marginal kill, the number that
+    says whether the rule earns its place), and the docs/tokens
+    SURVIVING after it — the attrition curve that prices every rule in
+    training tokens before anyone deletes anything. Each rule reuses
+    this module's exact per-doc signal (q50 token count, q48 stopword
+    fraction, q47's duplicate-bigram tier, q176's character cover);
+    thresholds are module constants interpolated into BOTH engines.
+
+    Exactness: every output is an integer count; rule comparisons are
+    single divisions of exact integers against literal thresholds —
+    bit-identical IEEE on both engines, so the booleans agree
+    bit-for-bit (the q158 threshold-sweep argument). Docs with <2
+    tokens have no bigrams: rules 4/5 read as not-failing via the
+    same COALESCE(0) on both sides.
+
+    Scale: all five signals come from ONE corpus scan as per-row
+    expression trees (the q175 budget: O(distinct·n) bigram counting
+    inside codegen, n ≤ doc length); the waterfall folds map-side into
+    a SINGLE 20-number row — the exchange carries one row per task —
+    and the 5-row report is an explode of that row. Nothing doc-sized
+    ever shuffles.
+    """
+    return filter_waterfall(t(spark, sf_dir, "documents"))
+
+
+def filter_waterfall(docs: DataFrame) -> DataFrame:
+    """q180's operator body over any (doc_id, text) frame — factored out
+    so the crafted-document mirror test (test_properties.py) drives the
+    SAME expressions the registered query runs (the q175 convention).
+
+    Bigram stats use q176's explode → map-side-combined hash aggregate,
+    NOT a per-row higher-order filter over the distinct list: the
+    expression-tree form is O(distinct·n) per doc in *interpreted* HOF
+    evaluation with three passes (measured 37.7 s at sf0.1 vs ~2 s for
+    this shape; exchange carries ≤ distinct-bigrams rows per doc — the
+    q170/q176 absorption argument). The scalar token metrics are a
+    SEPARATE branch joined back on doc_id: riding them through the
+    explode as grouping keys lets CollapseProject push the interpreted
+    token HOFs past the generate, re-evaluating them once per BIGRAM
+    row instead of once per doc (measured 8.3 s vs 2 s at sf0.1)."""
+    from pyspark_streaming_base_spark.functions.textops import word_bigrams
+
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(w) for w in _QUALITY_STOPWORDS])
+
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("nt"),
+        (
+            F.length(F.concat_ws("", toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("avg_wlen"),
+        (
+            F.size(
+                F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+            ).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("stop_frac"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).filter(F.col("nt") > 0)
+    g = docs.select(
+        "doc_id", F.explode(word_bigrams(F.col("text"))).alias("ng")
+    )
+    cnt = g.groupBy("doc_id", "ng").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    r = cnt.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dupbg"),
+        F.sum("c").cast("bigint").alias("nbg"),
+        F.max(F.col("c") * F.length("ng")).cast("bigint").alias("top_cover"),
+    )
+    base = m.join(r, "doc_id", "left").select(
+        "doc_id",
+        "nt",
+        "avg_wlen",
+        "stop_frac",
+        "n_chars",
+        F.coalesce(F.col("dupbg"), F.lit(0)).cast("bigint").alias("dupbg"),
+        F.coalesce(F.col("nbg"), F.lit(0)).cast("bigint").alias("nbg"),
+        F.coalesce(F.col("top_cover"), F.lit(0)).cast("bigint").alias(
+            "top_cover"
+        ),
+    )
+    f1 = F.col("nt") < _WF_MIN_TOKENS
+    f2 = (F.col("avg_wlen") < _WF_WLEN_LO) | (F.col("avg_wlen") > _WF_WLEN_HI)
+    f3 = F.col("stop_frac") < _WF_STOP_MIN
+    f4 = (
+        F.coalesce(
+            F.col("dupbg").cast("double")
+            / F.when(F.col("nbg") > 0, F.col("nbg")).otherwise(F.lit(None)),
+            F.lit(0.0),
+        )
+        > _WF_DUP_MAX
+    )
+    f5 = (
+        F.coalesce(
+            F.col("top_cover").cast("double") / F.col("n_chars"), F.lit(0.0)
+        )
+        > _WF_TOP_MAX
+    )
+    flags = [f1, f2, f3, f4, f5]
+
+    def b2i(c):
+        return F.when(c, 1).otherwise(0)
+
+    def chain(i):  # passes rules 1..i
+        keep = ~flags[0]
+        for j in range(1, i):
+            keep = keep & ~flags[j]
+        return keep
+
+    aggs = []
+    for i, _rule in enumerate(_WF_RULES, start=1):
+        ff = chain(i - 1) & flags[i - 1] if i > 1 else flags[0]
+        aggs += [
+            F.sum(b2i(flags[i - 1])).cast("bigint").alias(f"nf{i}"),
+            F.sum(b2i(ff)).cast("bigint").alias(f"ff{i}"),
+            F.sum(b2i(chain(i))).cast("bigint").alias(f"da{i}"),
+            F.sum(F.when(chain(i), F.col("nt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"ta{i}"),
+        ]
+    a = base.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("rule_idx"),
+                F.lit(rule).alias("rule"),
+                F.col(f"nf{i}").alias("n_fail"),
+                F.col(f"ff{i}").alias("n_first_fail"),
+                F.col(f"da{i}").alias("docs_after"),
+                F.col(f"ta{i}").alias("tokens_after"),
+            )
+            for i, rule in enumerate(_WF_RULES, start=1)
+        ]
+    )
+    return a.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@query(
+    "q181_cross_lingual_leakage",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT lang, sh FROM (
+        SELECT lang,
+               unnest(CASE WHEN len(toks) >= 3
+                    THEN list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+                                        for i in generate_series(1, len(toks) - 2)])
+                    ELSE [array_to_string(toks, ' ')] END) AS sh
+        FROM (SELECT lang,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents) WHERE len(toks) > 0
+      )
+    ), totals AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY lang
+    ), common AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT lang_a, lang_b, n_common,
+           ta.n_sh AS n_a, tb.n_sh AS n_b,
+           CAST(n_common AS DOUBLE) / (ta.n_sh + tb.n_sh - n_common)
+             AS jaccard,
+           CAST(n_common AS DOUBLE) / ta.n_sh AS containment_a,
+           CAST(n_common AS DOUBLE) / tb.n_sh AS containment_b
+    FROM common
+    JOIN totals ta ON ta.lang = lang_a
+    JOIN totals tb ON tb.lang = lang_b
+    """,
+)
+def q181_cross_lingual_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-LANGUAGE shingle-overlap matrix (C17/C19 extension) — the
+    audit for the lang-blocking assumption the dedup stack builds on:
+    q41/q42/q156's candidate generation and the containment index's
+    size-slice layout all block on ``lang``, which silently defines
+    cross-language duplicate mass (machine-translated spam, code/
+    formula-heavy pages, copy-pasted boilerplate crossing locales) as
+    out of scope. This query MEASURES what that assumption discards:
+    for every language pair, shared distinct word 3-shingles, Jaccard,
+    and both containments — high values mean lang-blocked dedup is
+    leaving real duplicate mass on the table and the blocking key needs
+    revisiting (q159's source matrix, pivoted to the blocking
+    dimension the operators actually use).
+
+    Exactness: distinct-shingle counts and single divisions only.
+
+    Scale: identical to q159 — one fold to DISTINCT (lang, shingle)
+    (the only corpus-sized exchange), shingle-keyed pair join with
+    fan-out ≤ #langs per shingle, everything downstream
+    vocabulary-sized. Never doc×doc.
+    """
+    sh = (
+        t(spark, sf_dir, "documents")
+        .filter(F.size(_tokens(F.col("text"))) > 0)
+        .select("lang", F.explode(_shingles(F.col("text"))).alias("sh"))
+        .distinct()
+    )
+    totals = sh.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ta = totals.select(F.col("lang").alias("lang_a"), F.col("n_sh").alias("n_a"))
+    tb = totals.select(F.col("lang").alias("lang_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(ta), "lang_a")
+        .join(F.broadcast(tb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+            (F.col("n_common").cast("double") / F.col("n_a")).alias(
+                "containment_a"
+            ),
+            (F.col("n_common").cast("double") / F.col("n_b")).alias(
+                "containment_b"
+            ),
+        )
+    )

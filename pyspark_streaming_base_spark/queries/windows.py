@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._exact import dround, scaled, unscale
+from pyspark_streaming_base_spark.queries._exact import (
+    dround,
+    scaled,
+    sql_dround,
+    unscale,
+)
 from pyspark_streaming_base_spark.queries._tables import t
 
 #: Pair-space bound for q37: correlate only the top-N most active users.
@@ -1011,4 +1016,178 @@ def q149_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),
         F.sum("span_s").cast("bigint").alias("covered_seconds"),
+    )
+
+
+_CV2_NUM = (
+    "CAST(CAST(n_gaps AS DECIMAL(38,0)) * sg2"
+    " - CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0)) AS DOUBLE)"
+)
+
+
+@query(
+    "q179_interarrival_burstiness",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, ts, event_id
+      FROM events
+    ), g AS (
+      SELECT user_id,
+             es - LAG(es) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM e
+    ), s AS (
+      SELECT user_id,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS BIGINT) AS sg,
+             SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS sg2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           {sql_dround('CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)')}
+             AS mean_gap_s,
+           {sql_dround(f'({_CV2_NUM}) / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))')}
+             AS gap_cv2
+    FROM s WHERE n_gaps >= 5 AND sg > 0
+    ORDER BY gap_cv2 DESC, user_id LIMIT 20
+    """,
+)
+def q179_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 burstiest users by inter-arrival dispersion (time-series
+    extension): per user, consecutive event gaps (whole seconds, the
+    q118 epoch convention), their mean, and the squared coefficient of
+    variation cv² = Var(g)/E[g]² — the standard burstiness measure
+    (cv² = 1 ⇒ Poisson arrivals; ≫1 ⇒ bursts+silences, the bot/scraper
+    signature; ≪1 ⇒ metronomic, the cron-job signature). Reported as
+    cv² rather than cv: the closed form (n·Σg² − (Σg)²)/(Σg)² needs no
+    sqrt, and cv² preserves the ordering cv would give.
+
+    Exactness: gaps are exact int64 second diffs (any permutation of
+    equal-timestamp events yields the SAME gap multiset — internal gaps
+    of a tie-run are 0 and boundary gaps are unchanged — so the (ts,
+    event_id) tie-break removes even the harmless ambiguity); Σg² and
+    the n·Σg² − (Σg)² numerator accumulate in DECIMAL(38,0) BEFORE any
+    cast (the q165 overflow recipe — Σg² alone can pass int64 at ~10⁶
+    gaps of ~10⁵ s), and the final single divisions go through
+    ``dround`` (CLAUDE.md invariant 1), which also makes the top-20
+    ORDER BY compare GRIDDED values (invariant 9), tie-broken on
+    user_id. Degenerate users (n_gaps < 5, or all events in one second
+    ⇒ Σg = 0) are excluded on both sides.
+
+    Scale: one lag window + one aggregate, BOTH keyed on user_id — the
+    window's exchange is reused by the groupBy (one shuffle total);
+    state is three numbers per user; top-20 is TakeOrdered, never a
+    global sort.
+    """
+    return interarrival_burstiness(t(spark, sf_dir, "events"))
+
+
+def interarrival_burstiness(
+    events: DataFrame, min_gaps: int = 5, top_k: int = 20
+) -> DataFrame:
+    """q179's operator body over any (user_id, ts, event_id) frame —
+    factored out so the crafted-timestamp numpy mirror test
+    (test_properties.py) drives the SAME expressions the registered
+    query runs (the q175 convention)."""
+    ev = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("es"),
+        "ts",
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", (F.col("es") - F.lag("es").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(19,0)")
+    s = g.groupBy("user_id").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("sg"),
+        F.sum(gd * gd).alias("sg2"),
+    )
+    num = (
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("sg2")
+        - F.col("sg").cast("decimal(38,0)") * F.col("sg").cast("decimal(38,0)")
+    ).cast("double")
+    return (
+        s.filter((F.col("n_gaps") >= min_gaps) & (F.col("sg") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            dround(
+                F.col("sg").cast("double") / F.col("n_gaps").cast("double")
+            ).alias("mean_gap_s"),
+            dround(
+                num / (F.col("sg").cast("double") * F.col("sg").cast("double"))
+            ).alias("gap_cv2"),
+        )
+        .orderBy(F.col("gap_cv2").desc(), "user_id")
+        .limit(top_k)
+    )
+
+
+@query(
+    "q182_event_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM o WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_transitions,
+           CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS n_from,
+           CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type)
+             AS p_transition
+    FROM c
+    """,
+)
+def q182_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user event
+    streams (time-series/sessionization extension) — the empirical
+    Markov chain behind funnel design and anomaly detection: for each
+    (previous type → type) pair, the transition count and the
+    row-normalized probability P(next | prev). A transition row that
+    dwarfs its siblings is the dominant path (the funnel to optimize);
+    a probability that shifts release-over-release is a behavioral
+    drift alarm at the TRANSITION level, one step finer than q141's
+    marginal event-type mix (two releases can keep identical marginals
+    while users loop through them in a completely different order —
+    marginal drift misses exactly what this measures).
+
+    Exactness: integer transition counts + one single division per row
+    (both operands exact) — bit-identical IEEE cross-engine. The lag
+    order is (ts, event_id), the q120 convention; the transition
+    MULTISET is insensitive only to equal-timestamp permutations that
+    the unique event_id tie-break pins anyway.
+
+    Scale: one lag window keyed on user_id (the q179/q120 exchange) →
+    one map-side-combinable aggregate on (prev, next) — the shuffle
+    after the window carries ≤ |types|² rows per task; the normalizing
+    window runs over the |types|²-row aggregate, not the corpus.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = o.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    w_from = W.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.sum("n_transitions").over(w_from).cast("bigint").alias("n_from"),
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from).cast("double")
+        ).alias("p_transition"),
     )

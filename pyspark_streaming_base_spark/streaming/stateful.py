@@ -352,3 +352,69 @@ def heavy_hitters_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = "user_id bigint, prev_type string, event_type string"
+TRANSITION_STATE_SCHEMA = "last_type string"
+
+
+def transition_stream(events: DataFrame) -> DataFrame:
+    """Per-user event-type TRANSITIONS as a stream — q182's lag-window
+    twin for the live path (the batch lag is not append-streamable; the
+    streaming form keeps exactly ONE string of state per user: the last
+    event type seen). Each micro-batch emits one row per transition
+    (prev_type → event_type) in (ts, event_id) order, with the
+    cross-batch boundary transition recovered from state — so the
+    emitted row multiset equals the batch lag's row multiset exactly
+    (asserted in the twin test), and a downstream counts aggregate
+    reproduces q182's matrix incrementally.
+
+    Append output mode: a transition row never changes once emitted —
+    the state only ever CONSUMES the boundary, never rewrites history.
+
+    Scale: state is one short string per user (the smallest footprint in
+    this module); per-batch work is O(batch rows) with the same
+    concat-then-sort chunk handling as :func:`ewma_stream` (a group
+    larger than one Arrow chunk must fold in event order across chunks,
+    not delivery order).
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out = []
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            for et in batch.sort_values(["ts", "event_id"])["event_type"]:
+                if last is not None:
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "prev_type": last,
+                            "event_type": et,
+                        }
+                    )
+                last = str(et)
+        state.update((last,))
+        if out:
+            yield pd.DataFrame(out)
+        else:  # typed empty frame so Arrow keeps the output schema
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "prev_type": pd.Series([], dtype=object),
+                    "event_type": pd.Series([], dtype=object),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

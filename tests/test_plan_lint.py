@@ -131,6 +131,10 @@ def test_no_registry_query_has_lint_errors(spark):
         "q166_mann_whitney",  # same _ecdf.py folds as q144/q165
         "q167_source_concentration",  # source-domain rank window (catalog-sized)
         "q169_decile_qq",  # 1-row x 1-row segment-percentile broadcast reshape
+        "q177_source_novelty",  # cumulative window over the #sources-row
+        # aggregate (bounded catalog frame, post-corpus-fold)
+        "q180_filter_waterfall",  # 1-row waterfall fold (bounded global agg,
+        # map-side combined to one 20-number row per task)
     }
     got_warns = set()
     for name, spec in R.items():

@@ -329,3 +329,167 @@ def test_line_repetition_matches_python_mirror(spark, docs):
             dup_chars / tot_chars,
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# q179 inter-arrival burstiness: the fixture only exercises one arrival
+# regime, so the cv² closed form (decimal accumulation, dround grid,
+# degenerate-user exclusion, top-k ordering) is pinned here on crafted
+# timestamp streams against an independent python mirror.
+# ---------------------------------------------------------------------------
+
+#: per-user event epochs: small ints so the mirror's integer math is exact
+user_epochs = st.lists(
+    st.integers(min_value=0, max_value=100_000), min_size=1, max_size=12
+)
+
+
+def _grid6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+@given(users=st.lists(user_epochs, min_size=1, max_size=5))
+@SETTINGS
+def test_interarrival_burstiness_matches_python_mirror(spark, users):
+    import datetime as dt
+
+    from pyspark_streaming_base_spark.queries.windows import (
+        interarrival_burstiness,
+    )
+
+    rows = []
+    eid = 0
+    for uid, epochs in enumerate(users):
+        for e in epochs:
+            rows.append(
+                (uid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=e), eid)
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_id bigint")
+    got = [
+        (r["user_id"], r["n_gaps"], r["mean_gap_s"], r["gap_cv2"])
+        for r in interarrival_burstiness(df, min_gaps=2, top_k=100).collect()
+    ]
+
+    want = []
+    for uid, epochs in enumerate(users):
+        es = sorted(epochs)  # event_id follows insertion order; equal-ts
+        # permutations leave the gap multiset unchanged (the docstring
+        # invariant), so plain sort is the mirror's order
+        gaps = [b - a for a, b in zip(es, es[1:])]
+        n, sg = len(gaps), sum(gaps)
+        if n < 2 or sg <= 0:
+            continue
+        sg2 = sum(g * g for g in gaps)
+        want.append(
+            (
+                uid,
+                n,
+                _grid6(sg / n),
+                _grid6((n * sg2 - sg * sg) / (sg * sg)),
+            )
+        )
+    want.sort(key=lambda r: (-r[3], r[0]))
+    assert got == want[:100]
+
+
+# ---------------------------------------------------------------------------
+# q180 filter waterfall: the fixture can't guarantee coverage of every
+# rule's boundary, so each rule's trigger and the waterfall's first-fail
+# attribution are pinned on crafted documents with known flag vectors.
+# ---------------------------------------------------------------------------
+
+
+def test_filter_waterfall_crafted_docs(spark):
+    from pyspark_streaming_base_spark.queries.text import filter_waterfall
+
+    rows = [
+        # doc 0: passes everything — 30 tokens (≥25), avg word len
+        # (3 + 29·5)/30 ≈ 4.93 ∈ [4.2, 5.0], stopword frac 1/30 ≈ 0.033
+        # > 0.03, all bigrams distinct (no repetition, tiny top cover)
+        (0, " ".join(["the"] + [f"tok{i:02d}" for i in range(29)])),
+        # doc 1: too short (rule 1) AND no stopwords — first-fail = 1
+        (1, "aaaa bbbb cccc dddd"),
+        # doc 2: degenerate word length (rule 2): long tokens, has stops
+        (2, " ".join(["the"] * 3 + ["abcdefghijklmnop"] * 27)),
+        # doc 3: no stopwords (rule 3), normal length/words
+        (3, " ".join(f"tok{i%25:02d}" for i in range(30))),
+        # doc 4: heavy repeated bigram (rule 4): "spam ham" over and over,
+        # with stopwords mixed in to survive rule 3
+        (4, " ".join(["the", "a", "of"] + ["spam", "ham"] * 15)),
+        # doc 5: empty — excluded entirely
+        (5, "   "),
+        # doc 6: first-fails at rule 4 — 31 tokens, avg word len
+        # (3 + 30·5)/31 ≈ 4.94, stopword frac 1/31 ≈ 0.032, but the
+        # "spam4 hams5" bigram dominates the multiset
+        (6, " ".join(["the"] + ["spam4", "hams5"] * 15)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["rule"]: (
+            r["rule_idx"],
+            r["n_fail"],
+            r["n_first_fail"],
+            r["docs_after"],
+            r["tokens_after"],
+        )
+        for r in filter_waterfall(df).collect()
+    }
+
+    # independent python mirror of the five flags per doc
+    from collections import Counter
+
+    stops = {"a", "the", "and", "of", "to"}
+    flags = {}
+    nts = {}
+    for doc_id, text in rows:
+        tk = [x for x in text.split(" ") if x != ""]
+        if not tk:
+            continue
+        nt = len(tk)
+        nts[doc_id] = nt
+        avg_wlen = sum(len(x) for x in tk) / nt
+        stop_frac = sum(1 for x in tk if x in stops) / nt
+        bgs = [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        c = Counter(bgs)
+        nbg = len(bgs)
+        dup = sum(k for k in c.values() if k > 1)
+        top_cover = max((k * len(g) for g, k in c.items()), default=0)
+        n_chars = len(text)
+        flags[doc_id] = [
+            nt < 25,
+            avg_wlen < 4.2 or avg_wlen > 5.0,
+            stop_frac < 0.03,
+            (dup / nbg if nbg else 0.0) > 0.12,
+            (top_cover / n_chars if n_chars else 0.0) > 0.15,
+        ]
+
+    rules = [
+        "too_short",
+        "word_length",
+        "low_stopword",
+        "bigram_repetition",
+        "top_bigram_share",
+    ]
+    for i, rule in enumerate(rules):
+        n_fail = sum(1 for f in flags.values() if f[i])
+        n_first = sum(
+            1 for f in flags.values() if f[i] and not any(f[:i])
+        )
+        keep = [d for d, f in flags.items() if not any(f[: i + 1])]
+        assert got[rule] == (
+            i + 1,
+            n_fail,
+            n_first,
+            len(keep),
+            sum(nts[d] for d in keep),
+        ), rule
+
+    # the crafted flag vectors must actually exercise every rule, and
+    # first-fail attribution must land past the first two rules
+    assert flags[1][0] and flags[2][1] and flags[3][2] and flags[4][3]
+    assert not any(flags[0]), "doc 0 must pass all rules"
+    assert flags[6][3] and not any(flags[6][:3]), "doc 6 must FIRST-fail rule 4"
+    assert 5 not in flags, "blank doc must be excluded"

@@ -1,0 +1,102 @@
+"""Streaming twin for q182's transition matrix: `transition_stream`
+(one string of state per user) must emit, across time-ordered
+micro-batches, EXACTLY the row multiset of the batch lag window —
+including the transitions that straddle a micro-batch boundary, which is
+the part the state exists for (with maxFilesPerTrigger=1 and two staged
+files, every user whose events span both files has at least one
+boundary transition, so equality is unreachable without correct state
+carry-over)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from pyspark_streaming_base_spark.queries._tables import t
+
+from tests.conftest import SF_SMALL
+
+
+def _stage_time_ordered(events, staging):
+    import time as _time
+
+    with_s = events.withColumn("ts_s", F.col("ts").cast("long"))
+    bounds = with_s.approxQuantile("ts_s", [0.5], 0.0)
+    for lo, hi in ((None, bounds[0]), (bounds[0], None)):
+        chunk = with_s
+        if lo is not None:
+            chunk = chunk.filter(F.col("ts_s") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("ts_s") <= hi)
+        chunk.drop("ts_s").coalesce(1).write.mode("append").parquet(staging)
+        _time.sleep(1.1)
+
+
+def test_transition_stream_equals_batch_lag(spark, tmp_path):
+    from pyspark_streaming_base_spark.streaming.stateful import (
+        transition_stream,
+    )
+
+    events = t(spark, SF_SMALL, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    staging = str(tmp_path / "stage")
+    _stage_time_ordered(events, staging)
+
+    reader = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = (
+        transition_stream(reader)
+        .writeStream.format("memory")
+        .queryName("transition_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = Counter(
+        (r.user_id, r.prev_type, r.event_type)
+        for r in spark.table("transition_twin").collect()
+    )
+
+    rows = sorted(events.collect(), key=lambda r: (r.user_id, r.ts, r.event_id))
+    want: Counter = Counter()
+    last = {}
+    for r in rows:
+        if r.user_id in last:
+            want[(r.user_id, last[r.user_id], r.event_type)] += 1
+        last[r.user_id] = r.event_type
+    assert got == want
+
+    # the boundary property actually fired: at least one user spans both
+    # staged files (otherwise this test degenerates to single-batch)
+    spans = events.withColumn("ts_s", F.col("ts").cast("long"))
+    b = spans.approxQuantile("ts_s", [0.5], 0.0)[0]
+    both = (
+        spans.groupBy("user_id")
+        .agg(
+            F.sum((F.col("ts_s") <= b).cast("int")).alias("lo"),
+            F.sum((F.col("ts_s") > b).cast("int")).alias("hi"),
+        )
+        .filter((F.col("lo") > 0) & (F.col("hi") > 0))
+        .count()
+    )
+    assert both > 0
+
+    # and the per-(prev,next) counts fold to q182's matrix numbers
+    from pyspark_streaming_base_spark.queries import load_all
+
+    q182 = load_all()["q182_event_transitions"].fn(spark, SF_SMALL)
+    matrix = {
+        (r["prev_type"], r["event_type"]): r["n_transitions"]
+        for r in q182.collect()
+    }
+    folded: Counter = Counter()
+    for (uid, p, n), c in got.items():
+        folded[(p, n)] += c
+    assert dict(folded) == matrix
