@@ -101,7 +101,6 @@ DRIVER_PRIORITY: tuple = (
     # pytest-pinned twins keep them covered; q140 additionally gained a
     # recursive-CTE oracle later in r9, hash-checked by the stricter
     # local mirror at both sf even though it sits outside this prefix).
-    "q166_mann_whitney",
     "q168_kcore",
     "q169_decile_qq",
     # ROUND-8 NEW OPERATORS, rotated in the same round they were written
@@ -186,6 +185,14 @@ DRIVER_PRIORITY: tuple = (
     # q159_source_overlap (driver-green r9, code unchanged; the source-
     # overlap family now has FOUR prefix reps: q172, q177, q178, q181).
     "q183_cluster_density_audit",
+    # ... and the conversion-latency report (funnel SLA percentiles via
+    # the shared bucketed two-pass prefix sum — exact order statistics,
+    # never a global-order window). Its slot comes from
+    # q166_mann_whitney (driver-green r9, code unchanged; the drift
+    # family keeps TWO prefix reps, q165_cvm_drift and q169_decile_qq,
+    # plus the q144/q165/q166 shared _ecdf machinery exercised by this
+    # very query).
+    "q184_conversion_latency",
 )
 
 

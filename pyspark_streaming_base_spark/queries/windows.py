@@ -1191,3 +1191,110 @@ def q182_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(w_from).cast("double")
         ).alias("p_transition"),
     )
+
+
+@query(
+    "q184_conversion_latency",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t1.t1
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT CAST(floor(epoch(t2.t2)) - floor(epoch(t1.t1)) AS BIGINT) AS lat
+      FROM t1 JOIN t2 USING (user_id)
+    ), v AS (
+      SELECT lat AS value, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY lat
+    ), cum AS (
+      SELECT value,
+             SUM(c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cm,
+             SUM(c) OVER () AS n
+      FROM v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lat) AS n_converted,
+           (SELECT CAST(SUM(lat) AS DOUBLE) / COUNT(*) FROM lat)
+             AS mean_latency_s,
+           (SELECT CAST(MIN(lat) AS BIGINT) FROM lat) AS min_latency_s,
+           (SELECT CAST(MAX(lat) AS BIGINT) FROM lat) AS max_latency_s,
+           (SELECT CAST(MIN(value) AS BIGINT) FROM cum
+             WHERE cm >= CEIL(0.5 * n)) AS p50_latency_s,
+           (SELECT CAST(MIN(value) AS BIGINT) FROM cum
+             WHERE cm >= CEIL(0.9 * n)) AS p90_latency_s
+    """,
+)
+def q184_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion-latency report (funnel/time-series
+    extension): per user, seconds from the FIRST view to the first
+    purchase strictly after it (q113's funnel semantics); reported as
+    one row — converted-user count, mean, min/max, and EXACT p50/p90
+    order statistics (percentile-disc: smallest value whose inclusive
+    rank reaches ⌈p·n⌉). The latency distribution is the number a
+    checkout-flow change moves; its tail percentile is the SLA.
+
+    Exactness: latencies are exact int64 second diffs; mean is one
+    single division; the percentile rank rule ⌈p·n⌉ is evaluated with
+    the identical ceil-of-double on both engines and selects an ACTUAL
+    data value (no interpolation, nothing to round).
+
+    Scale: two user-keyed aggregates + one user-keyed join (one
+    exchange class); percentiles run on the DISTINCT latency-value
+    domain through the shared bucketed two-pass prefix sum
+    (`_ecdf.pooled_cumulative_counts` — never a global-order window
+    over rows); the final fold is three broadcast 1-row frames.
+    """
+    from pyspark_streaming_base_spark.queries._ecdf import (
+        pooled_cumulative_counts,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts",
+        F.col("ts").cast("timestamp").cast("long").alias("es"),
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.min("es").alias("es1"))
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("es2"))
+    )
+    lat = t1.join(t2, "user_id").select(
+        (F.col("es2") - F.col("es1")).cast("bigint").alias("lat")
+    )
+    summary = lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        (F.sum("lat").cast("double") / F.count(F.lit(1))).alias(
+            "mean_latency_s"
+        ),
+        F.min("lat").cast("bigint").alias("min_latency_s"),
+        F.max("lat").cast("bigint").alias("max_latency_s"),
+    )
+    v = lat.groupBy(F.col("lat").alias("value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca"),
+        F.lit(0).cast("bigint").alias("cb"),
+    )
+    cum = pooled_cumulative_counts(v)
+    pct = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum_a") >= F.ceil(F.lit(0.5) * F.col("na")), F.col("value")
+            )
+        )
+        .cast("bigint")
+        .alias("p50_latency_s"),
+        F.min(
+            F.when(
+                F.col("cum_a") >= F.ceil(F.lit(0.9) * F.col("na")), F.col("value")
+            )
+        )
+        .cast("bigint")
+        .alias("p90_latency_s"),
+    )
+    return summary.crossJoin(F.broadcast(pct))

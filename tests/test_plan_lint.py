@@ -135,6 +135,9 @@ def test_no_registry_query_has_lint_errors(spark):
         # aggregate (bounded catalog frame, post-corpus-fold)
         "q180_filter_waterfall",  # 1-row waterfall fold (bounded global agg,
         # map-side combined to one 20-number row per task)
+        "q184_conversion_latency",  # 1-row summary/percentile folds + the
+        # 64-row bucket-carry window of the shared _ecdf two-pass (the
+        # q144/q165 shape)
     }
     got_warns = set()
     for name, spec in R.items():
