@@ -333,7 +333,7 @@ def crawl_smoke(spark, reps) -> None:
 
 
 #: selectable smoke families (CLI: non-integer args pick a subset)
-FAMILIES = ("shapes", "crawl", "bloom", "semdedup", "containment", "bm25")
+FAMILIES = ("shapes", "crawl", "bloom", "semdedup", "containment", "bm25", "ivf")
 
 
 def main() -> None:
@@ -366,6 +366,8 @@ def main() -> None:
         containment_smoke(spark, reps)
     if "bm25" in run:
         bm25_smoke(spark, reps)
+    if "ivf" in run:
+        ivf_smoke(spark, reps)
 
 
 def semdedup_smoke(spark, reps) -> None:
@@ -691,6 +693,78 @@ def bm25_smoke(spark, reps) -> None:
             print(f"{'bm25_build':>20}  x{n:<3} {dt_build:7.3f}s  (rebuild over union)")
             print(f"{'bm25_append':>20}  x{n:<3} {dt_app:7.3f}s  (fixed batch)")
             print(f"{'bm25_probe':>20}  x{n:<3} {dt_probe:7.3f}s  (8-term top-20)")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+
+
+def ivf_smoke(spark, reps) -> None:
+    """IVF index growth — the last index family without a growth row
+    (minhash/bm25/semdedup/containment all have one): corpus n× via
+    offset vec_ids (identical vectors under new ids — the quantizer is
+    FROZEN so replicas land in the same cells and per-cell geometry is
+    preserved), daily batch FIXED (every 25th base vector, re-offset).
+    ivf_build rebuilds centroids+assignments over the union — O(corpus);
+    ivf_append assigns the batch under the frozen quantizer — O(batch),
+    with the structural assertion (rows appended == batch size at every
+    n); ivf_probe runs a fixed 8-query nprobe=4 top-10 batch through the
+    persisted index — its corpus term is the probed cells' scan."""
+    import shutil
+    import tempfile
+
+    from pyspark_streaming_base_spark.functions.vectorops import dvec
+    from pyspark_streaming_base_spark.operators.ivf import (
+        append_ivf_index,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from pyspark_streaming_base_spark.operators.tombstones import read_live
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    batch = base.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 900_000_000).alias("vec_id"), "vec"
+    )
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    for n in reps:
+        corpus = base
+        for i in range(1, n):
+            corpus = corpus.unionByName(
+                base.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("vec_id"), "vec"
+                )
+            )
+        root = tempfile.mkdtemp(prefix="ivf_smoke_")
+        try:
+            idx = f"{root}/idx"
+            build_ivf_index(corpus, idx, k=16)  # prior state, amortized
+
+            run_idx = f"{root}/idx_inc"
+            shutil.copytree(idx, run_idx)
+            before = read_live(spark, f"{run_idx}/assignments").count()
+            t0 = time.perf_counter()
+            append_ivf_index(spark, run_idx, batch)
+            dt_app = time.perf_counter() - t0
+            added = read_live(spark, f"{run_idx}/assignments").count() - before
+            expect = batch.count()
+            assert added == expect, (n, added, expect)
+
+            probe = query_ivf_index(spark, run_idx, queries, nprobe=4, top_k=10)
+            probe.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            probe.write.format("noop").mode("overwrite").save()
+            dt_probe = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            build_ivf_index(corpus.unionByName(batch), f"{root}/idx_full", k=16)
+            dt_build = time.perf_counter() - t0
+            print(f"{'ivf_build':>20}  x{n:<3} {dt_build:7.3f}s  (rebuild over union)")
+            print(f"{'ivf_append':>20}  x{n:<3} {dt_app:7.3f}s  (fixed batch)")
+            print(f"{'ivf_probe':>20}  x{n:<3} {dt_probe:7.3f}s  (8q nprobe=4 top-10)")
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
