@@ -120,7 +120,6 @@ DRIVER_PRIORITY: tuple = (
     # q166/q169 keepers here).
     "q170_char_stats",
     "q172_cross_source_dup_matrix",
-    "q173_dedup_measure_overlap",
     "q174_keeper_policy_report",  # q158 yields (driver-green r8; the
     # quality-gate family stays covered by q47 + the q180 waterfall)
     "q163_pps_token_sample",    # q61 yields (rows-only, driver-green r7;
@@ -193,6 +192,13 @@ DRIVER_PRIORITY: tuple = (
     # plus the q144/q165/q166 shared _ecdf machinery exercised by this
     # very query).
     "q184_conversion_latency",
+    # ... and the per-source duplicate-span mass report (q107's
+    # window-hash tier rolled up to the feed level, three tiers:
+    # repeated / cross-doc / cross-source). Its slot comes from
+    # q173_dedup_measure_overlap (driver-green r9, code unchanged; the
+    # dedup-audit family keeps FOUR prefix reps: q40, q156, q172,
+    # q183).
+    "q185_dup_span_by_source",
 )
 
 

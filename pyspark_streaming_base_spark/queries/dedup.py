@@ -1685,3 +1685,119 @@ def q183_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_density"
         ),
     )
+
+
+@query(
+    "q185_dup_span_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    wins AS (
+      SELECT source, doc_id,
+             md5(array_to_string(list_slice(tk, i, i + 15), ' ')) AS h
+      FROM toks, unnest(range(1, len(tk) - 16 + 2)) AS u(i)
+      WHERE len(tk) >= 16
+    ),
+    sh AS (
+      SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c,
+             MIN(doc_id) AS d0s, MAX(doc_id) AS d1s
+      FROM wins GROUP BY source, h
+    ),
+    g AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(c) AS BIGINT) AS tot,
+             MIN(d0s) AS dmin, MAX(d1s) AS dmax
+      FROM sh GROUP BY h
+    )
+    SELECT sh.source,
+           CAST(SUM(c) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN g.tot > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_repeated,
+           CAST(SUM(CASE WHEN g.dmin <> g.dmax THEN c ELSE 0 END) AS BIGINT)
+             AS n_cross_doc,
+           CAST(SUM(CASE WHEN g.ns > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_cross_source,
+           CAST(SUM(CASE WHEN g.tot > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS repeated_frac,
+           CAST(SUM(CASE WHEN g.dmin <> g.dmax THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS cross_doc_frac,
+           CAST(SUM(CASE WHEN g.ns > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS cross_source_frac
+    FROM sh JOIN g USING (h)
+    GROUP BY sh.source
+    """,
+)
+def q185_dup_span_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span MASS per source, three tiers (C17 extension) —
+    q107's window-hash machinery rolled up to the feed level, the Dolma
+    duplicate-n-gram fraction as a per-source report: of each source's
+    16-token windows, the fraction occurring more than once anywhere
+    (repeated — includes within-doc boilerplate), in more than one
+    document (cross_doc — q107's rule), and in more than one SOURCE
+    (cross_source — the feed-mirroring tier q178 detects by prefix and
+    this measures by exact span mass). A source with high repeated_frac
+    but low cross_source_frac has internal template rot (fix the feed);
+    high cross_source_frac means the source duplicates the rest of the
+    corpus (drop or down-weight it — q126's mixture decision).
+
+    Exactness: integer window counts + single divisions.
+
+    Scale: one explode to window hashes (O(total windows), the q107
+    budget) → hash aggregate keyed (source, h) — hot boilerplate hashes
+    partial-combine map-side (the q107 skew argument) → a second
+    aggregate on h (≤ |sources| rows per hash) → a bounded-fan-out
+    equi-join of the two AGGREGATES (never the window multiset; both
+    sides are one-row-per-(source,h) / per-h) → a catalog-sized fold.
+    """
+    toks = _tokens(F.col("text"))
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("source", "doc_id", toks.alias("tk"))
+        .filter(F.size("tk") >= _SPAN_W)
+    )
+    wins = d.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - _SPAN_W + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, _SPAN_W))),
+            )
+        ).alias("h"),
+    )
+    sh = wins.groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.min("doc_id").alias("d0s"),
+        F.max("doc_id").alias("d1s"),
+    )
+    g = sh.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("c").cast("bigint").alias("tot"),
+        F.min("d0s").alias("dmin"),
+        F.max("d1s").alias("dmax"),
+    )
+    rep = F.when(F.col("tot") > 1, F.col("c")).otherwise(F.lit(0))
+    xdoc = F.when(F.col("dmin") != F.col("dmax"), F.col("c")).otherwise(F.lit(0))
+    xsrc = F.when(F.col("ns") > 1, F.col("c")).otherwise(F.lit(0))
+    return (
+        sh.join(g, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_windows"),
+            F.sum(rep).cast("bigint").alias("n_repeated"),
+            F.sum(xdoc).cast("bigint").alias("n_cross_doc"),
+            F.sum(xsrc).cast("bigint").alias("n_cross_source"),
+            (F.sum(rep).cast("double") / F.sum("c").cast("double")).alias(
+                "repeated_frac"
+            ),
+            (F.sum(xdoc).cast("double") / F.sum("c").cast("double")).alias(
+                "cross_doc_frac"
+            ),
+            (F.sum(xsrc).cast("double") / F.sum("c").cast("double")).alias(
+                "cross_source_frac"
+            ),
+        )
+    )
