@@ -102,7 +102,6 @@ DRIVER_PRIORITY: tuple = (
     # recursive-CTE oracle later in r9, hash-checked by the stricter
     # local mirror at both sf even though it sits outside this prefix).
     "q168_kcore",
-    "q169_decile_qq",
     # ROUND-8 NEW OPERATORS, rotated in the same round they were written
     # so no never-driver-checked debt accrues (q97/q99/q107/q108/q89/
     # q100/q124 — all driver-green in r7, code unchanged — yield their
@@ -199,6 +198,12 @@ DRIVER_PRIORITY: tuple = (
     # dedup-audit family keeps FOUR prefix reps: q40, q156, q172,
     # q183).
     "q185_dup_span_by_source",
+    # ... and the grouped exact-percentile SLA report (q184's recipe per
+    # priority class over the calendar-bounded day-lag domain). Its slot
+    # comes from q169_decile_qq (driver-green r9, code unchanged; the
+    # drift family keeps the q165_cvm_drift keeper and the decile/
+    # percentile machinery stays driver-exercised through q184 + this).
+    "q186_ship_latency_by_priority",
 )
 
 
