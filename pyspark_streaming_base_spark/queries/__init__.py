@@ -101,7 +101,6 @@ DRIVER_PRIORITY: tuple = (
     # pytest-pinned twins keep them covered; q140 additionally gained a
     # recursive-CTE oracle later in r9, hash-checked by the stricter
     # local mirror at both sf even though it sits outside this prefix).
-    "q168_kcore",
     # ROUND-8 NEW OPERATORS, rotated in the same round they were written
     # so no never-driver-checked debt accrues (q97/q99/q107/q108/q89/
     # q100/q124 — all driver-green in r7, code unchanged — yield their
@@ -204,6 +203,13 @@ DRIVER_PRIORITY: tuple = (
     # drift family keeps the q165_cvm_drift keeper and the decile/
     # percentile machinery stays driver-exercised through q184 + this).
     "q186_ship_latency_by_priority",
+    # ... and the customer-revenue Lorenz/Pareto decile curve (exact
+    # scaled-int value-domain cumulatives through the shared _ecdf
+    # two-pass). Its slot comes from q168_kcore (driver-green r9 with
+    # its closure-CTE oracle, code unchanged; the graph family keeps
+    # TWO prefix reps: q103_pagerank_top20 and the component-backed
+    # q183_cluster_density_audit).
+    "q187_revenue_pareto",
 )
 
 

@@ -1528,3 +1528,89 @@ def q119_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").cast("bigint").alias("max_k"),
         )
     )
+
+
+@query(
+    "q187_revenue_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1000000.0, 0) AS BIGINT))
+               AS BIGINT) AS rv
+      FROM orders GROUP BY o_custkey
+    ), v AS (
+      SELECT rv AS value, CAST(COUNT(*) AS BIGINT) AS ca,
+             CAST(rv * COUNT(*) AS BIGINT) AS cb
+      FROM rev GROUP BY rv
+    ), cum AS (
+      SELECT value,
+             CAST(SUM(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_b,
+             CAST(SUM(ca) OVER () AS BIGINT) AS na,
+             CAST(SUM(cb) OVER () AS BIGINT) AS nb
+      FROM v
+    ), grid AS (SELECT unnest(generate_series(1, 10)) AS decile)
+    SELECT g.decile AS decile,
+           CAST(MIN(c.value) AS DOUBLE) / 1000000.0 AS cut_revenue,
+           CAST(MIN_BY(c.cum_a, c.value) AS BIGINT) AS customers_cum,
+           CAST(MIN_BY(c.cum_b, c.value) AS DOUBLE)
+             / CAST(MIN(c.nb) AS DOUBLE) AS revenue_share
+    FROM grid g JOIN cum c
+      ON c.cum_a >= CEIL(g.decile * c.na / 10.0)
+    GROUP BY g.decile
+    """,
+)
+def q187_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue Lorenz/Pareto deciles (concentration extension —
+    q167's Gini measured the inequality NUMBER; this is the CURVE the
+    number summarizes, on the business side): customers ranked by total
+    order revenue ascending; for each population decile, the boundary
+    customer's revenue (cut_revenue), customers covered, and the share
+    of total revenue the bottom d/10 of customers hold. The top-decile
+    complement (1 − share at d=9) is the classic "top 10% of customers
+    drive X% of revenue" statement.
+
+    Exactness: per-customer revenue is the exact 10⁶-scaled int sum;
+    the whole curve is computed on the scaled-INT value domain —
+    cumulative counts and cumulative revenue are exact int64 under any
+    partitioning; boundary selection (smallest value whose cumulative
+    customer count reaches ⌈d·n/10⌉) and the closing single divisions
+    are bit-deterministic on both engines.
+
+    Scale: one orders scan → customer-keyed exact-sum aggregate → fold
+    to the DISTINCT revenue-value domain; cumulatives ride the shared
+    bucketed two-pass prefix sum (`_ecdf.pooled_cumulative_counts`,
+    smuggling scaled revenue through the second counts channel — counts
+    and revenue are both exact int64, which is what makes the trick
+    legal); the decile probe is a broadcast 10-row grid against the
+    value-domain table (10× a bounded domain, keys-only). No
+    corpus-sized global-order window anywhere.
+    """
+    from pyspark_streaming_base_spark.queries._ecdf import (
+        pooled_cumulative_counts,
+    )
+
+    rev = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(scaled(F.col("o_totalprice"))).cast("bigint").alias("rv"))
+    )
+    v = rev.groupBy(F.col("rv").alias("value")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca"),
+        (F.col("rv") * F.count(F.lit(1))).cast("bigint").alias("cb"),
+    )
+    cum = pooled_cumulative_counts(v)
+    grid = spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
+    probe = F.broadcast(grid).join(
+        cum, F.col("cum_a") >= F.ceil(F.col("decile") * F.col("na") / F.lit(10.0))
+    )
+    return probe.groupBy("decile").agg(
+        (F.min("value").cast("double") / F.lit(1000000.0)).alias("cut_revenue"),
+        F.min_by("cum_a", "value").cast("bigint").alias("customers_cum"),
+        (
+            F.min_by("cum_b", "value").cast("double")
+            / F.min("nb").cast("double")
+        ).alias("revenue_share"),
+    )

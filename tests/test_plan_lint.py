@@ -138,6 +138,8 @@ def test_no_registry_query_has_lint_errors(spark):
         "q184_conversion_latency",  # 1-row summary/percentile folds + the
         # 64-row bucket-carry window of the shared _ecdf two-pass (the
         # q144/q165 shape)
+        "q187_revenue_pareto",  # same _ecdf carry window + the broadcast
+        # 10-row decile-grid probe (q184's shape on the revenue domain)
     }
     got_warns = set()
     for name, spec in R.items():
