@@ -258,6 +258,12 @@ def main() -> None:
                 out["headline_delta_pct"] = prev[key]
                 out["headline_delta_basis"] = basis
                 break
+        # Always surface the RAW delta alongside the normalized pick:
+        # r10's +16.4 (numpy basis) vs −16.2 (JVM basis) spread misread
+        # as a regression when the raw number was −0.4%. The basis
+        # selection above stands; this is the disambiguator.
+        if prev.get("total_pct") is not None:
+            out["raw_total_pct"] = prev["total_pct"]
     _emit(out)
 
 
@@ -292,6 +298,7 @@ def _emit(out: dict) -> None:
         "host_calibration": out.get("host_calibration"),
         "headline_delta_pct": out.get("headline_delta_pct"),
         "headline_delta_basis": out.get("headline_delta_basis"),
+        "raw_total_pct": out.get("raw_total_pct"),
         "prev_record": (out.get("delta_vs_prev") or {}).get("prev_record"),
         "detail": out_detail,
     }

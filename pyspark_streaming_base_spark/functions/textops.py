@@ -46,6 +46,28 @@ def word_shingles(col: Column) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def hash60(col: Column) -> Column:
+    """First 60 bits of ``md5(col)`` as a non-negative int64 — the span
+    family's shuffle/grouping key (q107/q137/q185).
+
+    ``conv(substring(md5(x), 1, 15), 16, 10)`` parses the first 15 hex
+    chars big-endian, so the value fits int64 with a sign bit to spare
+    and is identical to DuckDB's ``CAST('0x' || substring(md5(x), 1, 15)
+    AS BIGINT)`` (``SQL_HASH60``) bit-for-bit. At 100 TB the window
+    multiset is the corpus's largest exchange and the key is most of
+    each row — 8-byte keys cut the exchange ~4× vs 32-hex-char md5
+    strings and make every sort/compare in the downstream aggregate an
+    int64 compare. Collision note: 60-bit space ⇒ ~n²/2⁶¹ expected
+    collisions (≈0.07 for n = 10¹⁰ windows); both engines compute the
+    SAME key, so oracles stay exact regardless.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+#: DuckDB fragment mirroring :func:`hash60`; format with the string expr.
+SQL_HASH60 = "CAST(concat('0x', substring(md5({c}), 1, 15)) AS BIGINT)"
+
+
 #: PII-style redaction patterns, applied in order (most specific first so a
 #: digit-run inside an already-redacted email is not re-matched). Kept to
 #: the regex subset with identical semantics in Java regex (Spark) and RE2

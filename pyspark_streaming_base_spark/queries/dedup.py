@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.functions.textops import (
+    hash60,
     tokens as _tokens,
     word_shingles as _shingles,
 )
@@ -556,7 +557,9 @@ _SPAN_W = 16
     ),
     wins AS (
       SELECT doc_id,
-             md5(array_to_string(list_slice(tk, i, i + 15), ' ')) AS h
+             CAST(concat('0x', substring(
+               md5(array_to_string(list_slice(tk, i, i + 15), ' ')),
+               1, 15)) AS BIGINT) AS h
       FROM toks, unnest(range(1, len(tk) - 16 + 2)) AS u(i)
       WHERE len(tk) >= 16
     ),
@@ -585,7 +588,11 @@ def q107_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (JOIN-FREE — the r5 skew fix): tokens → per-row
     window-hash array (one higher-order ``transform`` over ``sequence``,
-    JVM-side) → ONE explode → ``groupBy(hash)`` keeping (min doc, max
+    JVM-side; the hash is ``textops.hash60`` — the first 60 bits of the
+    window md5 as an int64, ~4× fewer exchange-key bytes than the
+    32-hex-char md5 string and int64 compares in the aggregate; the
+    oracle computes the identical key) → ONE explode → ``groupBy(hash)``
+    keeping (min doc, max
     doc, window count). A hash is cross-doc-duplicated iff min ≠ max —
     and when it is NOT, every one of its windows belongs to the one doc
     ``min`` names, so per-doc UNIQUE-window counts fall straight out of
@@ -614,7 +621,9 @@ def q107_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("tk") - _SPAN_W + 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, _SPAN_W))),
+                lambda i: hash60(
+                    F.concat_ws(" ", F.slice(F.col("tk"), i, _SPAN_W))
+                ),
             )
         ).alias("h"),
     )
@@ -1071,7 +1080,10 @@ _SEG_W = 8
     ),
     marked AS (
       SELECT doc_id, g, seg,
-             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, g)
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(concat('0x', substring(md5(seg), 1, 15))
+                                 AS BIGINT)
+               ORDER BY doc_id, g)
                AS occ_rank
       FROM seg
     )
@@ -1100,13 +1112,17 @@ def q137_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the keeper is a ROW_NUMBER window ordered on the unique
     (doc_id, g); reconstruction concatenates via array_sort over the
     unique in-doc position, so the rebuilt string (and its md5) is exact
-    cross-engine.
+    cross-engine. The keeper window partitions on ``textops.hash60`` of
+    the segment (both engines compute the identical 60-bit key), i.e.
+    segment identity is its 60-bit fingerprint — the standard
+    hash-based-dedup contract; see ``hash60``'s collision note.
 
-    Scale: one narrow posexplode → ONE shuffle on the segment text for
-    the keeper window (hot boilerplate segments are plain AQE skew) →
-    one doc-keyed aggregate. At 100 TB, hash the segment to 8 bytes
-    first (q107's trick) so the keeper exchange carries int64 keys; the
-    rebuild aggregate is the same either way.
+    Scale: one narrow posexplode → ONE shuffle for the keeper window,
+    PARTITIONED ON AN INT64 KEY (hot boilerplate segments are plain AQE
+    skew; every in-partition sort compare is an int64 compare, not a
+    ~48-char string compare) → one doc-keyed aggregate. The segment text
+    still rides the exchange as payload — the rebuild needs it — so the
+    key switch buys compare cost here, not bytes (q107/q185 buy both).
     """
     from pyspark.sql import Window as W
 
@@ -1132,7 +1148,9 @@ def q137_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("g").cast("bigint").alias("g"), "seg")
     marked = seg.withColumn(
         "occ_rank",
-        F.row_number().over(W.partitionBy("seg").orderBy("doc_id", "g")),
+        F.row_number().over(
+            W.partitionBy(hash60(F.col("seg"))).orderBy("doc_id", "g")
+        ),
     )
     kept_structs = F.array_sort(
         F.collect_list(
@@ -1697,7 +1715,9 @@ def q183_cluster_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wins AS (
       SELECT source, doc_id,
-             md5(array_to_string(list_slice(tk, i, i + 15), ' ')) AS h
+             CAST(concat('0x', substring(
+               md5(array_to_string(list_slice(tk, i, i + 15), ' ')),
+               1, 15)) AS BIGINT) AS h
       FROM toks, unnest(range(1, len(tk) - 16 + 2)) AS u(i)
       WHERE len(tk) >= 16
     ),
@@ -1746,7 +1766,9 @@ def q185_dup_span_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: integer window counts + single divisions.
 
     Scale: one explode to window hashes (O(total windows), the q107
-    budget) → hash aggregate keyed (source, h) — hot boilerplate hashes
+    budget; ``textops.hash60`` int64 keys — the corpus-sized exchange
+    carries 8-byte keys, not 32-hex-char md5 strings) → hash aggregate
+    keyed (source, h) — hot boilerplate hashes
     partial-combine map-side (the q107 skew argument) → a second
     aggregate on h (≤ |sources| rows per hash) → a bounded-fan-out
     equi-join of the two AGGREGATES (never the window multiset; both
@@ -1764,7 +1786,9 @@ def q185_dup_span_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("tk") - _SPAN_W + 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, _SPAN_W))),
+                lambda i: hash60(
+                    F.concat_ws(" ", F.slice(F.col("tk"), i, _SPAN_W))
+                ),
             )
         ).alias("h"),
     )

@@ -1587,6 +1587,17 @@ def q187_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     legal); the decile probe is a broadcast 10-row grid against the
     value-domain table (10× a bounded domain, keys-only). No
     corpus-sized global-order window anywhere.
+
+    Capacity limit (int64 cum_b channel): the corpus-wide 10⁶-scaled
+    revenue total must stay under 2⁶³ ≈ 9.2·10¹⁸, i.e. ≈ $9.2 × 10¹²
+    of summed revenue — comfortable at TPC-H sf ≤ ~10⁴ but NOT at the
+    SCALE.md 100 TB design point (~10²² scaled). ANSI mode fails loudly
+    (overflow error) rather than wrapping; the prescribed extreme-scale
+    mitigation is `_exact.py`'s: keep per-value `cb` as
+    DECIMAL(38,0) through `pooled_cumulative_counts`' b-channel (the
+    prefix sum is additive either way) or pre-aggregate to a coarser
+    value grid first. Not wired here because the exact-int64 form is
+    what the DuckDB oracle hash-matches bit-for-bit.
     """
     from pyspark_streaming_base_spark.queries._ecdf import (
         pooled_cumulative_counts,

@@ -13,7 +13,7 @@ get evicted; unbounded keyed state is the classic streaming OOM at scale.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Any, Iterable, Iterator, Optional, Tuple
 
 import pandas as pd
 
@@ -358,7 +358,9 @@ TRANSITION_OUTPUT_SCHEMA = "user_id bigint, prev_type string, event_type string"
 TRANSITION_STATE_SCHEMA = "last_type string"
 
 
-def transition_stream(events: DataFrame) -> DataFrame:
+def transition_stream(
+    events: DataFrame, state_ttl_minutes: Optional[int] = None
+) -> DataFrame:
     """Per-user event-type TRANSITIONS as a stream — q182's lag-window
     twin for the live path (the batch lag is not append-streamable; the
     streaming form keeps exactly ONE string of state per user: the last
@@ -368,6 +370,26 @@ def transition_stream(events: DataFrame) -> DataFrame:
     emitted row multiset equals the batch lag's row multiset exactly
     (asserted in the twin test), and a downstream counts aggregate
     reproduces q182's matrix incrementally.
+
+    PRECONDITION — in-order micro-batch arrival: rows are sorted
+    (ts, event_id) *within* each micro-batch, but the stored boundary is
+    whatever arrived LAST, so an event delivered a batch late is folded
+    after it (arrival order), and the emitted multiset then differs from
+    the batch lag's. The equality claim above holds when batches arrive
+    in event-time order — exactly what the twin test stages and what an
+    offset-ordered source (Kafka per-partition, the Delta change feed)
+    provides for per-user streams; behind an unordered source, put
+    q79-style late-data admission in front.
+
+    State expiry: ``state_ttl_minutes`` arms a PROCESSING-TIME timeout —
+    an idle user's one-string state is dropped after that long with no
+    new events (re-appearing users simply restart with no boundary, so
+    one boundary transition is forgone, never fabricated). Default None
+    keeps ``NoTimeout`` for the exact-twin contract; production paths
+    should set it (CLAUDE.md: admission control + bounded state on
+    every streaming path). Event-time watermark expiry is deliberately
+    NOT used here: the operator keys state by user, not window, and a
+    watermark would re-introduce the late-arrival ambiguity above.
 
     Append output mode: a transition row never changes once emitted —
     the state only ever CONSUMES the boundary, never rewrites history.
@@ -384,6 +406,17 @@ def transition_stream(events: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "prev_type": pd.Series([], dtype=object),
+                "event_type": pd.Series([], dtype=object),
+            }
+        )
+        if state.hasTimedOut:
+            state.remove()  # idle user: drop the boundary string
+            yield empty
+            return
         last = state.get[0] if state.exists else None
         chunks = [pdf for pdf in pdfs if len(pdf)]
         out = []
@@ -400,21 +433,21 @@ def transition_stream(events: DataFrame) -> DataFrame:
                     )
                 last = str(et)
         state.update((last,))
+        if state_ttl_minutes is not None:
+            state.setTimeoutDuration(int(state_ttl_minutes) * 60_000)
         if out:
             yield pd.DataFrame(out)
         else:  # typed empty frame so Arrow keeps the output schema
-            yield pd.DataFrame(
-                {
-                    "user_id": pd.Series([], dtype="int64"),
-                    "prev_type": pd.Series([], dtype=object),
-                    "event_type": pd.Series([], dtype=object),
-                }
-            )
+            yield empty
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=TRANSITION_OUTPUT_SCHEMA,
         stateStructType=TRANSITION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -91,6 +91,12 @@ def test_coverage_header_counts():
     assert m, "COVERAGE.md inventory header missing"
     n_oracle = sum(1 for s in REGISTRY.values() if s.oracle is not None)
     assert (int(m.group(1)), int(m.group(2))) == (len(REGISTRY), n_oracle)
+    # Inline prose counts drift too (r10's "all 155" survived two rounds):
+    # any registry-sized "all <N>" phrase — "all <N>)" or "all <N>
+    # queries" — must be the live registry size. ("all 33 metrics"-style
+    # per-query facts are exempt by the pattern.)
+    for n in re.findall(r"\ball (\d+)(?:\)|\s+quer)", text):
+        assert int(n) == len(REGISTRY), f"stale inline count 'all {n}'"
 
 
 def test_entry_contract(spark):

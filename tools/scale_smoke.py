@@ -298,9 +298,11 @@ def crawl_smoke(spark, reps) -> None:
                 _band_pairs(spark.read.parquet(idx))
             ).write.parquet(canon)
 
+            from pyspark_streaming_base_spark.operators.tombstones import read_live
+
             run_idx = f"{root}/idx_inc"
             shutil.copytree(idx, run_idx)
-            before = spark.read.parquet(run_idx).count()
+            before = read_live(spark, run_idx).count()
             t0 = time.perf_counter()
             append_minhash_index(batch, run_idx)
             edges = query_minhash_index(spark, run_idx, batch).select(
@@ -315,7 +317,7 @@ def crawl_smoke(spark, reps) -> None:
             # timing evidence is ambient-noise-prone; this is not)
             from pyspark_streaming_base_spark.operators.minhash import minhash_bands
 
-            added = spark.read.parquet(run_idx).count() - before
+            added = read_live(spark, run_idx).count() - before
             expect = minhash_bands(batch).count()
             assert added == expect, (n, added, expect)
 
