@@ -154,6 +154,7 @@ def main() -> None:
         ext.update(_time_crawl_loop_tier(spark, sf_dir, min(runs, 2)))
         ext.update(_time_bm25_index_tier(spark, sf_dir, min(runs, 2)))
         ext.update(_time_containment_index_tier(spark, sf_dir, min(runs, 2)))
+        ext.update(_time_quantile_fold_tier(spark, sf_dir, min(runs, 2)))
     total = round(sum(timings.values()), 3)
     try:
         load1 = round(os.getloadavg()[0], 2)  # ambient-load context for
@@ -507,6 +508,65 @@ def _time_containment_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, f
         out["containment_append"] = round(best, 3)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def _time_quantile_fold_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
+    """The streaming SLA monitor's recurring costs (r11): fold one day's
+    micro-batch of (priority, day-lag) rows into the persisted mergeable
+    value histogram (``operators/quantiles.py`` — the q186 foreachBatch
+    substrate), then read the full percentile report back from state.
+    Build of yesterday's state is amortized prior work, outside the
+    timers. The fold is O(batch) + an O(segments) ledger probe; the read
+    is O(|keys| · |day-lag domain|) — both independent of corpus size,
+    which is the number this line defends."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.operators.quantiles import (
+        build_value_histogram,
+        merge_value_histogram,
+        sla_report,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "priority", F.datediff("sd", "od").cast("bigint").alias("lag")
+    )
+    state = j.filter(F.col("lag") % 20 != 0)
+    batch = j.filter(F.col("lag") % 20 == 0)
+    root = tempfile.mkdtemp(prefix="bench_quant_")
+    out: dict[str, float] = {}
+    try:
+        base = f"{root}/base"
+        build_value_histogram(spark, base, state, "priority", "lag")
+        best = float("inf")
+        for i in range(max(1, n_runs)):
+            run = f"{root}/run{i}"  # fresh copy: folds don't compound
+            shutil.copytree(base, run)
+            t0 = time.perf_counter()
+            merge_value_histogram(spark, run, batch, "priority", "lag")
+            best = min(best, time.perf_counter() - t0)
+        out["quantile_fold"] = round(best, 3)
+        best = float("inf")
+        for _ in range(max(1, n_runs)):
+            t0 = time.perf_counter()
+            sla_report(spark, f"{root}/run0", ps=(0.5, 0.9)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out["quantile_report"] = round(best, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 

@@ -74,6 +74,18 @@ from pyspark_streaming_base_spark.operators.scalardrift import (
     scalar_drift_report,
     write_scalar_baseline,
 )
+from pyspark_streaming_base_spark.operators.quantiles import (
+    build_equidepth_sketch,
+    build_value_histogram,
+    equidepth_percentiles,
+    merge_equidepth_sketch,
+    merge_value_histogram,
+    quantile_fold_sink,
+    read_value_histogram,
+    remove_equidepth_sketch,
+    remove_value_histogram,
+    sla_report,
+)
 from pyspark_streaming_base_spark.operators.triangles import triangle_counts
 from pyspark_streaming_base_spark.operators.ivf import (
     append_ivf_index,
@@ -198,5 +210,15 @@ __all__ = [
     "write_scalar_baseline",
     "scalar_drift_report",
     "merge_scalar_baseline",
+    "build_value_histogram",
+    "merge_value_histogram",
+    "remove_value_histogram",
+    "read_value_histogram",
+    "sla_report",
+    "quantile_fold_sink",
+    "build_equidepth_sketch",
+    "merge_equidepth_sketch",
+    "remove_equidepth_sketch",
+    "equidepth_percentiles",
     "mmr_rerank",
 ]

@@ -597,8 +597,10 @@ def q107_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     and when it is NOT, every one of its windows belongs to the one doc
     ``min`` names, so per-doc UNIQUE-window counts fall straight out of
     the hash-keyed aggregate with NO join back to the window multiset:
-    ``n_dup = n_windows − n_unique``. The only join left is a left join
-    of two doc-keyed aggregates (≤ one row per doc each).
+    ``n_dup = n_windows − n_unique``. Per-doc totals are the closed
+    form ``size(tk) − W + 1`` (a map-only branch — r11; the explode is
+    built ONCE), so the only join left is doc-keyed: map branch ⟕
+    unique-count aggregate (≤ one row per doc each).
 
     Why this beats the textbook agg + join-back: a join-back on the hash
     key re-shuffles the full window multiset AND concentrates a
@@ -637,8 +639,15 @@ def q107_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d0").alias("doc_id"))
         .agg(F.sum("c").alias("n_uniq"))
     )
-    totals = wins.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_windows")
+    # Per-doc window totals are ARITHMETIC — size(tk) − W + 1 — so the
+    # totals branch is a map-only second pass over the scan, not a
+    # second explode: r11 killed the duplicate Generate (the plan used
+    # to hash every window TWICE because the totals aggregate re-derived
+    # the exploded multiset; the window count was a closed form all
+    # along).
+    totals = d.select(
+        "doc_id",
+        (F.size("tk") - F.lit(_SPAN_W - 1)).cast("bigint").alias("n_windows"),
     )
     n_dup = (F.col("n_windows") - F.coalesce(F.col("n_uniq"), F.lit(0))).cast(
         "bigint"
@@ -1765,14 +1774,15 @@ def q185_dup_span_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: integer window counts + single divisions.
 
-    Scale: one explode to window hashes (O(total windows), the q107
+    Scale: ONE explode to window hashes (O(total windows), the q107
     budget; ``textops.hash60`` int64 keys — the corpus-sized exchange
     carries 8-byte keys, not 32-hex-char md5 strings) → hash aggregate
-    keyed (source, h) — hot boilerplate hashes
-    partial-combine map-side (the q107 skew argument) → a second
-    aggregate on h (≤ |sources| rows per hash) → a bounded-fan-out
-    equi-join of the two AGGREGATES (never the window multiset; both
-    sides are one-row-per-(source,h) / per-h) → a catalog-sized fold.
+    keyed (source, h) — hot boilerplate hashes partial-combine map-side
+    (the q107 skew argument) → the per-hash rollup as a WINDOW over
+    that aggregate (partitions are ≤ |sources| rows; the exchange on h
+    carries one-row-per-(source,h) aggregates, never the window
+    multiset — and no join side re-derives the explode) → a
+    catalog-sized fold.
     """
     toks = _tokens(F.col("text"))
     d = (
@@ -1797,18 +1807,29 @@ def q185_dup_span_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("d0s"),
         F.max("doc_id").alias("d1s"),
     )
-    g = sh.groupBy("h").agg(
-        F.count(F.lit(1)).cast("bigint").alias("ns"),
-        F.sum("c").cast("bigint").alias("tot"),
-        F.min("d0s").alias("dmin"),
-        F.max("d1s").alias("dmax"),
+    # The per-hash rollup rides a WINDOW over the (source, h) aggregate
+    # instead of a second aggregate branch: a separate `sh.groupBy(h)`
+    # cannot reuse sh's exchange (different keys), so Spark re-derived
+    # the whole explode pipeline for the join's other side — every
+    # window hashed TWICE (caught in the r11 plan audit). The window
+    # partition is ≤ |sources| rows per hash, exchanged as one-row-per-
+    # (source, h) aggregates, never the window multiset.
+    from pyspark.sql import Window as W
+
+    w_h = W.partitionBy("h")
+    g = sh.select(
+        "source",
+        "c",
+        F.count(F.lit(1)).over(w_h).cast("bigint").alias("ns"),
+        F.sum("c").over(w_h).cast("bigint").alias("tot"),
+        F.min("d0s").over(w_h).alias("dmin"),
+        F.max("d1s").over(w_h).alias("dmax"),
     )
     rep = F.when(F.col("tot") > 1, F.col("c")).otherwise(F.lit(0))
     xdoc = F.when(F.col("dmin") != F.col("dmax"), F.col("c")).otherwise(F.lit(0))
     xsrc = F.when(F.col("ns") > 1, F.col("c")).otherwise(F.lit(0))
     return (
-        sh.join(g, "h")
-        .groupBy("source")
+        g.groupBy("source")
         .agg(
             F.sum("c").cast("bigint").alias("n_windows"),
             F.sum(rep).cast("bigint").alias("n_repeated"),
