@@ -155,6 +155,7 @@ def main() -> None:
         ext.update(_time_bm25_index_tier(spark, sf_dir, min(runs, 2)))
         ext.update(_time_containment_index_tier(spark, sf_dir, min(runs, 2)))
         ext.update(_time_quantile_fold_tier(spark, sf_dir, min(runs, 2)))
+        ext.update(_time_ivf_tune_tier(spark, sf_dir))
     total = round(sum(timings.values()), 3)
     try:
         load1 = round(os.getloadavg()[0], 2)  # ambient-load context for
@@ -506,6 +507,44 @@ def _time_containment_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, f
             finally:
                 shutil.rmtree(run_idx, ignore_errors=True)
         out["containment_append"] = round(best, 3)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def _time_ivf_tune_tier(spark, sf_dir: str) -> dict[str, float]:
+    """The nprobe auto-tune sweep's one-shot price (r11): build the IVF
+    index (amortized prior work, outside the timer), then time
+    ``tune_nprobe`` walking the doubling schedule over an 8-query
+    held-out panel to a 0.9 recall@10 floor — the exact-truth pass plus
+    ≤ log₂(cells)+1 probe runs. This is an operational (re)calibration
+    job, run after drift/appends, so one timing (no best-of-N) is the
+    honest unit."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_streaming_base_spark.functions.vectorops import dvec
+    from pyspark_streaming_base_spark.operators.ivf import (
+        build_ivf_index,
+        tune_nprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    path = tempfile.mkdtemp(prefix="bench_ivftune_")
+    out: dict[str, float] = {}
+    try:
+        build_ivf_index(emb, path, k=16)
+        t0 = time.perf_counter()
+        got = tune_nprobe(spark, path, queries, top_k=10, recall_floor=0.9)
+        out["ivf_nprobe_tune"] = round(time.perf_counter() - t0, 3)
+        assert got["met"], got  # the floor is reachable on this corpus
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

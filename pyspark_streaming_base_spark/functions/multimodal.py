@@ -115,6 +115,89 @@ class BMPDecoder:
         return {"width": abs(int(width)), "height": abs(int(height)), "n_frames": 1}
 
 
+#: JPEG marker sets for the SOF walk (ITU-T T.81 §B: every marker is
+#: FF xx; segments after the marker carry a 2-byte big-endian length
+#: that INCLUDES the length field). SOF0–15 minus DHT(C4)/JPG(C8)/
+#: DAC(CC) carry the frame header (precision, height, width,
+#: components); standalone markers (RST0–7, SOI, EOI, TEM) have no
+#: length field and must not be skipped as segments.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = frozenset(range(0xD0, 0xD8)) | {0x01}
+#: progressive-DCT SOF codes (SOF2/6/10/14)
+_JPEG_PROGRESSIVE = {0xC2, 0xC6, 0xCA, 0xCE}
+
+
+def jpeg_metadata(payload: bytes) -> dict:
+    """Header-tier JPEG parse with NO third-party library and NO entropy
+    decode — the metadata a 100 TB crawl audit needs from the web's
+    dominant image format (q80's tier): dimensions, sample precision,
+    component count, progressive flag, EXIF presence. Walks the marker
+    stream (each segment is FF-marker + big-endian length) up to the
+    first SOF frame header; APP1 segments are sniffed for the
+    ``Exif\\0\\0`` identifier. Malformed streams raise ``ValueError``
+    (truncated segment, missing SOI, EOI/SOS before any SOF) and
+    dead-letter upstream like every other decoder. Reference depth
+    comparison: the reference ships no media handling at all —
+    this tier exists for the LLM-pipeline extension surface."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    has_exif = False
+    i = 2
+    n = len(payload)
+    while True:
+        # tolerate fill bytes (FF padding) before a marker
+        while i < n and payload[i] == 0xFF and i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= n or payload[i] != 0xFF:
+            raise ValueError("truncated JPEG marker stream")
+        marker = payload[i + 1]
+        i += 2
+        if marker in _JPEG_STANDALONE:
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF
+            raise ValueError("no SOF frame header before scan/EOI")
+        if i + 2 > n:
+            raise ValueError("truncated JPEG segment length")
+        seg_len = struct.unpack_from(">H", payload, i)[0]
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError("bad JPEG segment length")
+        if marker == 0xE1 and payload[i + 2 : i + 8] == b"Exif\x00\x00":
+            has_exif = True
+        if marker in _JPEG_SOF:
+            if seg_len < 8:
+                raise ValueError("short SOF segment")
+            precision = payload[i + 2]
+            height, width = struct.unpack_from(">HH", payload, i + 3)
+            n_components = payload[i + 7]
+            if width == 0 or n_components == 0:
+                raise ValueError("degenerate SOF dimensions")
+            return {
+                "width": int(width),
+                "height": int(height),  # 0 = deferred to DNL, kept as-is
+                "n_frames": 1,
+                "precision": int(precision),
+                "n_components": int(n_components),
+                "progressive": marker in _JPEG_PROGRESSIVE,
+                "has_exif": has_exif,
+            }
+        i += seg_len
+
+
+class JPEGDecoder:
+    """Real header decode for JPEG payloads — :func:`jpeg_metadata`
+    narrowed to the :class:`Decoder` contract (width/height/n_frames),
+    the same split as :class:`BMPDecoder`. Non-JPEG or malformed
+    payloads raise and dead-letter."""
+
+    name = "jpeg-header-v1"
+
+    def decode(self, payload: bytes) -> dict:
+        m = jpeg_metadata(bytes(payload))
+        return {k: m[k] for k in ("width", "height", "n_frames")}
+
+
 class PILImageDecoder:
     """Real image decode via Pillow (feature-detected).
 
@@ -421,6 +504,66 @@ def bmp_encode_gray(gray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return header + body
+
+
+def jpeg_encode_structural(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+    exif: bool = False,
+    precision: int = 8,
+) -> bytes:
+    """Assemble a STRUCTURALLY valid JPEG marker stream (SOI, APP0 JFIF,
+    optional APP1 Exif, DQT, SOF, DHT, SOS, stub entropy bytes, EOI) —
+    the inverse pair for :func:`jpeg_metadata`, like
+    :func:`bmp_encode_gray`/:func:`bmp_gray_pixels`. The entropy data is
+    a placeholder (header-tier audits never entropy-decode; a full
+    viewer would reject the scan), but every marker, length field, and
+    SOF geometry is per ITU-T T.81, which is exactly the surface the
+    metadata parser reads. Deterministic: same args → same bytes."""
+    import struct
+
+    if not (0 < width < 65536 and 0 <= height < 65536):
+        raise ValueError(f"SOF dimensions are uint16, got {width}x{height}")
+    if not 1 <= n_components <= 255:
+        raise ValueError(f"bad component count {n_components}")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(
+        seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    )
+    if exif:
+        # minimal Exif APP1: identifier + little-endian TIFF header, 0 IFDs
+        out.append(
+            seg(0xE1, b"Exif\x00\x00II*\x00\x08\x00\x00\x00\x00\x00")
+        )
+    out.append(seg(0xDB, b"\x00" + bytes(range(1, 65))))  # DQT (table 0)
+    sof_marker = 0xC2 if progressive else 0xC0
+    comps = b"".join(
+        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(n_components)
+    )
+    out.append(
+        seg(
+            sof_marker,
+            struct.pack(">BHHB", precision, height, width, n_components)
+            + comps,
+        )
+    )
+    # DHT: 16 zero counts + no symbols (structural placeholder)
+    out.append(seg(0xC4, b"\x00" + b"\x00" * 16))
+    scan = b"".join(
+        struct.pack(">BB", cid + 1, 0) for cid in range(n_components)
+    )
+    out.append(
+        seg(0xDA, struct.pack(">B", n_components) + scan + b"\x00\x3f\x00")
+    )
+    out.append(b"\x00\x01\x02")  # stub entropy bytes
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
 
 
 def png_rgb_pixels(payload: bytes):

@@ -95,6 +95,7 @@ from pyspark_streaming_base_spark.operators.ivf import (
     ivf_assign,
     ivf_search,
     query_ivf_index,
+    tune_nprobe,
 )
 from pyspark_streaming_base_spark.operators.imagededup import image_near_dup_pairs
 from pyspark_streaming_base_spark.operators.minhash import (
@@ -177,6 +178,7 @@ __all__ = [
     "append_ivf_index",
     "build_ivf_index",
     "query_ivf_index",
+    "tune_nprobe",
     "pagerank",
     "build_bloom",
     "bloom_maybe_contains",

@@ -169,6 +169,109 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
     clear_tombstones(f"{path}/tombstones")
 
 
+def tune_nprobe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    top_k: int = 10,
+    recall_floor: float = 0.9,
+    truth: DataFrame = None,
+) -> dict:
+    """The operational knob a deployed IVF index actually turns: walk
+    ``nprobe`` up a DOUBLING schedule (1, 2, 4, … ≤ n_cells) until the
+    held-out panel's macro recall@k against the EXACT top-k meets
+    ``recall_floor`` — q146's health metric used prescriptively instead
+    of diagnostically. READ-ONLY: the index is never touched; the sweep
+    is bounded by log₂(cells)+1 probe runs over the panel.
+
+    ``truth`` is the exact (qid, vec_id) top-k table; when omitted it is
+    computed brute-force from the index's own LIVE vectors (exact
+    scoring with the shared rounded-cosine/vec_id tie-break — the q60
+    rule, so candidate supersets can only ADD truth hits and the sweep's
+    recall is MONOTONE non-decreasing in nprobe; pinned in
+    ``test_ivf_index.py``). Panel cost: O(panel × corpus) once — the
+    tuning panel is small by construction; each sweep step costs one
+    ordinary probe.
+
+    Returns ``{"nprobe", "recall", "met", "sweep"}`` — ``sweep`` is the
+    full [(nprobe, recall), …] trace (log it; the shape says whether the
+    floor failed from quantizer quality or from k being too small), and
+    ``met`` is False only when even nprobe = n_cells misses the floor
+    (the retrain signal — at full probe IVF **is** exact search over
+    live vectors, so recall < 1 there means the floor is unreachable for
+    this (k, corpus) and the caller should question the floor or k).
+    """
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        apply_tombstones,
+        read_live,
+    )
+
+    if not 0.0 < recall_floor <= 1.0:
+        raise ValueError(f"recall_floor must be in (0, 1], got {recall_floor}")
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    if truth is None:
+        live = apply_tombstones(
+            spark,
+            f"{path}/tombstones",
+            read_live(spark, f"{path}/assignments"),
+            "vec_id",
+            live_path=f"{path}/assignments",
+        ).select("vec_id", "vec")
+        sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
+        truth = (
+            F.broadcast(queries)
+            .join(live, F.col("vec_id") != F.col("qid"))
+            .withColumn("sim_r", sim)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy("qid").orderBy(
+                        F.col("sim_r").desc(), F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= top_k)
+            .select("qid", "vec_id")
+        )
+    truth = truth.select("qid", "vec_id").localCheckpoint(eager=True)
+    per_q_truth = truth.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    )
+
+    sweep = []
+    nprobe = 1
+    while True:
+        got = query_ivf_index(spark, path, queries, nprobe=nprobe, top_k=top_k)
+        hits = truth.join(got.select("qid", "vec_id"), ["qid", "vec_id"])
+        rec_row = (
+            per_q_truth.join(
+                hits.groupBy("qid").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_hit")
+                ),
+                "qid",
+                "left",
+            )
+            .select(
+                (
+                    F.coalesce("n_hit", F.lit(0)).cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("rq")
+            )
+            .agg(F.avg("rq").alias("recall"))
+            .collect()[0]  # one number per sweep step — bounded
+        )
+        recall = float(rec_row["recall"] or 0.0)
+        sweep.append((nprobe, recall))
+        if recall >= recall_floor or nprobe >= n_cells:
+            return {
+                "nprobe": nprobe,
+                "recall": recall,
+                "met": recall >= recall_floor,
+                "sweep": sweep,
+            }
+        nprobe = min(nprobe * 2, n_cells)
+
+
 def ivf_probe_cells(
     queries: DataFrame, centroids: DataFrame, nprobe: int
 ) -> DataFrame:

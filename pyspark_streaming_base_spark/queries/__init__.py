@@ -122,9 +122,12 @@ DRIVER_PRIORITY: tuple = (
     # quality-gate family stays covered by q47 + the q180 waterfall)
     "q163_pps_token_sample",    # q61 yields (rows-only, driver-green r7;
     # C18 stays covered by the q60 keeper + pytest recall pins)
-    "q164_kcenter_coreset",     # q44 yields (driver-green r7, engine
-    # unchanged; its components engine stays driver-exercised through
-    # the q148 closure-CTE oracle in this prefix)
+    # ROUND-11: q164_kcenter_coreset yields to q188 below (q164
+    # driver-green r9 AND r10 with its recursive-CTE oracle, code
+    # unchanged; the greedy-selection family keeps the q140_mmr keeper
+    # in this prefix, and q164 stays exact-green on the local mirror).
+    # q44's earlier yield note: its components engine stays
+    # driver-exercised through the q148 closure-CTE oracle here.
     "q165_cvm_drift",           # q41 yields (rows-only, driver-green r7;
     # C17's scale path stays pinned by the recall pytest + local mirror)
     # ROUND-10 ROTATION (the r9 verdict's task 4): q103 and q140 were
@@ -210,6 +213,13 @@ DRIVER_PRIORITY: tuple = (
     # TWO prefix reps: q103_pagerank_top20 and the component-backed
     # q183_cluster_density_audit).
     "q187_revenue_pareto",
+    # ROUND-11 NEW OPERATOR, rotated in its birth round: the JPEG
+    # header-metadata audit — the multimodal family's second prefix rep
+    # next to q80, and the first whose oracle exercises a PYTHON
+    # (Arrow-batched mapInPandas) encode→parse round trip end to end.
+    # Its slot comes from q164_kcenter_coreset (see the yield note
+    # above).
+    "q188_jpeg_metadata_audit",
 )
 
 

@@ -201,3 +201,123 @@ def q130_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(
         media, payload_col="payload", id_col="media_id", max_dist=4
     )
+
+
+@query(
+    "q188_jpeg_metadata_audit",
+    # Like q81's stub oracle: the JPEG parameters are pure md5-hex
+    # arithmetic, so the whole Arrow-batched ENCODE → marker-walk PARSE
+    # round trip gets a value-hash oracle — DuckDB reproduces the
+    # parameters from the same digest math, and the Spark side only
+    # matches if functions/multimodal.py's jpeg_encode_structural and
+    # jpeg_metadata invert each other byte-exactly (and the truncation
+    # rule dead-letters to NULLs identically).
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS dg FROM documents
+    )
+    SELECT doc_id,
+      NOT (('0x' || substring(dg, 12, 2))::BIGINT % 16 = 0) AS decode_ok,
+      CASE WHEN ('0x' || substring(dg, 12, 2))::BIGINT % 16 = 0 THEN NULL
+           ELSE CAST(16 + ('0x' || substring(dg, 1, 4))::BIGINT % 2000
+                AS BIGINT) END AS width,
+      CASE WHEN ('0x' || substring(dg, 12, 2))::BIGINT % 16 = 0 THEN NULL
+           ELSE CAST(16 + ('0x' || substring(dg, 5, 4))::BIGINT % 2000
+                AS BIGINT) END AS height,
+      CASE WHEN ('0x' || substring(dg, 12, 2))::BIGINT % 16 = 0 THEN NULL
+           ELSE CAST(1 + ('0x' || substring(dg, 9, 1))::BIGINT % 4
+                AS BIGINT) END AS n_components,
+      CASE WHEN ('0x' || substring(dg, 12, 2))::BIGINT % 16 = 0 THEN NULL
+           ELSE ('0x' || substring(dg, 10, 1))::BIGINT % 2 = 1
+           END AS progressive,
+      CASE WHEN ('0x' || substring(dg, 12, 2))::BIGINT % 16 = 0 THEN NULL
+           ELSE ('0x' || substring(dg, 11, 1))::BIGINT % 2 = 1
+           END AS has_exif
+    FROM m
+    """,
+)
+def q188_jpeg_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG header-metadata audit (multimodal extension, r11): the
+    dominant web-image format's metadata tier — dimensions, component
+    count, progressive flag, EXIF presence — extracted by a
+    dependency-free ITU-T T.81 marker walk (``functions/multimodal.py::
+    jpeg_metadata``; NO entropy decode, the 100 TB-audit budget), with
+    malformed payloads dead-lettered to a ``decode_ok = false`` null
+    row instead of failing the job (the q80-family contract).
+
+    The corpus is synthesized per doc from digest arithmetic
+    (``jpeg_encode_structural`` — structurally valid marker streams;
+    every 16th digest truncates its payload to 3 bytes to exercise the
+    dead-letter path), so the oracle can replay the parameters in SQL:
+    the hash match proves encode→parse inverts EXACTLY, including the
+    null rule. Committed hand-assembled fixtures
+    (``tests/fixtures/*.jpg``) pin the parser against byte streams the
+    encoder did NOT produce.
+
+    Scale: payloads are built AND parsed inside one ``mapInPandas``
+    stage — only (doc_id, 7 scalar fields) leave it, blobs never enter
+    an exchange; decode parallelism = input partitions.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        jpeg_encode_structural,
+        jpeg_metadata,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("dg")
+    )
+
+    schema = (
+        "doc_id bigint, decode_ok boolean, width bigint, height bigint, "
+        "n_components bigint, progressive boolean, has_exif boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "decode_ok", "width", "height",
+                "n_components", "progressive", "has_exif",
+            )}
+            for doc_id, dg in zip(pdf["doc_id"], pdf["dg"]):
+                payload = jpeg_encode_structural(
+                    width=16 + int(dg[0:4], 16) % 2000,
+                    height=16 + int(dg[4:8], 16) % 2000,
+                    n_components=1 + int(dg[8:9], 16) % 4,
+                    progressive=int(dg[9:10], 16) % 2 == 1,
+                    exif=int(dg[10:11], 16) % 2 == 1,
+                )
+                if int(dg[11:13], 16) % 16 == 0:
+                    payload = payload[:3]  # the planted malformed tier
+                try:
+                    meta = jpeg_metadata(payload)
+                    ok = True
+                except ValueError:
+                    meta, ok = {}, False
+                out["doc_id"].append(int(doc_id))
+                out["decode_ok"].append(ok)
+                out["width"].append(meta.get("width"))
+                out["height"].append(meta.get("height"))
+                out["n_components"].append(meta.get("n_components"))
+                out["progressive"].append(meta.get("progressive"))
+                out["has_exif"].append(meta.get("has_exif"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "decode_ok": pd.Series(out["decode_ok"], dtype="bool"),
+                    "width": pd.Series(out["width"], dtype="Int64"),
+                    "height": pd.Series(out["height"], dtype="Int64"),
+                    "n_components": pd.Series(
+                        out["n_components"], dtype="Int64"
+                    ),
+                    "progressive": pd.Series(
+                        out["progressive"], dtype="boolean"
+                    ),
+                    "has_exif": pd.Series(out["has_exif"], dtype="boolean"),
+                }
+            )
+
+    return d.mapInPandas(batches, schema)

@@ -271,3 +271,67 @@ def test_delete_equals_rebuild_without(spark, tmp_path, pointer_mode):
 
     raw = read_live(spark, f"{path}/assignments")
     assert raw.filter(F.col("vec_id").isin(gone)).count() == 0
+
+
+def test_tune_nprobe_monotone_and_meets_floor(spark, tmp_path):
+    """The sweep's recall trace is monotone non-decreasing (supersets of
+    candidates under the shared exact tie-break can only add truth
+    hits), the chosen setting meets the floor, the sweep stopped at the
+    FIRST schedule point that does, and the index is read-only under
+    tuning."""
+    import os
+
+    from pyspark_streaming_base_spark.operators.ivf import tune_nprobe
+
+    emb = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, k=16)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+
+    def tree(p):
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                fp = os.path.join(root, f)
+                out[fp] = os.path.getmtime(fp)
+        return out
+
+    before = tree(path)
+    got = tune_nprobe(spark, path, queries, top_k=10, recall_floor=0.9)
+    assert tree(path) == before  # read-only
+
+    recalls = [r for _, r in got["sweep"]]
+    assert recalls == sorted(recalls), got["sweep"]  # monotone
+    assert got["met"] and got["recall"] >= 0.9
+    assert got["nprobe"] == got["sweep"][-1][0]
+    # first schedule point meeting the floor (all earlier ones miss it)
+    assert all(r < 0.9 for _, r in got["sweep"][:-1]), got["sweep"]
+    # full-probe is exact: recall 1.0 when nprobe covers every cell
+    full = tune_nprobe(spark, path, queries, top_k=10, recall_floor=1.0)
+    assert full["met"] and full["recall"] == 1.0
+
+
+def test_tune_nprobe_unreachable_floor_flags(spark, tmp_path):
+    """A floor no nprobe can reach (truth deliberately poisoned with ids
+    the corpus cannot return) comes back met=False at nprobe = n_cells
+    instead of looping or lying."""
+    from pyspark_streaming_base_spark.operators.ivf import tune_nprobe
+
+    emb = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", dvec("embedding").alias("vec")
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, k=8)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    bogus = queries.select("qid", (F.col("qid") + 10_000_000).alias("vec_id"))
+    got = tune_nprobe(
+        spark, path, queries, top_k=5, recall_floor=0.5, truth=bogus
+    )
+    assert not got["met"] and got["recall"] == 0.0
+    assert got["sweep"][-1][0] == 8  # walked all the way to n_cells

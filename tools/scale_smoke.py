@@ -335,7 +335,16 @@ def crawl_smoke(spark, reps) -> None:
 
 
 #: selectable smoke families (CLI: non-integer args pick a subset)
-FAMILIES = ("shapes", "crawl", "bloom", "semdedup", "containment", "bm25", "ivf")
+FAMILIES = (
+    "shapes",
+    "crawl",
+    "bloom",
+    "semdedup",
+    "containment",
+    "bm25",
+    "ivf",
+    "pagerank",
+)
 
 
 def main() -> None:
@@ -370,6 +379,8 @@ def main() -> None:
         bm25_smoke(spark, reps)
     if "ivf" in run:
         ivf_smoke(spark, reps)
+    if "pagerank" in run:
+        pagerank_smoke(spark, reps)
 
 
 def semdedup_smoke(spark, reps) -> None:
@@ -769,6 +780,88 @@ def ivf_smoke(spark, reps) -> None:
             print(f"{'ivf_probe':>20}  x{n:<3} {dt_probe:7.3f}s  (8q nprobe=4 top-10)")
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def pagerank_smoke(spark, reps) -> None:
+    """Warm-start PageRank maintenance (`merge_pagerank`) vs a cold
+    converged run on the union graph — the r11 verdict question "does
+    warm-start pay?". Graph n× via offset node ids (disjoint copies:
+    identical spectrum, so ROUND counts stay scale-independent while
+    per-round O(E) wall grows — exactly the split the operator
+    docstring claims). Daily batch FIXED: every 50th customer gains an
+    edge to a new node. The smoke stops at step ≤ 1000 grid units
+    (≈10⁻⁹ — the q103 output grid; tests pin the tight-grid equality),
+    prints rounds + wall for warm vs cold, and asserts the two rank
+    vectors agree within the documented start-independence band."""
+    from pyspark_streaming_base_spark.operators.pagerank import (
+        GRID,
+        merge_pagerank,
+        pagerank_converged,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cs0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    stop_units = 1000  # ≈1e-9 tolerance; band = (2·su+1)/GRID/(1−d)
+    band = (2 * stop_units + 1) / GRID / 0.15
+    for n in reps:
+        cs = cs0
+        for i in range(1, n):
+            off = i * 10_000_000
+            cs = cs.unionByName(
+                cs0.select(
+                    (F.col("src") + off).alias("src"),
+                    (F.col("dst") + off).alias("dst"),
+                )
+            )
+        base = cs.unionByName(
+            cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpoint(eager=True)
+        nb = cs.filter(F.col("src") % 50 == 0).select(
+            "src", (F.col("src") + 5_000_000).alias("dst")
+        )
+        batch = nb.unionByName(
+            nb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        union = base.unionByName(batch).localCheckpoint(eager=True)
+
+        prior, _ = pagerank_converged(base, stop_units=stop_units)  # amortized
+        t0 = time.perf_counter()
+        cold, rounds_c = pagerank_converged(union, stop_units=stop_units)
+        dt_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        warm, rounds_w = merge_pagerank(
+            union, prior, new_edges=batch, stop_units=stop_units
+        )
+        dt_warm = time.perf_counter() - t0
+
+        worst = (
+            warm.join(
+                cold.select("node", F.col("r").alias("rc")), "node"
+            )
+            .agg(F.max(F.abs(F.col("r") - F.col("rc"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        assert worst is not None and worst <= band, (n, worst, band)
+        print(
+            f"{'pagerank_cold':>20}  x{n:<3} {dt_cold:7.3f}s  "
+            f"({rounds_c} rounds)"
+        )
+        print(
+            f"{'pagerank_warm':>20}  x{n:<3} {dt_warm:7.3f}s  "
+            f"({rounds_w} rounds, max|Δ| {worst:.2e})"
+        )
 
 
 if __name__ == "__main__":
