@@ -193,7 +193,12 @@ def main() -> None:
         "normalized_total_pct_numpy (single-threaded, load-insensitive) "
         "when the two records' load_avg differ — not raw total_pct; "
         "r7's +10.5% predates the probes and stands as host drift per "
-        "the snapshot re-measurement",
+        "the snapshot re-measurement; r11: when the two probes' drifts "
+        "disagree >25 points the basis is suffixed _disputed and both "
+        "normalized values are emitted — r11's own capture hit this "
+        "(JVM probe -4%, numpy +42%, every code-untouched query "
+        "inflated 10-40% in lockstep: single-thread host slowdown the "
+        "32-thread probe cannot see)",
     }
     prev = _delta_vs_prev(total, timings, ext)
     if prev is not None:
@@ -266,6 +271,22 @@ def main() -> None:
         # selection above stands; this is the disambiguator.
         if prev.get("total_pct") is not None:
             out["raw_total_pct"] = prev["total_pct"]
+        # When the two calibration PROBES disagree wildly on how much
+        # the host moved (r11: JVM said −4%, numpy said +42% while every
+        # code-untouched headline query inflated 10–40% in lockstep), at
+        # least one probe failed to see the drift and NO single
+        # normalized number is trustworthy — flag the basis and surface
+        # the other normalizer so the record can't be read naively.
+        drifts = prev.get("host_drift_pct") or {}
+        dj, dn = drifts.get("calib_jvm_sec"), drifts.get("calib_numpy_sec")
+        if dj is not None and dn is not None and abs(dj - dn) > 25.0:
+            out["headline_delta_basis"] = (
+                out.get("headline_delta_basis", "?") + "_disputed"
+            )
+            out["probe_disagreement_pct"] = round(abs(dj - dn), 1)
+            for k in ("normalized_total_pct", "normalized_total_pct_numpy"):
+                if prev.get(k) is not None:
+                    out.setdefault("all_normalized", {})[k] = prev[k]
     _emit(out)
 
 
@@ -301,6 +322,8 @@ def _emit(out: dict) -> None:
         "headline_delta_pct": out.get("headline_delta_pct"),
         "headline_delta_basis": out.get("headline_delta_basis"),
         "raw_total_pct": out.get("raw_total_pct"),
+        "probe_disagreement_pct": out.get("probe_disagreement_pct"),
+        "all_normalized": out.get("all_normalized"),
         "prev_record": (out.get("delta_vs_prev") or {}).get("prev_record"),
         "detail": out_detail,
     }
