@@ -116,8 +116,11 @@ DRIVER_PRIORITY: tuple = (
     # green in CORRECTNESS_r08, code unchanged; C19 text stays covered
     # by q47/q147/q170, the stats family by q162's mirror + the
     # q166/q169 keepers here).
-    "q170_char_stats",
-    "q172_cross_source_dup_matrix",
+    # ROUND-11: q170_char_stats and q172_cross_source_dup_matrix yield
+    # to q189/q190 below (both driver-green in r9 AND r10, code
+    # unchanged; C19 text profiling keeps q47/q175/q176 in this prefix
+    # plus the new q189, and the source-overlap family keeps THREE
+    # reps: q177, q178, q181 — plus q190's per-source dedup economics).
     "q174_keeper_policy_report",  # q158 yields (driver-green r8; the
     # quality-gate family stays covered by q47 + the q180 waterfall)
     "q163_pps_token_sample",    # q61 yields (rows-only, driver-green r7;
@@ -220,6 +223,15 @@ DRIVER_PRIORITY: tuple = (
     # Its slot comes from q164_kcenter_coreset (see the yield note
     # above).
     "q188_jpeg_metadata_audit",
+    # ROUND-11 SECOND WAVE, rotated in their birth round: the
+    # context-window packing-waste report (the padding bill per feed —
+    # q86 chunking's economic complement) and the dedup token-yield
+    # ladder (raw → corpus-wide doc dedup → C4 segment dedup tokens per
+    # source, both keeper windows on int64 hash60 keys) — both
+    # oracle-bearing, exact-green at sf0.001/0.01/0.1. Their slots come
+    # from q170/q172 (see the yield note above).
+    "q189_packing_waste",
+    "q190_token_yield_ladder",
 )
 
 

@@ -1846,3 +1846,183 @@ def q185_dup_span_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q190_token_yield_ladder",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             TRIM(regexp_replace(regexp_replace(LOWER(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT source, doc_id, norm, toks,
+             CAST(len(toks) AS BIGINT) AS nt
+      FROM base
+    ),
+    keeper AS (
+      SELECT source, doc_id, toks, nt,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(concat('0x', substring(md5(norm), 1, 15))
+                                 AS BIGINT)
+               ORDER BY doc_id) AS rn
+      FROM sized
+    ),
+    surv AS (SELECT * FROM keeper WHERE rn = 1),
+    seg0 AS (
+      SELECT source, doc_id, toks,
+             unnest(range(0, (CAST(nt AS INTEGER) + {_SEG_W} - 1) // {_SEG_W}))
+               AS g
+      FROM surv WHERE nt > 0
+    ),
+    seg AS (
+      SELECT source, doc_id, CAST(g AS BIGINT) AS g,
+             array_to_string(
+               list_slice(toks, g * {_SEG_W} + 1, g * {_SEG_W} + {_SEG_W}),
+               ' ') AS seg,
+             CAST(len(list_slice(toks, g * {_SEG_W} + 1,
+                                 g * {_SEG_W} + {_SEG_W})) AS BIGINT)
+               AS seg_nt
+      FROM seg0
+    ),
+    segk AS (
+      SELECT source, seg_nt,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(concat('0x', substring(md5(seg), 1, 15))
+                                 AS BIGINT)
+               ORDER BY doc_id, g) AS occ
+      FROM seg
+    ),
+    t_seg AS (
+      SELECT source, CAST(SUM(seg_nt) FILTER (WHERE occ = 1) AS BIGINT)
+               AS tokens_after_segment_dedup
+      FROM segk GROUP BY source
+    ),
+    t_raw AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS raw_tokens
+      FROM sized GROUP BY source
+    ),
+    t_doc AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_after_doc_dedup,
+             CAST(SUM(nt) AS BIGINT) AS tokens_after_doc_dedup
+      FROM surv GROUP BY source
+    )
+    SELECT t_raw.source, n_docs, raw_tokens,
+           docs_after_doc_dedup, tokens_after_doc_dedup,
+           COALESCE(tokens_after_segment_dedup, 0)
+             AS tokens_after_segment_dedup,
+           CAST(tokens_after_doc_dedup AS DOUBLE) / raw_tokens
+             AS doc_dedup_yield,
+           CAST(COALESCE(tokens_after_segment_dedup, 0) AS DOUBLE)
+             / raw_tokens AS segment_dedup_yield
+    FROM t_raw
+    JOIN t_doc USING (source)
+    LEFT JOIN t_seg USING (source)
+    """,
+)
+def q190_token_yield_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token YIELD LADDER per source (C17/training-econ
+    extension, r11): how many tokens each feed actually contributes
+    after the standard dedup passes run in sequence — raw → exact
+    whole-document dedup (first occurrence by doc_id of the q22-style
+    normalized text, deduped CORPUS-WIDE so mirror feeds pay, not just
+    internal repeats) → C4 segment-level dedup (q137's keeper rule, on
+    the doc-dedup survivors). The two yield fractions are the numbers a
+    mixture designer multiplies into q126-style sampling weights: a
+    source with high raw volume but low segment yield is boilerplate
+    masquerading as data.
+
+    Exactness: integer token counts end to end; two closing divisions.
+    Both keeper windows partition on ``textops.hash60`` (the identical
+    60-bit key on both engines — q137's contract and collision note).
+
+    Scale: one scan; the doc-keeper exchange carries (hk, source,
+    doc_id, nt) — the normalized TEXT never shuffles, only its 8-byte
+    fingerprint; the segment tier re-tokenizes survivors and pays
+    q137's single segment-keyed exchange (int64 partition key, segment
+    text as rebuild-free payload — here only its token COUNT rides
+    along). Hot boilerplate segments are plain AQE skew (aggregate-free
+    window partitions).
+    """
+    from pyspark.sql import Window as W
+
+    from pyspark_streaming_base_spark.functions.textops import normalize
+
+    base = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        hash60(normalize(F.col("text"))).alias("hk"),
+        _tokens(F.col("text")).alias("toks"),
+    ).withColumn("nt", F.size("toks").cast("bigint"))
+
+    keeper = base.withColumn(
+        "rn", F.row_number().over(W.partitionBy("hk").orderBy("doc_id"))
+    )
+    surv = keeper.filter(F.col("rn") == 1).select(
+        "source", "doc_id", "toks", "nt"
+    )
+
+    seg = surv.filter(F.col("nt") > 0).select(
+        "source",
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("nt") / F.lit(_SEG_W)).cast("int") - 1,
+                ),
+                lambda g: F.slice(F.col("toks"), g * _SEG_W + 1, _SEG_W),
+            )
+        ).alias("g", "segtoks"),
+    ).select(
+        "source",
+        "doc_id",
+        F.col("g").cast("bigint").alias("g"),
+        hash60(F.concat_ws(" ", F.col("segtoks"))).alias("shk"),
+        F.size("segtoks").cast("bigint").alias("seg_nt"),
+    )
+    segk = seg.withColumn(
+        "occ", F.row_number().over(W.partitionBy("shk").orderBy("doc_id", "g"))
+    )
+    t_seg = (
+        segk.filter(F.col("occ") == 1)
+        .groupBy("source")
+        .agg(F.sum("seg_nt").cast("bigint").alias("tokens_after_segment_dedup"))
+    )
+    t_raw = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("raw_tokens"),
+    )
+    t_doc = surv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_after_doc_dedup"),
+        F.sum("nt").cast("bigint").alias("tokens_after_doc_dedup"),
+    )
+    out = (
+        t_raw.join(t_doc, "source")
+        .join(t_seg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            "docs_after_doc_dedup",
+            "tokens_after_doc_dedup",
+            F.coalesce("tokens_after_segment_dedup", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_after_segment_dedup"),
+            (
+                F.col("tokens_after_doc_dedup").cast("double")
+                / F.col("raw_tokens").cast("double")
+            ).alias("doc_dedup_yield"),
+            (
+                F.coalesce("tokens_after_segment_dedup", F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("raw_tokens").cast("double")
+            ).alias("segment_dedup_yield"),
+        )
+    )
+    return out

@@ -3063,3 +3063,85 @@ def q181_cross_lingual_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Context-window lengths for the packing-waste report — the common
+#: pretraining sequence lengths a data owner prices against.
+_PACK_WINDOWS = (512, 2048, 8192)
+
+
+@query(
+    "q189_packing_waste",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS nt
+      FROM documents
+    ),
+    g AS (SELECT CAST(L AS BIGINT) AS win FROM (VALUES {", ".join(f"({w})" for w in _PACK_WINDOWS)}) v(L))
+    SELECT source, win,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST(SUM((nt + win - 1) // win) AS BIGINT) AS padded_windows,
+           CAST((SUM(nt) + win - 1) // win AS BIGINT) AS concat_windows,
+           CAST(SUM((nt + win - 1) // win) * win - SUM(nt) AS BIGINT)
+             AS padding_waste_tokens,
+           CAST(SUM((nt + win - 1) // win) * win - SUM(nt) AS DOUBLE)
+             / CAST(SUM((nt + win - 1) // win) * win AS DOUBLE)
+             AS waste_frac
+    FROM d CROSS JOIN g
+    GROUP BY source, win
+    """,
+)
+def q189_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window PACKING-WASTE report per (source, window length)
+    (training-econ extension, r11): the padding bill a pretraining run
+    pays for each feed under document-boundary batching — per-doc
+    padded windows Σ⌈nt/L⌉ vs the concat-packing floor ⌈Σnt/L⌉ (the
+    GPT-style pack-then-split lower bound), and the waste fraction of
+    padded token slots. Short-doc-heavy sources waste most at large L;
+    this is the table that decides between padding, concat-packing, and
+    best-fit packing per feed — the q86 chunking op's economic
+    complement (q86 SPLITS long docs; this prices the SHORT ones).
+
+    Exactness: pure integer arithmetic (ceil via (n + L − 1) div L on
+    both engines) + one closing division per row.
+
+    Scale: one documents scan → per-doc token COUNT only (no token
+    payloads leave the scan) → broadcast 3-row window grid →
+    (source, L)-keyed hash aggregate, partial-combined map-side. The
+    grid join multiplies the aggregate INPUT rows 3×, not the scan:
+    rows entering the exchange are (source, L) partials.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.size(_tokens(F.col("text"))).cast("bigint").alias("nt")
+    )
+    grid = spark.createDataFrame(
+        [(int(w),) for w in _PACK_WINDOWS], "win bigint"
+    )
+    j = d.crossJoin(F.broadcast(grid))
+    # integer `div`, not floor(double /): exact at ANY token volume
+    # (double division is only exact below 2^53)
+    pw = F.expr("(nt + win - 1) div win").cast("bigint")
+    agg = j.groupBy("source", "win").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.sum(pw).cast("bigint").alias("padded_windows"),
+    )
+    waste = F.col("padded_windows") * F.col("win") - F.col("total_tokens")
+    return agg.select(
+        "source",
+        "win",
+        "n_docs",
+        "total_tokens",
+        "padded_windows",
+        F.expr("(total_tokens + win - 1) div win")
+        .cast("bigint")
+        .alias("concat_windows"),
+        waste.cast("bigint").alias("padding_waste_tokens"),
+        (
+            waste.cast("double")
+            / (F.col("padded_windows") * F.col("win")).cast("double")
+        ).alias("waste_frac"),
+    )
