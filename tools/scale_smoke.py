@@ -344,6 +344,7 @@ FAMILIES = (
     "bm25",
     "ivf",
     "pagerank",
+    "quantiles",
 )
 
 
@@ -381,6 +382,8 @@ def main() -> None:
         ivf_smoke(spark, reps)
     if "pagerank" in run:
         pagerank_smoke(spark, reps)
+    if "quantiles" in run:
+        quantiles_smoke(spark, reps)
 
 
 def semdedup_smoke(spark, reps) -> None:
@@ -862,6 +865,82 @@ def pagerank_smoke(spark, reps) -> None:
             f"{'pagerank_warm':>20}  x{n:<3} {dt_warm:7.3f}s  "
             f"({rounds_w} rounds, max|Δ| {worst:.2e})"
         )
+
+
+def quantiles_smoke(spark, reps) -> None:
+    """Mergeable quantile lifecycle growth (`operators/quantiles.py`):
+    prior state built over an n×-keyed corpus (key suffixes replicate
+    the (key, value) DOMAIN — the state's true size driver — while the
+    day-lag value domain stays calendar-bounded), daily batch FIXED.
+    quantile_fold must stay O(batch): the structural assertion pins the
+    appended rows to the batch's own distinct (key, value) pairs at
+    every n; quantile_report grows with the state's domain rows, never
+    the folded row count; rebuild re-aggregates the union — O(corpus).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark_streaming_base_spark.operators.quantiles import (
+        build_value_histogram,
+        merge_value_histogram,
+        sla_report,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    j0 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "priority", F.datediff("sd", "od").cast("bigint").alias("lag")
+    )
+    batch = j0.filter(F.col("lag") % 20 == 0)
+    for n in reps:
+        j = j0
+        for i in range(1, n):
+            j = j.unionByName(
+                j0.select(
+                    F.concat(F.col("priority"), F.lit(f"#rep{i}")).alias(
+                        "priority"
+                    ),
+                    "lag",
+                )
+            )
+        root = tempfile.mkdtemp(prefix="quant_smoke_")
+        try:
+            base = f"{root}/base"
+            build_value_histogram(
+                spark, base, j.filter(F.col("lag") % 20 != 0),
+                "priority", "lag",
+            )
+            before = spark.read.parquet(f"{base}/counts").count()
+            t0 = time.perf_counter()
+            merge_value_histogram(spark, base, batch, "priority", "lag")
+            dt_fold = time.perf_counter() - t0
+            added = spark.read.parquet(f"{base}/counts").count() - before
+            expect = batch.select("priority", "lag").distinct().count()
+            assert added == expect, (n, added, expect)
+
+            t0 = time.perf_counter()
+            sla_report(spark, base, ps=(0.5, 0.9)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt_read = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            full = f"{root}/full"
+            build_value_histogram(
+                spark, full, j.unionByName(batch), "priority", "lag"
+            )
+            dt_reb = time.perf_counter() - t0
+            print(f"{'quantile_fold':>20}  x{n:<3} {dt_fold:7.3f}s  (fixed batch)")
+            print(f"{'quantile_report':>20}  x{n:<3} {dt_read:7.3f}s")
+            print(f"{'quantile_rebuild':>20}  x{n:<3} {dt_reb:7.3f}s  (union)")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
