@@ -1940,13 +1940,21 @@ def q190_token_yield_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both keeper windows partition on ``textops.hash60`` (the identical
     60-bit key on both engines — q137's contract and collision note).
 
-    Scale: one scan; the doc-keeper exchange carries (hk, source,
-    doc_id, nt) — the normalized TEXT never shuffles, only its 8-byte
-    fingerprint; the segment tier re-tokenizes survivors and pays
-    q137's single segment-keyed exchange (int64 partition key, segment
-    text as rebuild-free payload — here only its token COUNT rides
-    along). Hot boilerplate segments are plain AQE skew (aggregate-free
-    window partitions).
+    Scale (audited in PLANS.md): the normalized text never shuffles —
+    it is consumed into the 8-byte ``hk`` at the scan. Catalyst splits
+    the ladder into a SLIM doc-count branch (column pruning drops the
+    token arrays; the keeper exchange carries (hk, source, doc_id, nt)
+    only) and a segment branch whose doc-keeper exchange carries the
+    token arrays as payload — the segment tier needs them, and any
+    join-back alternative shuffles the same bytes on doc_id instead.
+    Both keeper rank-filters compile to ``WindowGroupLimit``: each map
+    partition pre-keeps only its first row per key BEFORE the
+    exchange, so duplicate mass is dropped map-side. The segment
+    exchange itself is slim (shk int64 + counts; segment text consumed
+    into the hash). At 100 TB, cut the token-payload carry with a
+    survivor-id Bloom re-scan (``operators/bloom.py``, the q139
+    machinery) so payloads stay scan-local. Hot boilerplate segments
+    are plain AQE skew (aggregate-free window partitions).
     """
     from pyspark.sql import Window as W
 
