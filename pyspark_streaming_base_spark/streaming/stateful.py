@@ -387,9 +387,15 @@ def transition_stream(
     one boundary transition is forgone, never fabricated). Default None
     keeps ``NoTimeout`` for the exact-twin contract; production paths
     should set it (CLAUDE.md: admission control + bounded state on
-    every streaming path). Event-time watermark expiry is deliberately
-    NOT used here: the operator keys state by user, not window, and a
-    watermark would re-introduce the late-arrival ambiguity above.
+    every streaming path). ONLY for continuously-triggered queries:
+    under ``trigger(availableNow=True)`` pending processing-time
+    timeouts keep the drain loop scheduling batches — measured r11: a
+    one-file drain spun to epoch ≈142 before being killed — so leave
+    the TTL unset for drain-style replays (they end; idle-state growth
+    is a continuous-query problem anyway). Event-time watermark expiry
+    is deliberately NOT used here: the operator keys state by user, not
+    window, and a watermark would re-introduce the late-arrival
+    ambiguity above.
 
     Append output mode: a transition row never changes once emitted —
     the state only ever CONSUMES the boundary, never rewrites history.
@@ -434,7 +440,11 @@ def transition_stream(
                 last = str(et)
         state.update((last,))
         if state_ttl_minutes is not None:
-            state.setTimeoutDuration(int(state_ttl_minutes) * 60_000)
+            # fractional minutes legal (tests use seconds-scale TTLs);
+            # floor of 1 ms — setTimeoutDuration rejects non-positive
+            state.setTimeoutDuration(
+                max(1, int(float(state_ttl_minutes) * 60_000))
+            )
         if out:
             yield pd.DataFrame(out)
         else:  # typed empty frame so Arrow keeps the output schema

@@ -100,3 +100,63 @@ def test_transition_stream_equals_batch_lag(spark, tmp_path):
     for (uid, p, n), c in got.items():
         folded[(p, n)] += c
     assert dict(folded) == matrix
+
+
+def test_transition_stream_with_ttl_wiring(spark, tmp_path):
+    """state_ttl_minutes arms ProcessingTimeTimeout. Two things pinned:
+    (1) with a continuously-triggered query and a TTL far longer than
+    the run, no state expires and the emitted multiset equals the batch
+    lag — the conf + setTimeoutDuration wiring works; (2) the operator
+    is NOT used with availableNow when a TTL is set (pending timeouts
+    keep the drain loop alive — measured epoch ~142 spin on a one-file
+    drain), so this test drives a processingTime trigger and stops the
+    query explicitly."""
+    import time as _time
+
+    from pyspark_streaming_base_spark.streaming.stateful import (
+        transition_stream,
+    )
+
+    events = t(spark, SF_SMALL, "events").select(
+        "ts", "event_id", "user_id", "event_type"
+    )
+    staging = str(tmp_path / "stage")
+    _stage_time_ordered(events, staging)
+
+    reader = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = (
+        transition_stream(reader, state_ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("transition_twin_ttl")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        rows = sorted(
+            events.collect(), key=lambda r: (r.user_id, r.ts, r.event_id)
+        )
+        want: Counter = Counter()
+        last = {}
+        for r in rows:
+            if r.user_id in last:
+                want[(r.user_id, last[r.user_id], r.event_type)] += 1
+            last[r.user_id] = r.event_type
+        n_want = sum(want.values())
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table("transition_twin_ttl").count() >= n_want:
+                break
+            _time.sleep(1.0)
+        got = Counter(
+            (r.user_id, r.prev_type, r.event_type)
+            for r in spark.table("transition_twin_ttl").collect()
+        )
+        assert got == want
+    finally:
+        q.stop()
