@@ -140,6 +140,8 @@ def test_no_registry_query_has_lint_errors(spark):
         # q144/q165 shape)
         "q187_revenue_pareto",  # same _ecdf carry window + the broadcast
         # 10-row decile-grid probe (q184's shape on the revenue domain)
+        "q189_packing_waste",  # 3-row (source,L) grid broadcast fold
+        # (q158's pinned bounded-grid shape; PLANS.md audit)
     }
     got_warns = set()
     for name, spec in R.items():
