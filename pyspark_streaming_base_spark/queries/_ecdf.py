@@ -24,13 +24,21 @@ DEFAULT_BUCKETS = 64
 
 
 def pooled_cumulative_counts(
-    v: DataFrame, buckets: int = DEFAULT_BUCKETS
+    v: DataFrame, buckets: int = DEFAULT_BUCKETS, b_type: str = "bigint"
 ) -> DataFrame:
     """``v``: one row per DISTINCT value — ``(value, ca, cb)`` counts of
     the two samples at that value. Returns one row per value:
     ``(value, ca, cb, cum_a, cum_b, na, nb)`` with INCLUSIVE cumulative
     counts in value order and the two sample totals on every row
     (1-row broadcast). All integers — exact under any partitioning.
+
+    ``b_type`` widens the second channel when its prefix sum can exceed
+    int64 (q187 smuggles 10⁶-scaled revenue through ``cb``; a 100 TB
+    corpus total is ~10²² > 2⁶³): pass ``"decimal(38,0)"`` and supply
+    ``cb`` already in that type. The prefix sum is additive either way,
+    and DECIMAL(38,0) keeps it exact to 10³⁸. The a-channel (customer /
+    row counts) stays int64 — counting past 2⁶³ rows is not a real
+    regime.
     """
     mm = v.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
     b = v.crossJoin(F.broadcast(mm)).select(
@@ -56,7 +64,7 @@ def pooled_cumulative_counts(
         "ca",
         "cb",
         F.sum("ca").over(w_local).cast("bigint").alias("lca"),
-        F.sum("cb").over(w_local).cast("bigint").alias("lcb"),
+        F.sum("cb").over(w_local).cast(b_type).alias("lcb"),
     ).persist()
     totals = local.groupBy("bucket").agg(
         F.max("lca").alias("ta"), F.max("lcb").alias("tb")
@@ -68,12 +76,12 @@ def pooled_cumulative_counts(
         .cast("bigint")
         .alias("oa"),
         F.coalesce(F.sum("tb").over(w_carry), F.lit(0))
-        .cast("bigint")
+        .cast(b_type)
         .alias("ob"),
     )
     n = totals.agg(
         F.sum("ta").cast("bigint").alias("na"),
-        F.sum("tb").cast("bigint").alias("nb"),
+        F.sum("tb").cast(b_type).alias("nb"),
     )
     return (
         local.join(F.broadcast(carry), "bucket")
@@ -83,7 +91,7 @@ def pooled_cumulative_counts(
             "ca",
             "cb",
             (F.col("oa") + F.col("lca")).cast("bigint").alias("cum_a"),
-            (F.col("ob") + F.col("lcb")).cast("bigint").alias("cum_b"),
+            (F.col("ob") + F.col("lcb")).cast(b_type).alias("cum_b"),
             "na",
             "nb",
         )

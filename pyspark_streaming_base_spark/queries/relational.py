@@ -1588,16 +1588,21 @@ def q187_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-domain table (10× a bounded domain, keys-only). No
     corpus-sized global-order window anywhere.
 
-    Capacity limit (int64 cum_b channel): the corpus-wide 10⁶-scaled
-    revenue total must stay under 2⁶³ ≈ 9.2·10¹⁸, i.e. ≈ $9.2 × 10¹²
-    of summed revenue — comfortable at TPC-H sf ≤ ~10⁴ but NOT at the
-    SCALE.md 100 TB design point (~10²² scaled). ANSI mode fails loudly
-    (overflow error) rather than wrapping; the prescribed extreme-scale
-    mitigation is `_exact.py`'s: keep per-value `cb` as
-    DECIMAL(38,0) through `pooled_cumulative_counts`' b-channel (the
-    prefix sum is additive either way) or pre-aggregate to a coarser
-    value grid first. Not wired here because the exact-int64 form is
-    what the DuckDB oracle hash-matches bit-for-bit.
+    Capacity (cum_b channel, wired r12): the corpus-wide 10⁶-scaled
+    revenue total is ~10²² at the SCALE.md 100 TB design point — past
+    int64's 2⁶³ ≈ 9.2·10¹⁸. The revenue channel therefore rides
+    `pooled_cumulative_counts`' b-channel as DECIMAL(38,0) (per-value
+    `cb` is cast BEFORE the multiply so the product never materializes
+    in int64; the prefix sum is additive either way and exact to
+    10³⁸). Per-CUSTOMER revenue stays int64 — one customer's orders
+    overflowing $9.2 × 10¹² is not a real regime — as does the count
+    channel. The DuckDB oracle keeps plain BIGINT: at oracle scale
+    both forms are exact integers, and the only decimal-typed columns
+    are folded to DOUBLE by a correctly-rounded single cast on both
+    engines (Java BigDecimal.doubleValue == C++ int64→double, round
+    to nearest), so the hash match is unchanged. Overflow-regime unit
+    test: tests/test_ecdf_capacity.py (synthetic cb near 2⁶³, cum_b
+    exceeding it).
     """
     from pyspark_streaming_base_spark.queries._ecdf import (
         pooled_cumulative_counts,
@@ -1610,9 +1615,11 @@ def q187_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = rev.groupBy(F.col("rv").alias("value")).agg(
         F.count(F.lit(1)).cast("bigint").alias("ca"),
-        (F.col("rv") * F.count(F.lit(1))).cast("bigint").alias("cb"),
+        (F.col("rv").cast("decimal(38,0)") * F.count(F.lit(1)))
+        .cast("decimal(38,0)")
+        .alias("cb"),
     )
-    cum = pooled_cumulative_counts(v)
+    cum = pooled_cumulative_counts(v, b_type="decimal(38,0)")
     grid = spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
     probe = F.broadcast(grid).join(
         cum, F.col("cum_a") >= F.ceil(F.col("decile") * F.col("na") / F.lit(10.0))
