@@ -198,7 +198,10 @@ def main() -> None:
         "normalized values are emitted — r11's own capture hit this "
         "(JVM probe -4%, numpy +42%, every code-untouched query "
         "inflated 10-40% in lockstep: single-thread host slowdown the "
-        "32-thread probe cannot see)",
+        "32-thread probe cannot see); r12: per-query normalized deltas "
+        "(queries_pct_normalized, headline basis applied per query) sit "
+        "beside the raw queries_pct in the detail record — read those "
+        "for single-query regressions",
     }
     prev = _delta_vs_prev(total, timings, ext)
     if prev is not None:
@@ -287,6 +290,40 @@ def main() -> None:
             for k in ("normalized_total_pct", "normalized_total_pct_numpy"):
                 if prev.get(k) is not None:
                     out.setdefault("all_normalized", {})[k] = prev[k]
+        # r12 (r11 verdict item 6): per-QUERY normalized deltas — the
+        # same probe division the headline gets, applied to each query's
+        # raw pct, so a single-query regression stands out against host
+        # drift without hand math. Basis = whatever headline_delta_basis
+        # selected (numpy under differing loads, JVM at matched loads);
+        # raw-basis records get none, disputed records keep the chosen
+        # probe with the _disputed suffix already on the basis field.
+        basis = out.get("headline_delta_basis", "")
+        if basis.startswith("normalized"):
+            probe = (
+                "calib_numpy_sec" if "numpy" in basis else "calib_jvm_sec"
+            )
+            pd_ = (prev.get("host_drift_pct") or {}).get(probe)
+            if pd_ is not None and pd_ > -90.0:
+
+                def _norm(p: float) -> float:
+                    return round(
+                        100.0
+                        * ((1.0 + p / 100.0) / (1.0 + pd_ / 100.0) - 1.0),
+                        1,
+                    )
+
+                prev["queries_pct_normalized"] = {
+                    q: _norm(p)
+                    for q, p in (prev.get("queries_pct") or {}).items()
+                }
+                if isinstance(prev.get("extended_pct"), dict):
+                    prev["extended_pct"]["queries_pct_normalized"] = {
+                        q: _norm(p)
+                        for q, p in (
+                            prev["extended_pct"].get("queries_pct") or {}
+                        ).items()
+                    }
+                prev["queries_pct_normalized_basis"] = basis
     _emit(out)
 
 
@@ -398,7 +435,11 @@ def _time_pq_index_tier(spark, sf_dir: str, n_runs: int) -> dict[str, float]:
     out: dict[str, float] = {}
     try:
         t0 = time.perf_counter()
-        build_pq_index(emb, path, m=16, k=16, iters=3, n_cells=8)
+        # r12: sampled-Lloyd training (train_cap=512 — the FAISS
+        # train-on-a-sample split; codebook Lloyd was 7.3 s of the
+        # ~10 s r11 build). Not comparable to the r<=11 build number;
+        # SCALE.md §PQ has the measured build-vs-recall row.
+        build_pq_index(emb, path, m=16, k=16, iters=3, n_cells=8, train_cap=512)
         out["q111_ivfadc_build"] = round(time.perf_counter() - t0, 3)
         queries = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")

@@ -60,8 +60,13 @@ def build_ivf_index(
     Centroid source, in production-quality order: pass ``centroids``
     (cent_id, cvec) — e.g. the k-means-refined table from
     ``queries/pipeline.py::kmeans_centroids`` renamed (cid→cent_id,
-    cv→cvec); or give ``k`` for the deterministic lowest-vec_id quantizer
-    (the structural default the inline q63 demo uses)."""
+    cv→cvec), whose Lloyd rounds train on a bounded deterministic
+    sample (``train_cap``, the FAISS train-on-a-sample convention —
+    same knob as ``operators/pq.py::pq_codebooks``; SCALE.md §Bounded
+    quantizer training has the measured build-vs-recall row); or give
+    ``k`` for the deterministic lowest-vec_id quantizer (the
+    structural default the inline q63 demo uses — no training pass at
+    all, so there is nothing to sample on this path)."""
     if centroids is None:
         if k <= 0:
             raise ValueError("need centroids or k > 0")

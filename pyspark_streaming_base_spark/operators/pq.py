@@ -383,6 +383,7 @@ def build_pq_index(
     n_cells: int = 0,
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    train_cap: int = 65_536,
 ) -> None:
     """Materialize the complete IVFADC index — the write-once half of the
     build/probe split ``operators/minhash.py`` and ``operators/ivf.py``
@@ -410,6 +411,16 @@ def build_pq_index(
     join-write — each a broadcast-join against ≤ M·K + n_cells centroid
     rows); probes then scan (nprobe/n_cells)·corpus rows of 16-byte
     codes. ``emb`` needs (vec_id, vec: array<double>).
+
+    ``train_cap`` bounds the Lloyd TRAINING set (passed straight to
+    :func:`pq_codebooks` — deterministic lowest-xxhash64 sample; the
+    FAISS train-on-a-sample/add-everything split). Codebook training is
+    the dominant build stage even at fixture scale (measured r12 at
+    sf0.1: 7.3 s of a ~10 s build; cap=512 cuts it to 2.8 s at an
+    unchanged shortlist→exact-rerank recall — SCALE.md §PQ has the
+    build-vs-recall row), and at corpus scale it is the difference
+    between Lloyd over 10⁹ rows and Lloyd over 10⁵. Encoding and
+    assignment always cover EVERY vector regardless of the cap.
     """
     from pyspark_streaming_base_spark.operators.ivf import ivf_assign
 
@@ -430,7 +441,11 @@ def build_pq_index(
     from pyspark_streaming_base_spark.operators.tombstones import reset_live
 
     reset_live(f"{path}/index")
-    cb = codebooks if codebooks is not None else pq_codebooks(emb, m, k, iters=iters)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(emb, m, k, iters=iters, train_cap=train_cap)
+    )
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     cb_saved = cb.sparkSession.read.parquet(f"{path}/codebooks")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
