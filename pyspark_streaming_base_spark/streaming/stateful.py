@@ -461,3 +461,113 @@ def transition_stream(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+TRANSITION_BUF_STATE_SCHEMA = (
+    "last_type string, bts array<bigint>, beid array<bigint>, bet array<string>"
+)
+
+
+def transition_stream_buffered(
+    events: DataFrame, delay_threshold: str = "10 minutes"
+) -> DataFrame:
+    """Late-tolerant :func:`transition_stream` — the production posture
+    for funnel/transition mining behind an UNORDERED source (r11 verdict
+    item: the plain variant's batch-equality claim holds only for
+    event-time-ordered micro-batch arrival).
+
+    Mechanism: a per-user WATERMARK BUFFER. Incoming rows are held in
+    state; each invocation emits — in (ts, event_id) event-time order —
+    only the buffered rows whose event time has passed the current
+    watermark (``state.getCurrentWatermarkMs``), carrying the boundary
+    type exactly like the plain variant. Rows newer than the watermark
+    wait; an EVENT-TIME timeout (armed at the oldest buffered row + 1 ms)
+    re-invokes the group when the watermark passes it even if no new
+    rows arrive, so buffered suffixes flush without fresh input. The
+    emitted multiset therefore equals the batch lag's UNCONDITIONALLY
+    for every event the watermark has passed, however arrival shuffles
+    rows across micro-batches — asserted against a staging the plain
+    variant provably gets wrong (``test_transition_stream.py``).
+
+    Rows later than the watermark itself (ts < wm on arrival) are
+    admission-dropped — the same verdict Spark's own stateful-operator
+    late-row filter gives them; ``delay_threshold`` is the knob that
+    trades tolerated disorder for state size.
+
+    State bound: the buffer holds at most one delay-window of events per
+    user (vs the plain variant's single string) — watermark admission is
+    what makes that a bound, the module's standing rule. Works under
+    ``availableNow`` drains: event-time timeouts are driven by the data's
+    own watermark, which is finite, so the drain terminates (unlike the
+    plain variant's processing-time TTL spin) — but the final
+    delay-window of events stays buffered at termination, exactly the
+    rows a resumed query would flush first (checkpoint-recoverable, not
+    lost; the twin test closes the drain with a watermark-advancing
+    sentinel batch instead).
+
+    Append mode: emitted transitions are final — a row is emitted only
+    once its event time is watermark-sealed, so no later arrival can
+    reorder history (the plain variant cannot make that claim late).
+    """
+    ev = events.withWatermark("ts", delay_threshold)
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "prev_type": pd.Series([], dtype=object),
+                "event_type": pd.Series([], dtype=object),
+            }
+        )
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        if state.exists:
+            last, bts, beid, bet = state.get
+            buf = list(zip(list(bts), list(beid), list(bet)))
+        else:
+            last, buf = None, []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ts_ns = pdf["ts"].astype("int64")  # house ns pattern
+                for t_, e_, et_ in zip(ts_ns, pdf["event_id"], pdf["event_type"]):
+                    if int(t_) < wm_ns:
+                        continue  # late beyond the watermark: admission drop
+                    buf.append((int(t_), int(e_), str(et_)))
+        buf.sort(key=lambda r: (r[0], r[1]))
+        out, keep = [], []
+        for t_, e_, et_ in buf:
+            if t_ < wm_ns:
+                if last is not None:
+                    out.append(
+                        {"user_id": key[0], "prev_type": last, "event_type": et_}
+                    )
+                last = et_
+            else:
+                keep.append((t_, e_, et_))
+        state.update(
+            (
+                last,
+                [r[0] for r in keep],
+                [r[1] for r in keep],
+                [r[2] for r in keep],
+            )
+        )
+        if keep:
+            # fire when the watermark passes the oldest buffered row
+            # (must exceed the current watermark — the +1 ms covers an
+            # exact-boundary row)
+            state.setTimeoutTimestamp(keep[0][0] // 1_000_000 + 1)
+        yield pd.DataFrame(out) if out else empty
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=TRANSITION_BUF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
