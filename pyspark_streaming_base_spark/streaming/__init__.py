@@ -4,6 +4,8 @@ from pyspark_streaming_base_spark.streaming.stateful import (
     running_aggregate,
     running_aggregate_tws,
     sessionize,
+    transition_stream,
+    transition_stream_buffered,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "running_aggregate",
     "running_aggregate_tws",
     "sessionize",
+    "transition_stream",
+    "transition_stream_buffered",
 ]
