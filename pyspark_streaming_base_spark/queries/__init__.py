@@ -151,7 +151,11 @@ DRIVER_PRIORITY: tuple = (
     # r8 and r9, code unchanged since; interval/epoch machinery stays
     # covered by the q73/q79 streaming keepers and the q163 sampler).
     "q175_line_repetition",
-    "q176_topgram_share",
+    # ROUND-12: q176_topgram_share yields to q191 below (driver-green
+    # hash rows in BOTH r10 and r11, code unchanged; C19 profiling
+    # keeps q47 + q175 in this prefix, and the top/duplicate-bigram
+    # signal itself stays driver-exercised inside q180's waterfall
+    # rules 4–5).
     # ROUND-10 SECOND WAVE, rotated in their birth round: per-source
     # shingle novelty (the marginal-contribution curve), template-prefix
     # cluster report (the machine-generated-page detector), and
@@ -232,6 +236,14 @@ DRIVER_PRIORITY: tuple = (
     # from q170/q172 (see the yield note above).
     "q189_packing_waste",
     "q190_token_yield_ladder",
+    # ROUND-12 NEW OPERATOR, rotated in its birth round: the cross-split
+    # near-dup leakage audit — measures the train/test contamination the
+    # naive md5(doc_id) split incurs on q44's verified clusters (the
+    # hazard q127's canonical-keyed split prevents; q183's audit pattern
+    # applied to q49). Oracle: the shared recursive-closure CTE + the
+    # split-rule CASE. Its slot comes from q176_topgram_share (see the
+    # yield note above).
+    "q191_split_leakage_audit",
 )
 
 

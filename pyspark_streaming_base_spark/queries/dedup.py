@@ -2034,3 +2034,99 @@ def q190_token_yield_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "q191_split_leakage_audit",
+    # the same recursive-closure CTE as the q44/q127 oracles + q49's
+    # md5 split rule — the whole audit is value-hash checked
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTER_CLOSURE_SQL},
+    m AS (
+      SELECT c.canonical, d.lang,
+             CASE WHEN substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 4)
+                       < '{_VAL_HEX}' THEN 'val'
+                  WHEN substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 4)
+                       < '{_TEST_HEX}' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    g1 AS (
+      SELECT lang, canonical, split, CAST(COUNT(*) AS BIGINT) AS ni
+      FROM m GROUP BY lang, canonical, split
+    ),
+    g2 AS (
+      SELECT lang, canonical,
+             CAST(SUM(ni) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_splits,
+             CAST(SUM(ni * (ni - 1)) AS BIGINT) AS same2
+      FROM g1 GROUP BY lang, canonical
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) FILTER (WHERE n_splits > 1) AS BIGINT)
+             AS leaky_clusters,
+           CAST(SUM(n * (n - 1) - same2) // 2 AS BIGINT) AS leaky_pairs,
+           CAST(COALESCE(SUM(n) FILTER (WHERE n_splits > 1), 0) AS BIGINT)
+             AS leaky_docs
+    FROM g2 GROUP BY lang
+    """,
+)
+def q191_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split NEAR-DUP leakage audit (C17/training-econ extension,
+    r12): how much train/test contamination the naive per-doc split rule
+    (q49's md5(doc_id) thresholds) actually incurs on this corpus — the
+    measured hazard q127's canonical-keyed assignment exists to prevent
+    (the q183 pattern: q183 audits q44's over-merge, this audits q49's
+    leakage). Per language: near-dup clusters (q44's verified
+    components, lang-blocked by construction), clusters straddling ≥2
+    splits, the straddling PAIR count (every such pair is a
+    train-sees-test document pair benchmark decontamination misses —
+    exact n-gram checks catch none of them, the members are near-, not
+    exact, duplicates), and the docs inside leaky clusters.
+
+    leaky_pairs per cluster is pure integer math — C(n,2) minus the
+    same-split pairs ΣC(nᵢ,2), computed as (n(n−1) − Σnᵢ(nᵢ−1)) div 2
+    (even by construction; integer div, the q189 rule). Under q127's
+    rule this table is zeros by construction: a whole cluster shares
+    its canonical's split.
+
+    Scale: q44's component table (dup families, not the corpus) joined
+    once to (doc_id, lang), two map-side-combinable aggregates keyed by
+    (lang, canonical[, split]) — no new shuffle class; the split is a
+    pure hash function of doc_id (no RNG, invariant 5).
+    """
+    from pyspark_streaming_base_spark.queries.text import (
+        _SPLIT_TEST_HEX,
+        _SPLIT_VAL_HEX,
+    )
+
+    clusters = q44_dedup_clusters(spark, sf_dir)
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hk = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (
+        F.when(hk < _SPLIT_VAL_HEX, "val")
+        .when(hk < _SPLIT_TEST_HEX, "test")
+        .otherwise("train")
+    )
+    m = clusters.join(d, "doc_id").select("lang", "canonical", split.alias("split"))
+    g1 = m.groupBy("lang", "canonical", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ni")
+    )
+    g2 = g1.groupBy("lang", "canonical").agg(
+        F.sum("ni").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_splits"),
+        F.sum(F.col("ni") * (F.col("ni") - 1)).cast("bigint").alias("same2"),
+    )
+    return g2.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.count(F.when(F.col("n_splits") > 1, 1))
+        .cast("bigint")
+        .alias("leaky_clusters"),
+        F.expr("CAST(sum(n * (n - 1) - same2) div 2 AS BIGINT)").alias(
+            "leaky_pairs"
+        ),
+        F.coalesce(F.sum(F.when(F.col("n_splits") > 1, F.col("n"))), F.lit(0))
+        .cast("bigint")
+        .alias("leaky_docs"),
+    )
