@@ -167,7 +167,12 @@ DRIVER_PRIORITY: tuple = (
     # components/cluster engine by the q168 closure-CTE oracle).
     "q177_source_novelty",
     "q178_template_prefix_clusters",
-    "q179_interarrival_burstiness",
+    # ROUND-12: q179_interarrival_burstiness yields to q192 below
+    # (driver-green hash rows in BOTH r10 and r11, code unchanged; the
+    # event-behavior family keeps q182_event_transitions and
+    # q184_conversion_latency in this prefix plus the q72/q73/q79
+    # streaming keepers, and the cv² machinery stays exact-green on the
+    # local mirror at three SFs).
     # ... and the quality-filter waterfall report (rule-by-rule marginal
     # kill + surviving docs/tokens — the artifact that prices a Gopher/
     # Dolma rule stack in training tokens). Its slot comes from
@@ -244,6 +249,13 @@ DRIVER_PRIORITY: tuple = (
     # split-rule CASE. Its slot comes from q176_topgram_share (see the
     # yield note above).
     "q191_split_leakage_audit",
+    # ... and the concat-packing boundary audit (q189's other half:
+    # padding bill vs splitting bill — docs straddling window
+    # boundaries under the md5-shuffled per-source concat order, via
+    # the q163 two-pass prefix sum partitioned by source). Its slot
+    # comes from q179_interarrival_burstiness (see the yield note
+    # above).
+    "q192_packing_boundary_audit",
 )
 
 

@@ -3145,3 +3145,129 @@ def q189_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("padded_windows") * F.col("win")).cast("double")
         ).alias("waste_frac"),
     )
+
+
+@query(
+    "q192_packing_boundary_audit",
+    oracle="""
+    WITH base AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS nt,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS hk
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ),
+    cum AS (
+      SELECT source, nt,
+             CAST(SUM(nt) OVER (PARTITION BY source ORDER BY hk, doc_id
+                  ROWS UNBOUNDED PRECEDING) - nt AS BIGINT) AS cum_before
+      FROM base
+    ),
+    grid AS (SELECT unnest([512, 2048, 8192]) AS win)
+    SELECT c.source AS source, CAST(g.win AS BIGINT) AS win,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE (c.cum_before + c.nt - 1) // g.win
+                                       > c.cum_before // g.win) AS BIGINT)
+             AS n_spanning,
+           CAST(SUM((c.cum_before + c.nt - 1) // g.win
+                    - c.cum_before // g.win) AS BIGINT) AS n_crossings,
+           CAST(COUNT(*) FILTER (WHERE (c.cum_before + c.nt - 1) // g.win
+                                       > c.cum_before // g.win) AS DOUBLE)
+             / COUNT(*) AS spanning_frac
+    FROM cum c CROSS JOIN grid g
+    GROUP BY c.source, g.win
+    """,
+)
+def q192_packing_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-packing BOUNDARY audit per (source, window length)
+    (training-econ extension, r12 — q189's other half: q189 prices the
+    PADDING bill of document-boundary batching; this prices the
+    SPLITTING bill of GPT-style concat packing): in the md5-shuffled
+    per-source concat order (the q163 convention — pipelines shuffle
+    before packing, and the hash order is seedless and rerun-stable),
+    how many documents straddle a window boundary (their attention is
+    truncated or contaminates a neighbor — the docs an attention-mask
+    or best-fit packer exists for) and how many boundary crossings
+    there are in total (a doc longer than L crosses several). Together
+    with q189 this is the padding-vs-packing decision table: q189's
+    waste_frac says what padding costs, this says what packing costs.
+
+    Exactness: boundary arithmetic is pure integer `div` on the exact
+    token prefix sums ((cum+nt-1) div L vs cum div L — the q189/q163
+    rule); the closing spanning_frac is one division of two exact
+    int64 counts.
+
+    Scale: the per-source running token offset is the q163 two-pass
+    prefix sum PARTITIONED BY SOURCE — local cumsums within 256
+    hash-prefix buckets (bucket order == hash order by construction),
+    carry = per-source exclusive prefix over the (source, bucket)
+    totals table (≤ 256·|sources| rows, broadcast back) — never a
+    corpus-length window per source (a hot feed would serialize
+    through one task). Token COUNTS only leave the scan; the 3-row
+    window grid joins the cum table AFTER the heavy lifting and feeds
+    a map-side-combinable (source, win) aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("nt"),
+    ).filter(F.col("nt") > 0)
+    hk = F.md5(F.col("doc_id").cast("string")).substr(1, 16)
+    base = d.select(
+        "source",
+        "doc_id",
+        "nt",
+        hk.alias("hk"),
+        # first 2 hex chars of the SAME hash: bucket order == hash order
+        F.conv(hk.substr(1, 2), 16, 10).cast("bigint").alias("bucket"),
+    )
+    w_local = (
+        W.partitionBy("source", "bucket")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # persist: the carry branch re-derives totals from this same pass —
+    # without the pin Spark re-scans AND re-tokenizes the corpus for it
+    # (the q163 convention; caught in this query's birth-round plan audit)
+    local = base.withColumn("local_cum", F.sum("nt").over(w_local)).persist()
+    totals = local.groupBy("source", "bucket").agg(
+        F.max("local_cum").alias("bt")
+    )
+    w_carry = (
+        W.partitionBy("source").orderBy("bucket").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    )
+    carry = totals.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bt").over(w_carry), F.lit(0))
+        .cast("bigint")
+        .alias("carry_in"),
+    )
+    cum = local.join(F.broadcast(carry), ["source", "bucket"]).select(
+        "source",
+        "nt",
+        (F.col("carry_in") + F.col("local_cum") - F.col("nt"))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    grid = spark.createDataFrame(
+        [(int(w),) for w in _PACK_WINDOWS], "win bigint"
+    )
+    j = cum.crossJoin(F.broadcast(grid))
+    first_w = F.expr("cum_before div win")
+    last_w = F.expr("(cum_before + nt - 1) div win")
+    spans = last_w > first_w
+    return j.groupBy("source", "win").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(spans, 1)).cast("bigint").alias("n_spanning"),
+        F.sum(last_w - first_w).cast("bigint").alias("n_crossings"),
+        (
+            F.count(F.when(spans, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("spanning_frac"),
+    )

@@ -142,6 +142,8 @@ def test_no_registry_query_has_lint_errors(spark):
         # 10-row decile-grid probe (q184's shape on the revenue domain)
         "q189_packing_waste",  # 3-row (source,L) grid broadcast fold
         # (q158's pinned bounded-grid shape; PLANS.md audit)
+        "q192_packing_boundary_audit",  # same 3-row grid fold as q189,
+        # joined to the per-source cum table after the prefix sum
     }
     got_warns = set()
     for name, spec in R.items():
