@@ -90,9 +90,18 @@ def _load_gate() -> dict | None:
     threshold, and RECORD whether the gate was satisfied — a record
     taken on a busy host says so instead of demanding forensics
     (r5/r7/r8 all burned a round's analysis on exactly that). The
-    driver contract (one JSON line) is kept either way."""
-    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "120"))
+    driver contract (one JSON line) is kept either way.
+
+    r13 (r12 verdict item 2): the old default (4.0, 120 s) passed two
+    consecutive contamination-suspect records — r11 at 47.8 points of
+    probe disagreement, r12 at 43.6 with load 3.12 — while every clean
+    record in this project's history started under load ≈1. Default is
+    now 1.5 with a 10-minute bounded wait, and a record whose gate
+    times out unsatisfied carries a loud ``contaminated_start`` marker
+    in BOTH the detail record and the compact driver line, so a
+    disputed-basis capture can never again be read naively."""
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "600"))
     try:
         waited = 0.0
         while os.getloadavg()[0] > max_load and waited < max_wait:
@@ -137,6 +146,14 @@ def main() -> None:
                 spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 3)
+            # cache-lifetime policy (r12 verdict item 5): a handful of
+            # queries persist a counts-only pass-1 (q163/q192/_ecdf
+            # family) that a LATER query's identical sub-plan could hit
+            # via CacheManager's canonicalized-plan lookup — clear
+            # BETWEEN queries so no timing is cross-subsidized by a
+            # predecessor's cache. Within one query's best-of-N the
+            # cache stays, preserving the r1-comparable methodology.
+            spark.catalog.clearCache()
         return out
 
     timings = time_set(HEADLINE, runs)
@@ -169,6 +186,11 @@ def main() -> None:
         "sf": float(sf),
         "load_avg_1m": load1,
         "load_gate": load_gate,
+        # r13: loud marker — the gate WAITED OUT its budget on a busy
+        # host; treat this record as disputed-basis regardless of what
+        # the probes later say (two rounds of driver records matched
+        # this signature exactly)
+        "contaminated_start": bool(load_gate and not load_gate["satisfied"]),
         "host_calibration": _calibrate(spark),
         "extended": ext,
         "extended_value": round(sum(ext.values()), 3),
@@ -201,7 +223,10 @@ def main() -> None:
         "32-thread probe cannot see); r12: per-query normalized deltas "
         "(queries_pct_normalized, headline basis applied per query) sit "
         "beside the raw queries_pct in the detail record — read those "
-        "for single-query regressions",
+        "for single-query regressions; r13: start gate tightened to "
+        "load<1.5 with a 10-min bounded wait (the 4.0 gate passed two "
+        "consecutive contamination-suspect driver records) and a "
+        "timed-out gate stamps contaminated_start=true on the record",
     }
     prev = _delta_vs_prev(total, timings, ext)
     if prev is not None:
@@ -355,6 +380,7 @@ def _emit(out: dict) -> None:
         "extended_value": out.get("extended_value"),
         "load_avg_1m": out.get("load_avg_1m"),
         "load_gate_ok": (out.get("load_gate") or {}).get("satisfied"),
+        "contaminated_start": out.get("contaminated_start"),
         "host_calibration": out.get("host_calibration"),
         "headline_delta_pct": out.get("headline_delta_pct"),
         "headline_delta_basis": out.get("headline_delta_basis"),

@@ -416,9 +416,12 @@ def build_pq_index(
     :func:`pq_codebooks` — deterministic lowest-xxhash64 sample; the
     FAISS train-on-a-sample/add-everything split). Codebook training is
     the dominant build stage even at fixture scale (measured r12 at
-    sf0.1: 7.3 s of a ~10 s build; cap=512 cuts it to 2.8 s at an
-    unchanged shortlist→exact-rerank recall — SCALE.md §PQ has the
-    build-vs-recall row), and at corpus scale it is the difference
+    sf0.1: 7.3 s of a ~10 s build; cap=512 cuts it to 2.8 s at a small
+    measured recall delta — 0.669 → 0.625 recall@10 on the fixture,
+    whose 26% sample ratio distorts far more than 10⁵ of 10⁹ would; see
+    SCALE.md §Bounded quantizer training for the build-vs-recall row
+    and why the production-scale impact is smaller), and at corpus
+    scale it is the difference
     between Lloyd over 10⁹ rows and Lloyd over 10⁵. Encoding and
     assignment always cover EVERY vector regardless of the cap.
     """

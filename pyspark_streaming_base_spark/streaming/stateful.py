@@ -359,7 +359,10 @@ TRANSITION_STATE_SCHEMA = "last_type string"
 
 
 def transition_stream(
-    events: DataFrame, state_ttl_minutes: Optional[int] = None
+    events: DataFrame,
+    state_ttl_minutes: Optional[int] = None,
+    ttl_timeout: str = "processing",
+    delay_threshold: str = "1 minute",
 ) -> DataFrame:
     """Per-user event-type TRANSITIONS as a stream — q182's lag-window
     twin for the live path (the batch lag is not append-streamable; the
@@ -381,21 +384,36 @@ def transition_stream(
     provides for per-user streams; behind an unordered source, put
     q79-style late-data admission in front.
 
-    State expiry: ``state_ttl_minutes`` arms a PROCESSING-TIME timeout —
-    an idle user's one-string state is dropped after that long with no
-    new events (re-appearing users simply restart with no boundary, so
-    one boundary transition is forgone, never fabricated). Default None
-    keeps ``NoTimeout`` for the exact-twin contract; production paths
-    should set it (CLAUDE.md: admission control + bounded state on
-    every streaming path). ONLY for continuously-triggered queries:
-    under ``trigger(availableNow=True)`` pending processing-time
-    timeouts keep the drain loop scheduling batches — measured r11: a
-    one-file drain spun to epoch ≈142 before being killed — so leave
-    the TTL unset for drain-style replays (they end; idle-state growth
-    is a continuous-query problem anyway). Event-time watermark expiry
-    is deliberately NOT used here: the operator keys state by user, not
-    window, and a watermark would re-introduce the late-arrival
-    ambiguity above.
+    State expiry: ``state_ttl_minutes`` drops an idle user's one-string
+    state after that long with no new events (re-appearing users simply
+    restart with no boundary, so one boundary transition is forgone,
+    never fabricated). Default None keeps ``NoTimeout`` for the
+    exact-twin contract; production paths should set it (CLAUDE.md:
+    admission control + bounded state on every streaming path). TWO
+    clocks, picked by ``ttl_timeout``:
+
+    * ``"processing"`` (default, the r10 behavior): wall-clock silence.
+      ONLY for continuously-triggered queries — under
+      ``trigger(availableNow=True)`` pending processing-time timeouts
+      keep the drain loop scheduling batches (measured r11: a one-file
+      drain spun to epoch ≈142 before being killed).
+    * ``"event"`` (r13, the drain-safe clock): the input is watermarked
+      (``delay_threshold``; EventTimeTimeout requires one) and a user's
+      state is removed when the watermark passes
+      ``last_seen + state_ttl_minutes`` — "idle" measured in the data's
+      own time, so an ``availableNow`` drain TERMINATES (event-time
+      timeouts only fire while data still advances the watermark; a
+      pending one cannot schedule batches after the source is
+      exhausted). Caveat the watermark brings: rows later than
+      ``delay_threshold`` against the stream's max event time are
+      admission-dropped by Spark's stateful-operator late filter —
+      under this operator's in-order precondition (above) nothing is
+      dropped as long as within-batch disorder stays inside the
+      threshold, which is exactly the contract an offset-ordered
+      source provides.
+
+    With ``state_ttl_minutes=None`` the watermark/event machinery is
+    not engaged at all (``ttl_timeout`` is ignored).
 
     Append output mode: a transition row never changes once emitted —
     the state only ever CONSUMES the boundary, never rewrites history.
@@ -406,6 +424,16 @@ def transition_stream(
     larger than one Arrow chunk must fold in event order across chunks,
     not delivery order).
     """
+    if ttl_timeout not in ("processing", "event"):
+        raise ValueError(f"ttl_timeout must be processing|event, got {ttl_timeout!r}")
+    event_mode = state_ttl_minutes is not None and ttl_timeout == "event"
+    # fractional minutes legal (tests use seconds-scale TTLs); floor of
+    # 1 ms — the timeout setters reject non-positive values
+    ttl_ms = (
+        None
+        if state_ttl_minutes is None
+        else max(1, int(float(state_ttl_minutes) * 60_000))
+    )
 
     def update(
         key: Tuple[Any, ...],
@@ -426,8 +454,10 @@ def transition_stream(
         last = state.get[0] if state.exists else None
         chunks = [pdf for pdf in pdfs if len(pdf)]
         out = []
+        last_seen_ms = 0
         if chunks:
             batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            last_seen_ms = int(batch["ts"].astype("int64").max()) // 1_000_000
             for et in batch.sort_values(["ts", "event_id"])["event_type"]:
                 if last is not None:
                     out.append(
@@ -439,18 +469,23 @@ def transition_stream(
                     )
                 last = str(et)
         state.update((last,))
-        if state_ttl_minutes is not None:
-            # fractional minutes legal (tests use seconds-scale TTLs);
-            # floor of 1 ms — setTimeoutDuration rejects non-positive
-            state.setTimeoutDuration(
-                max(1, int(float(state_ttl_minutes) * 60_000))
-            )
+        if ttl_ms is not None:
+            if event_mode:
+                # evict when the WATERMARK passes last_seen + ttl (the
+                # max() keeps the timestamp strictly past the current
+                # watermark, which setTimeoutTimestamp requires)
+                state.setTimeoutTimestamp(
+                    max(last_seen_ms, state.getCurrentWatermarkMs()) + ttl_ms
+                )
+            else:
+                state.setTimeoutDuration(ttl_ms)
         if out:
             yield pd.DataFrame(out)
         else:  # typed empty frame so Arrow keeps the output schema
             yield empty
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    ev = events.withWatermark("ts", delay_threshold) if event_mode else events
+    return ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=TRANSITION_OUTPUT_SCHEMA,
         stateStructType=TRANSITION_STATE_SCHEMA,
@@ -458,7 +493,11 @@ def transition_stream(
         timeoutConf=(
             GroupStateTimeout.NoTimeout
             if state_ttl_minutes is None
-            else GroupStateTimeout.ProcessingTimeTimeout
+            else (
+                GroupStateTimeout.EventTimeTimeout
+                if event_mode
+                else GroupStateTimeout.ProcessingTimeTimeout
+            )
         ),
     )
 
@@ -469,7 +508,9 @@ TRANSITION_BUF_STATE_SCHEMA = (
 
 
 def transition_stream_buffered(
-    events: DataFrame, delay_threshold: str = "10 minutes"
+    events: DataFrame,
+    delay_threshold: str = "10 minutes",
+    idle_ttl_minutes: Optional[float] = None,
 ) -> DataFrame:
     """Late-tolerant :func:`transition_stream` — the production posture
     for funnel/transition mining behind an UNORDERED source (r11 verdict
@@ -496,7 +537,21 @@ def transition_stream_buffered(
 
     State bound: the buffer holds at most one delay-window of events per
     user (vs the plain variant's single string) — watermark admission is
-    what makes that a bound, the module's standing rule. Works under
+    what makes that a bound, the module's standing rule. That is the
+    PER-USER bound; ``idle_ttl_minutes`` bounds the OTHER axis (r12
+    verdict item 1): without it, a drained buffer leaves a
+    ``(last, [], [], [])`` row with no timeout armed, so state grows
+    with users-ever-seen. With it, whenever an invocation leaves the
+    buffer empty the EventTimeTimeout is re-armed at
+    ``watermark + idle_ttl`` (the same event-time clock the flush
+    timeouts already use — drains still terminate), and a fire with
+    nothing buffered removes the state row: total state is
+    O(users active within the last idle_ttl of event time), not
+    O(users ever seen). An evicted user who reappears restarts with no
+    boundary — one transition forgone, never fabricated (the plain
+    variant's TTL contract). Default None preserves the exact
+    users-ever-seen twin semantics for bounded-key replays; production
+    paths should set it (the module's standing rule). Works under
     ``availableNow`` drains: event-time timeouts are driven by the data's
     own watermark, which is finite, so the drain terminates (unlike the
     plain variant's processing-time TTL spin) — but the final
@@ -510,6 +565,11 @@ def transition_stream_buffered(
     reorder history (the plain variant cannot make that claim late).
     """
     ev = events.withWatermark("ts", delay_threshold)
+    idle_ms = (
+        None
+        if idle_ttl_minutes is None
+        else max(1, int(float(idle_ttl_minutes) * 60_000))
+    )
 
     def update(
         key: Tuple[Any, ...],
@@ -549,6 +609,14 @@ def transition_stream_buffered(
                 last = et_
             else:
                 keep.append((t_, e_, et_))
+        if not keep and idle_ms is not None and state.hasTimedOut and not buf:
+            # idle fire with nothing buffered: the watermark has passed
+            # idle_ttl beyond the point this user's buffer drained with
+            # no new admitted rows — drop the state row entirely (the
+            # users-ever-seen growth the idle TTL exists to stop)
+            state.remove()
+            yield empty
+            return
         state.update(
             (
                 last,
@@ -562,6 +630,13 @@ def transition_stream_buffered(
             # (must exceed the current watermark — the +1 ms covers an
             # exact-boundary row)
             state.setTimeoutTimestamp(keep[0][0] // 1_000_000 + 1)
+        elif idle_ms is not None:
+            # buffer empty: re-arm the SAME event-time clock as the
+            # flush timeouts at watermark + idle_ttl (timeouts are
+            # cleared on every invocation, so this must be re-set each
+            # time the group runs with an empty buffer; > wm holds
+            # because idle_ms >= 1)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_ms)
         yield pd.DataFrame(out) if out else empty
 
     return ev.groupBy("user_id").applyInPandasWithState(

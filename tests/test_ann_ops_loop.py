@@ -111,7 +111,9 @@ def test_monitor_retune_retrain_loop(spark, tmp_path):
     merge_drift_baseline(
         spark, path, day1.select("vec_id", F.col("vec").alias("v")), segment="day1"
     )
-    gone = [r.vec_id for r in day1.limit(3).collect()]
+    # ordered pick: limit(3) alone is plan-dependent, a failure here
+    # would not reproduce deterministically across runs
+    gone = [r.vec_id for r in day1.orderBy("vec_id").limit(3).collect()]
     delete_from_ivf_index(spark, path, gone, compact_ratio=0.0)  # always compact
     import os
 

@@ -340,3 +340,169 @@ def test_transition_stream_buffered_resumes_from_checkpoint(spark, tmp_path):
     # one added exactly the difference (no loss, no reprocessing)
     assert sum(got1.values()) < sum(want.values())
     assert all(got_all[k] >= got1[k] for k in got1)
+
+
+def _stage_files(spark, schema, files, staging):
+    """Write each row-list as its own parquet file with mod-time spacing
+    so maxFilesPerTrigger=1 replays them as ordered micro-batches."""
+    import time as _time
+
+    for rows in files:
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        _time.sleep(1.1)
+
+
+_TTL_SCHEMA = "ts timestamp, event_id long, user_id long, event_type string"
+
+
+def _ttl_staging_rows():
+    """User 1 ('A') emits view→cart, goes idle for 30 min of EVENT time,
+    then returns with a purchase; user 2 is the watermark driver. With an
+    idle TTL of 10 minutes the watermark passes A's drain point + ttl
+    during file 3, so A's state row must be GONE before the purchase
+    arrives — the cart→purchase boundary transition is forgone. Without
+    the TTL the boundary is carried and the transition appears: the
+    behavioral difference is the proof of state.remove(), because
+    nothing else in either variant can lose a carried boundary."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + _dt.timedelta(minutes=minutes)
+
+    # watermark is max-prior-event-time − 1 min, evaluated at the START
+    # of each batch; a group with data in a batch is never timed out in
+    # that same batch, so the eviction fire needs its own driver-only
+    # batch (file 4) BEFORE the user returns (file 5), and the final
+    # flush needs one batch (file 7) running UNDER the watermark file 6
+    # advanced — the two-sentinel convention of the resume test.
+    return [
+        [(m(0), 1, 1, "view"), (m(1), 2, 1, "cart"), (m(1), 100, 2, "x")],
+        [(m(5), 101, 2, "x")],   # batch runs at wm=+0m
+        [(m(30), 102, 2, "x")],  # wm=+4m: A's buffer flushes, idle timer arms
+        [(m(31), 103, 2, "x")],  # wm=+29m: passes +14m → A evicted (ttl runs)
+        [(m(40), 3, 1, "purchase"), (m(40), 104, 2, "x")],  # A returns
+        [(m(80), 105, 2, "x")],  # raises max event time past the purchase
+        [(m(81), 106, 2, "x")],  # runs at wm=+79m: seals the purchase row
+    ]
+
+
+def _drain_transitions(spark, make_df, staging, name, ckpt, sink_timeout=300):
+    reader = (
+        spark.readStream.schema(_TTL_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+    )
+    q = (
+        make_df(reader)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # returns True on clean termination — the drain-safety property the
+    # event-time clock buys (a processing-time TTL spins here)
+    assert q.awaitTermination(sink_timeout), f"{name} drain did not terminate"
+    return Counter(
+        (r.user_id, r.prev_type, r.event_type)
+        for r in spark.table(name).collect()
+    )
+
+
+def test_transition_stream_buffered_idle_eviction(spark, tmp_path):
+    """r12 verdict item 1: with idle_ttl_minutes set, an idle user's
+    state row is removed once the watermark passes its drain point +
+    ttl — observable as the FORGONE boundary transition when the user
+    reappears — while the no-TTL control run carries the boundary
+    (users-ever-seen semantics) on the identical staging."""
+    from pyspark_streaming_base_spark.streaming.stateful import (
+        transition_stream_buffered,
+    )
+
+    staging = str(tmp_path / "stage")
+    _stage_files(spark, _TTL_SCHEMA, _ttl_staging_rows(), staging)
+
+    got_ttl = _drain_transitions(
+        spark,
+        lambda rd: transition_stream_buffered(
+            rd, delay_threshold="1 minute", idle_ttl_minutes=10
+        ),
+        staging,
+        "buf_idle_ttl",
+        str(tmp_path / "ckpt_ttl"),
+    )
+    got_ctl = _drain_transitions(
+        spark,
+        lambda rd: transition_stream_buffered(rd, delay_threshold="1 minute"),
+        staging,
+        "buf_idle_ctl",
+        str(tmp_path / "ckpt_ctl"),
+    )
+
+    a_ttl = Counter({k: v for k, v in got_ttl.items() if k[0] == 1})
+    a_ctl = Counter({k: v for k, v in got_ctl.items() if k[0] == 1})
+    # control: boundary carried across the 39-minute idle gap
+    assert a_ctl == Counter({(1, "view", "cart"): 1, (1, "cart", "purchase"): 1})
+    # TTL: the idle fire removed A's state before the purchase arrived
+    assert a_ttl == Counter({(1, "view", "cart"): 1})
+    # the watermark-driver user's rows are unaffected by A's eviction
+    assert {k: v for k, v in got_ttl.items() if k[0] == 2} == {
+        k: v for k, v in got_ctl.items() if k[0] == 2
+    }
+
+
+def test_transition_stream_event_ttl_availablenow(spark, tmp_path):
+    """r12 verdict item 6: ttl_timeout='event' makes the plain variant's
+    TTL drain-safe — an availableNow drain with a pending event-time
+    timeout TERMINATES (the processing-time clock measurably spun to
+    epoch ~142 on a one-file drain, the documented caveat this retires)
+    — and the eviction itself bites: the watermark passing
+    last_seen + ttl drops the boundary string, so the reappearing user's
+    transition is forgone exactly as in the buffered variant."""
+    from pyspark_streaming_base_spark.streaming.stateful import (
+        transition_stream,
+    )
+
+    staging = str(tmp_path / "stage")
+    _stage_files(spark, _TTL_SCHEMA, _ttl_staging_rows(), staging)
+
+    got_ttl = _drain_transitions(
+        spark,
+        lambda rd: transition_stream(
+            rd,
+            state_ttl_minutes=10,
+            ttl_timeout="event",
+            delay_threshold="1 minute",
+        ),
+        staging,
+        "plain_event_ttl",
+        str(tmp_path / "ckpt_ev_ttl"),
+    )
+    got_ctl = _drain_transitions(
+        spark,
+        lambda rd: transition_stream(rd),
+        staging,
+        "plain_event_ctl",
+        str(tmp_path / "ckpt_ev_ctl"),
+    )
+
+    a_ttl = Counter({k: v for k, v in got_ttl.items() if k[0] == 1})
+    a_ctl = Counter({k: v for k, v in got_ctl.items() if k[0] == 1})
+    assert a_ctl == Counter({(1, "view", "cart"): 1, (1, "cart", "purchase"): 1})
+    assert a_ttl == Counter({(1, "view", "cart"): 1})
+
+
+def test_transition_stream_bad_ttl_timeout_rejected(spark):
+    import pytest
+
+    from pyspark_streaming_base_spark.streaming.stateful import (
+        transition_stream,
+    )
+
+    with pytest.raises(ValueError, match="ttl_timeout"):
+        transition_stream(None, state_ttl_minutes=5, ttl_timeout="wallclock")

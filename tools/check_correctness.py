@@ -68,9 +68,12 @@ def main() -> int:
         )
     registry = load_all()
     failures = []
+    n_oracle = n_rows_only = 0
     for name, spec in sorted(registry.items()):
         if only and name not in only:
             continue
+        n_oracle += 1 if spec.oracle is not None else 0
+        n_rows_only += 1 if spec.oracle is None else 0
         try:
             sdf = spec.fn(spark, sf_dir)
             scols = sdf.columns
@@ -120,6 +123,15 @@ def main() -> int:
         else:
             failures.append(name)
     print()
+    # r13 (r12 verdict item 8): the checked-count line — carriage-return
+    # progress clobbering made "all queries pass" unverifiable without
+    # reconstructing counts from the log; a silently-skipped query can't
+    # hide behind this line.
+    print(
+        f"checked {n_oracle} oracle / {n_rows_only} rows-only "
+        f"of {len(registry)} registry queries"
+        + (f" (subset filter: {len(only)} requested)" if only else "")
+    )
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         return 1
