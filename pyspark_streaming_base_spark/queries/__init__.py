@@ -166,7 +166,11 @@ DRIVER_PRIORITY: tuple = (
     # q47+q174 in this prefix, C19 profiling by q170/q175/q176, and the
     # components/cluster engine by the q168 closure-CTE oracle).
     "q177_source_novelty",
-    "q178_template_prefix_clusters",
+    # ROUND-13: q178_template_prefix_clusters yields to q193 below
+    # (driver-green hash rows in BOTH r11 and r12, code unchanged; the
+    # source-profiling family keeps THREE prefix reps — q177, q181, and
+    # q190's per-source economics — and q178's template detector stays
+    # exact-green on the local mirror at three SFs).
     # ROUND-12: q179_interarrival_burstiness yields to q192 below
     # (driver-green hash rows in BOTH r10 and r11, code unchanged; the
     # event-behavior family keeps q182_event_transitions and
@@ -256,6 +260,13 @@ DRIVER_PRIORITY: tuple = (
     # comes from q179_interarrival_burstiness (see the yield note
     # above).
     "q192_packing_boundary_audit",
+    # ROUND-13 NEW OPERATOR, rotated in its birth round: the WAV/RIFF
+    # audio-metadata audit — the multimodal family's third prefix rep
+    # next to q80/q188 and the first ORACLE row for the audio modality
+    # (the q188 encode→parse round-trip recipe on RIFF chunk walking +
+    # exact integer duration math). Its slot comes from
+    # q178_template_prefix_clusters (see the yield note above).
+    "q193_wav_metadata_audit",
 )
 
 

@@ -321,3 +321,123 @@ def q188_jpeg_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(batches, schema)
+
+
+@query(
+    "q193_wav_metadata_audit",
+    # The q188 recipe on the audio modality: every WAV parameter is pure
+    # md5-hex arithmetic, so the Arrow-batched ENCODE → RIFF-chunk-walk
+    # PARSE round trip gets a value-hash oracle — DuckDB reproduces the
+    # parameters (including the exact integer duration_us division)
+    # from the same digest math, and the Spark side only matches if
+    # functions/multimodal.py's wav_encode and wav_metadata invert each
+    # other byte-exactly (and the truncation rule dead-letters to NULLs
+    # identically). DuckDB's // is BIGINT floor division = Python's //
+    # on the non-negative operands here.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS dg FROM documents
+    ), p AS (
+      SELECT doc_id,
+             ('0x' || substring(dg, 12, 2))::BIGINT % 16 = 0 AS malformed,
+             8000 + ('0x' || substring(dg, 1, 4))::BIGINT % 40001 AS sr,
+             1 + ('0x' || substring(dg, 5, 1))::BIGINT % 2 AS ch,
+             8 * (1 + ('0x' || substring(dg, 6, 1))::BIGINT % 3) AS bits,
+             1 + ('0x' || substring(dg, 7, 3))::BIGINT % 4096 AS nf
+      FROM m
+    )
+    SELECT doc_id,
+      NOT malformed AS decode_ok,
+      CASE WHEN malformed THEN NULL ELSE sr END AS sample_rate,
+      CASE WHEN malformed THEN NULL ELSE ch END AS channels,
+      CASE WHEN malformed THEN NULL ELSE bits END AS bits_per_sample,
+      CASE WHEN malformed THEN NULL ELSE nf END AS n_frames,
+      CASE WHEN malformed THEN NULL
+           ELSE (nf * 1000000) // sr END AS duration_us
+    FROM p
+    """,
+)
+def q193_wav_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV/RIFF audio-metadata audit (multimodal extension, r13 — the
+    r12 verdict's one named modality gap): the dominant uncompressed
+    audio container's metadata tier — sample rate, channels, bit depth,
+    frame count, exact integer duration — extracted by a
+    dependency-free RIFF chunk walk (``functions/multimodal.py::
+    wav_metadata``; NO sample decode, the 100 TB-audit budget), with
+    malformed payloads dead-lettered to a ``decode_ok = false`` null
+    row instead of failing the job (the q80/q188 contract).
+
+    The corpus is synthesized per doc from digest arithmetic
+    (``wav_encode`` — real RIFF streams; every odd dg[9] nibble inserts
+    a LIST chunk BEFORE fmt so a fmt-first shortcut parser would fail,
+    and every 16th digest truncates its payload to 3 bytes to exercise
+    the dead-letter path), so the oracle can replay the parameters in
+    SQL: the hash match proves encode→parse inverts EXACTLY, including
+    the integer duration division and the null rule. Committed
+    hand-assembled fixtures (``tests/fixtures/*.wav``) pin the parser
+    against byte streams the encoder did NOT produce.
+
+    Scale: payloads are built AND parsed inside one ``mapInPandas``
+    stage — only (doc_id, 6 scalar fields) leave it, blobs never enter
+    an exchange; decode parallelism = input partitions.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        wav_encode,
+        wav_metadata,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("dg")
+    )
+
+    schema = (
+        "doc_id bigint, decode_ok boolean, sample_rate bigint, "
+        "channels bigint, bits_per_sample bigint, n_frames bigint, "
+        "duration_us bigint"
+    )
+    cols = (
+        "doc_id", "decode_ok", "sample_rate", "channels",
+        "bits_per_sample", "n_frames", "duration_us",
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for doc_id, dg in zip(pdf["doc_id"], pdf["dg"]):
+                payload = wav_encode(
+                    sample_rate=8000 + int(dg[0:4], 16) % 40001,
+                    channels=1 + int(dg[4:5], 16) % 2,
+                    bits_per_sample=8 * (1 + int(dg[5:6], 16) % 3),
+                    n_frames=1 + int(dg[6:9], 16) % 4096,
+                    list_chunk=int(dg[9:10], 16) % 2 == 1,
+                )
+                if int(dg[11:13], 16) % 16 == 0:
+                    payload = payload[:3]  # the planted malformed tier
+                try:
+                    meta = wav_metadata(payload)
+                    ok = True
+                except ValueError:
+                    meta, ok = {}, False
+                out["doc_id"].append(int(doc_id))
+                out["decode_ok"].append(ok)
+                out["sample_rate"].append(meta.get("sample_rate"))
+                out["channels"].append(meta.get("channels"))
+                out["bits_per_sample"].append(meta.get("bits_per_sample"))
+                out["n_frames"].append(meta.get("n_frames"))
+                out["duration_us"].append(meta.get("duration_us"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "decode_ok": pd.Series(out["decode_ok"], dtype="bool"),
+                    **{
+                        k: pd.Series(out[k], dtype="Int64")
+                        for k in cols[2:]
+                    },
+                }
+            )
+
+    return d.mapInPandas(batches, schema)
