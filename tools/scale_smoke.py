@@ -377,7 +377,114 @@ FAMILIES = (
     "ivf",
     "pagerank",
     "quantiles",
+    "hotsource",
 )
+
+
+def hotsource_smoke(spark, reps) -> None:
+    """r12 verdict item 4: the per-source bucketed prefix sum (q192's
+    machinery, queries/text.py q192_packing_boundary_audit) under a
+    99%-HOT-SOURCE skew — one feed holding 99% of all documents, the
+    adversarial case the 256 hash-prefix buckets exist for. A
+    source-partitioned corpus-length window would serialize that feed
+    through ONE task; the bucketed two-pass fans it across
+    256 (source, bucket) groups BY CONSTRUCTION, which this smoke
+    asserts two ways:
+
+    * structurally — the largest (source, bucket) local-cumsum group is
+      ~hot_rows/256, never the whole hot source (hard assert at 4× the
+      uniform share, and a second assert that it is under 2% of the hot
+      feed);
+    * by growth — wall time printed at each replication for the
+      SCALE.md table (the shape is one scan + bounded windows + a
+      broadcast carry, so growth should track the scan, not the skew).
+
+    The corpus is synthetic (source/doc_id/nt direct, no tokenizer) so
+    the smoke isolates the prefix-sum machinery the verdict asked
+    about; nt is xxhash64-derived, seedless and rerun-stable.
+    """
+    print("-- hotsource: q192 per-source prefix sum, 99% one-feed skew --")
+    for n in reps:
+        rows = 200_000 * n
+        d = spark.range(rows).select(
+            F.when(F.col("id") % 100 < 99, F.lit("hot"))
+            .otherwise(
+                F.concat(F.lit("cold_"), (F.col("id") % 9).cast("string"))
+            )
+            .alias("source"),
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.xxhash64(F.col("id")), F.lit(400)) + 1)
+            .cast("bigint")
+            .alias("nt"),
+        )
+        hk = F.md5(F.col("doc_id").cast("string")).substr(1, 16)
+        base = d.select(
+            "source",
+            "doc_id",
+            "nt",
+            hk.alias("hk"),
+            F.conv(hk.substr(1, 2), 16, 10).cast("bigint").alias("bucket"),
+        )
+        w_local = (
+            W.partitionBy("source", "bucket")
+            .orderBy("hk", "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        local = base.withColumn("local_cum", F.sum("nt").over(w_local)).persist()
+        totals = local.groupBy("source", "bucket").agg(
+            F.max("local_cum").alias("bt")
+        )
+        w_carry = (
+            W.partitionBy("source").orderBy("bucket").rowsBetween(
+                W.unboundedPreceding, -1
+            )
+        )
+        carry = totals.select(
+            "source",
+            "bucket",
+            F.coalesce(F.sum("bt").over(w_carry), F.lit(0))
+            .cast("bigint")
+            .alias("carry_in"),
+        )
+        cum = local.join(F.broadcast(carry), ["source", "bucket"]).select(
+            "source",
+            "nt",
+            (F.col("carry_in") + F.col("local_cum") - F.col("nt"))
+            .cast("bigint")
+            .alias("cum_before"),
+        )
+        grid = spark.createDataFrame([(512,), (2048,), (8192,)], "win bigint")
+        j = cum.crossJoin(F.broadcast(grid))
+        spans = F.expr("(cum_before + nt - 1) div win > cum_before div win")
+        agg = j.groupBy("source", "win").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(spans, 1)).alias("n_spanning"),
+        )
+        t0 = time.perf_counter()
+        out = agg.collect()
+        dt = time.perf_counter() - t0
+        # structural skew check: the hot feed fans across the buckets
+        hot_rows = next(
+            r.n_docs for r in out if r.source == "hot" and r.win == 512
+        )
+        mx = (
+            local.filter(F.col("source") == "hot")
+            .groupBy("bucket")
+            .count()
+            .agg(F.max("count").alias("mx"), F.count(F.lit(1)).alias("nb"))
+            .collect()[0]
+        )
+        local.unpersist()
+        assert mx.nb == 256, f"expected 256 buckets, got {mx.nb}"
+        assert mx.mx <= 4 * hot_rows / 256, (
+            f"hot-source bucket skew: max group {mx.mx} vs uniform share "
+            f"{hot_rows / 256:.0f}"
+        )
+        assert mx.mx < 0.02 * hot_rows, "one group holds >=2% of the hot feed"
+        print(
+            f"{'hot_prefix_sum':>20}  x{n:<3} {dt:7.3f}s  rows={rows:>9,} "
+            f"hot={hot_rows:,} max_group={mx.mx} (uniform {hot_rows // 256})"
+        )
 
 
 def main() -> None:
@@ -419,6 +526,8 @@ def main() -> None:
         pagerank_smoke(spark, reps)
     if "quantiles" in run:
         quantiles_smoke(spark, reps)
+    if "hotsource" in run:
+        hotsource_smoke(spark, reps)
 
 
 def semdedup_smoke(spark, reps) -> None:
