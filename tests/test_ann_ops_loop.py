@@ -163,3 +163,109 @@ def test_monitor_retune_retrain_loop(spark, tmp_path):
         )
     ).select("vec_id", F.col("vec").alias("v"))
     assert not drift_report(spark, path, day3).collect()[0].drifted
+
+
+def test_streaming_crawl_gate_quarantines_drifted_batch(spark, tmp_path):
+    """r12 verdict item 7: the same monitor→append loop, run in the
+    DEPLOYMENT MODE the runbook describes — a foreachBatch stream over
+    day files. Per micro-batch: `drift_report` against the persisted
+    baseline; clean batches append to the live index (generation-pointer
+    read path) and merge into the baseline; a drifted batch is
+    QUARANTINED to a side table and never touches index or baseline.
+    Decisions asserted batch by batch, and the loop's downstream
+    decisions are unchanged by streaming: the post-drain monitor is
+    still clean for in-distribution data, the quarantine holds exactly
+    the drifted day, the live index holds exactly base + clean days,
+    and `tune_nprobe` still reaches its operating point (met=True)."""
+    import time as _time
+
+    from pyspark_streaming_base_spark.operators.tombstones import read_live
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", dvec("embedding").alias("vec"))
+        .localCheckpoint(eager=True)
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, k=8)
+    write_drift_baseline(spark, path, emb.select("vec_id", F.col("vec").alias("v")))
+
+    day1 = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "vec"
+    )
+    day2 = _reembed(  # the model-change day: MUST be quarantined
+        emb.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 600_000).alias("vec_id"), "vec"
+        )
+    )
+    day3 = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 700_000).alias("vec_id"), "vec"
+    )
+    staging = str(tmp_path / "days")
+    for day in (day1, day2, day3):
+        day.coalesce(1).write.mode("append").parquet(staging)
+        _time.sleep(1.1)  # mod-time order = batch order at 1 file/trigger
+
+    quarantine = str(tmp_path / "quarantine")
+    decisions: list = []  # foreachBatch runs on the driver
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        rep = drift_report(
+            spark, path, batch_df.select("vec_id", F.col("vec").alias("v"))
+        ).collect()[0]
+        if rep.drifted:
+            batch_df.write.mode("append").parquet(quarantine)
+            decisions.append("quarantined")
+        else:
+            append_ivf_index(spark, path, batch_df)
+            merge_drift_baseline(
+                spark,
+                path,
+                batch_df.select("vec_id", F.col("vec").alias("v")),
+                segment=f"batch{batch_id}",
+            )
+            decisions.append("appended")
+
+    q = (
+        spark.readStream.schema(day1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staging)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    # per-batch decisions, in arrival order
+    assert decisions == ["appended", "quarantined", "appended"]
+    # the quarantine holds exactly the drifted day
+    qids = {r.vec_id for r in spark.read.parquet(quarantine).collect()}
+    assert qids == {r.vec_id for r in day2.select("vec_id").collect()}
+    # the live index holds exactly base + clean days (generation-pointer
+    # read path, the invariant-8 rule), and nothing from the drifted day
+    live = {
+        r.vec_id
+        for r in read_live(spark, f"{path}/assignments")
+        .select("vec_id")
+        .collect()
+    }
+    want = {r.vec_id for r in emb.select("vec_id").collect()}
+    want |= {r.vec_id for r in day1.select("vec_id").collect()}
+    want |= {r.vec_id for r in day3.select("vec_id").collect()}
+    assert live == want
+    # loop decisions unchanged by streaming: monitor clean for a fresh
+    # in-distribution batch against the MERGED baseline...
+    day4 = emb.filter(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 800_000).alias("vec_id"),
+        F.col("vec").alias("v"),
+    )
+    assert not drift_report(spark, path, day4).collect()[0].drifted
+    # ...and the operating point still holds on the grown index
+    panel = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    t = tune_nprobe(spark, path, panel, top_k=10, recall_floor=0.9)
+    assert t["met"], t
