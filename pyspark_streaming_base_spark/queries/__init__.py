@@ -121,8 +121,12 @@ DRIVER_PRIORITY: tuple = (
     # unchanged; C19 text profiling keeps q47/q175/q176 in this prefix
     # plus the new q189, and the source-overlap family keeps THREE
     # reps: q177, q178, q181 — plus q190's per-source dedup economics).
-    "q174_keeper_policy_report",  # q158 yields (driver-green r8; the
-    # quality-gate family stays covered by q47 + the q180 waterfall)
+    # ROUND-13: q174_keeper_policy_report yields to q194 below
+    # (driver-green hash rows from r8 through r12, code unchanged; the
+    # quality-gate family keeps q47 + the q180 waterfall in this
+    # prefix, and the keeper-policy machinery stays exact-green on the
+    # local mirror at three SFs). Historical: q174 took q158's slot in
+    # r9 (driver-green r8).
     "q163_pps_token_sample",    # q61 yields (rows-only, driver-green r7;
     # C18 stays covered by the q60 keeper + pytest recall pins)
     # ROUND-11: q164_kcenter_coreset yields to q188 below (q164
@@ -165,7 +169,11 @@ DRIVER_PRIORITY: tuple = (
     # code unchanged since; the quality-gate family stays covered by
     # q47+q174 in this prefix, C19 profiling by q170/q175/q176, and the
     # components/cluster engine by the q168 closure-CTE oracle).
-    "q177_source_novelty",
+    # ROUND-13: q177_source_novelty yields to q195 below (driver-green
+    # hash rows in r10 through r12, code unchanged; the source-profiling
+    # family keeps q181 + q190's per-source economics in this prefix —
+    # plus q195 itself profiles per source — and the novelty curve stays
+    # exact-green on the local mirror at three SFs).
     # ROUND-13: q178_template_prefix_clusters yields to q193 below
     # (driver-green hash rows in BOTH r11 and r12, code unchanged; the
     # source-profiling family keeps THREE prefix reps — q177, q181, and
@@ -267,6 +275,15 @@ DRIVER_PRIORITY: tuple = (
     # exact integer duration math). Its slot comes from
     # q178_template_prefix_clusters (see the yield note above).
     "q193_wav_metadata_audit",
+    # ... the padding-vs-packing POLICY table (q189's padding bill and
+    # q192's splitting bill off one scan, closed with an integer-
+    # compared recommendation — the decision artifact those two price).
+    # Its slot comes from q174_keeper_policy_report (yield note above).
+    "q194_packing_policy",
+    # ... and the per-feed audio profile (q193's RIFF tier × the
+    # per-source rollup: duration mass, dead-letter rate, format mix).
+    # Its slot comes from q177_source_novelty (yield note above).
+    "q195_audio_profile_by_source",
 )
 
 

@@ -441,3 +441,144 @@ def q193_wav_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(batches, schema)
+
+
+@query(
+    "q195_audio_profile_by_source",
+    # q193's digest-arithmetic oracle rolled up per feed: every sum is
+    # exact int64 (max per-doc duration ≈ 5.1·10⁸ µs, so even 10⁹ docs
+    # stay under 2⁶³); the closing fractions/means are raw IEEE
+    # divisions of identical int64 pairs (the q189/q194 convention —
+    # never a rounded float aggregate).
+    oracle="""
+    WITH m AS (
+      SELECT source, md5(text) AS dg FROM documents
+    ), p AS (
+      SELECT source,
+             ('0x' || substring(dg, 12, 2))::BIGINT % 16 = 0 AS malformed,
+             8000 + ('0x' || substring(dg, 1, 4))::BIGINT % 40001 AS sr,
+             1 + ('0x' || substring(dg, 5, 1))::BIGINT % 2 AS ch,
+             8 * (1 + ('0x' || substring(dg, 6, 1))::BIGINT % 3) AS bits,
+             1 + ('0x' || substring(dg, 7, 3))::BIGINT % 4096 AS nf
+      FROM m
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_audio,
+      CAST(COUNT(*) FILTER (WHERE malformed) AS BIGINT) AS n_malformed,
+      CAST(COUNT(*) FILTER (WHERE malformed) AS DOUBLE) / COUNT(*)
+        AS malformed_frac,
+      CAST(SUM(CASE WHEN malformed THEN 0
+               ELSE (nf * 1000000) // sr END) AS BIGINT)
+        AS total_duration_us,
+      CAST(SUM(CASE WHEN malformed THEN 0
+               ELSE (nf * 1000000) // sr END) AS DOUBLE)
+        / COUNT(*) FILTER (WHERE NOT malformed) AS mean_duration_us,
+      CAST(COUNT(*) FILTER (WHERE NOT malformed AND ch = 2) AS BIGINT)
+        AS stereo_docs,
+      CAST(SUM(CASE WHEN malformed THEN 0 ELSE sr END) AS DOUBLE)
+        / COUNT(*) FILTER (WHERE NOT malformed) AS mean_sample_rate,
+      CAST(COUNT(*) FILTER (WHERE NOT malformed AND bits >= 16) AS BIGINT)
+        AS hi_depth_docs
+    FROM p GROUP BY source
+    """,
+)
+def q195_audio_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FEED audio profile (multimodal × source-profiling, r13): the
+    audit a multimodal pretraining pipeline runs before mixing feeds —
+    how much audio each source contributes (exact total/mean duration),
+    how broken it is (dead-letter rate), and its format mix (stereo
+    share, ≥16-bit share, mean sample rate). Composes q193's RIFF
+    metadata tier with the q177/q181-style per-source rollup: the
+    decode stays in the Arrow stage, the rollup is an ordinary
+    (source)-keyed aggregate over its scalar output.
+
+    Exactness: all aggregates are int64 counts/sums of q193's
+    integer-exact fields (duration is the same BIGINT floor division);
+    the fractions/means are raw IEEE divisions of identical int64
+    pairs on both engines.
+
+    Scale: one scan → one mapInPandas (blobs never leave it) → a
+    |sources|-row map-side-combinable aggregate; the exchange carries
+    (source, 7 partial scalars) per task.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        wav_encode,
+        wav_metadata,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.md5(F.encode(F.col("text"), "utf-8")).alias("dg")
+    )
+
+    schema = (
+        "source string, decode_ok boolean, sample_rate bigint, "
+        "channels bigint, bits_per_sample bigint, duration_us bigint"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            src, ok, srs, chs, bits, dur = [], [], [], [], [], []
+            for source, dg in zip(pdf["source"], pdf["dg"]):
+                payload = wav_encode(
+                    sample_rate=8000 + int(dg[0:4], 16) % 40001,
+                    channels=1 + int(dg[4:5], 16) % 2,
+                    bits_per_sample=8 * (1 + int(dg[5:6], 16) % 3),
+                    n_frames=1 + int(dg[6:9], 16) % 4096,
+                    list_chunk=int(dg[9:10], 16) % 2 == 1,
+                )
+                if int(dg[11:13], 16) % 16 == 0:
+                    payload = payload[:3]  # the planted malformed tier
+                try:
+                    meta = wav_metadata(payload)
+                    good = True
+                except ValueError:
+                    meta, good = {}, False
+                src.append(str(source))
+                ok.append(good)
+                srs.append(meta.get("sample_rate"))
+                chs.append(meta.get("channels"))
+                bits.append(meta.get("bits_per_sample"))
+                dur.append(meta.get("duration_us"))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(src, dtype=object),
+                    "decode_ok": pd.Series(ok, dtype="bool"),
+                    "sample_rate": pd.Series(srs, dtype="Int64"),
+                    "channels": pd.Series(chs, dtype="Int64"),
+                    "bits_per_sample": pd.Series(bits, dtype="Int64"),
+                    "duration_us": pd.Series(dur, dtype="Int64"),
+                }
+            )
+
+    meta = d.mapInPandas(batches, schema)
+    ok = F.col("decode_ok")
+    n_ok = F.count(F.when(ok, 1)).cast("bigint")
+    total_dur = F.sum(F.when(ok, F.col("duration_us")).otherwise(0)).cast(
+        "bigint"
+    )
+    return meta.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_audio"),
+        F.count(F.when(~ok, 1)).cast("bigint").alias("n_malformed"),
+        (
+            F.count(F.when(~ok, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("malformed_frac"),
+        total_dur.alias("total_duration_us"),
+        (total_dur.cast("double") / n_ok.cast("double")).alias(
+            "mean_duration_us"
+        ),
+        F.count(F.when(ok & (F.col("channels") == 2), 1))
+        .cast("bigint")
+        .alias("stereo_docs"),
+        (
+            F.sum(F.when(ok, F.col("sample_rate")).otherwise(0)).cast("double")
+            / n_ok.cast("double")
+        ).alias("mean_sample_rate"),
+        F.count(F.when(ok & (F.col("bits_per_sample") >= 16), 1))
+        .cast("bigint")
+        .alias("hi_depth_docs"),
+    )

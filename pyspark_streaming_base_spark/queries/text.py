@@ -3271,3 +3271,193 @@ def q192_packing_boundary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("spanning_frac"),
     )
+
+
+@query(
+    "q194_packing_policy",
+    # One oracle combining q189's padding CTE and q192's prefix-sum CTE
+    # (both already hash-green at three SFs), joined per (source, win);
+    # the policy CASE compares PURE INTEGERS (waste*20 <= slots,
+    # spanning*20 <= docs — the 5% thresholds cross-multiplied), so the
+    # recommendation can never flip on a float tie; the two closing
+    # fractions are raw IEEE divisions of identical int64 pairs, the
+    # q189/q192 convention.
+    oracle="""
+    WITH base AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS nt,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS hk
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+    ),
+    cum AS (
+      SELECT source, nt,
+             CAST(SUM(nt) OVER (PARTITION BY source ORDER BY hk, doc_id
+                  ROWS UNBOUNDED PRECEDING) - nt AS BIGINT) AS cum_before
+      FROM base
+    ),
+    grid AS (SELECT unnest([512, 2048, 8192]) AS win),
+    pad AS (
+      SELECT source, CAST(g.win AS BIGINT) AS win,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             CAST(SUM((nt + g.win - 1) // g.win) AS BIGINT) AS padded_windows
+      FROM base CROSS JOIN grid g GROUP BY source, g.win
+    ),
+    sp AS (
+      SELECT c.source, CAST(g.win AS BIGINT) AS win,
+             CAST(COUNT(*) FILTER (WHERE (c.cum_before + c.nt - 1) // g.win
+                                         > c.cum_before // g.win) AS BIGINT)
+               AS n_spanning,
+             CAST(SUM((c.cum_before + c.nt - 1) // g.win
+                      - c.cum_before // g.win) AS BIGINT) AS n_crossings
+      FROM cum c CROSS JOIN grid g GROUP BY c.source, g.win
+    )
+    SELECT p.source AS source, p.win AS win, p.n_docs AS n_docs,
+           p.total_tokens AS total_tokens,
+           p.padded_windows AS padded_windows,
+           (p.total_tokens + p.win - 1) // p.win AS concat_windows,
+           p.padded_windows * p.win - p.total_tokens AS padding_waste_tokens,
+           CAST(p.padded_windows * p.win - p.total_tokens AS DOUBLE)
+             / CAST(p.padded_windows * p.win AS DOUBLE) AS waste_frac,
+           s.n_spanning AS n_spanning, s.n_crossings AS n_crossings,
+           CAST(s.n_spanning AS DOUBLE) / p.n_docs AS spanning_frac,
+           CASE WHEN (p.padded_windows * p.win - p.total_tokens) * 20
+                     <= p.padded_windows * p.win THEN 'pad'
+                WHEN s.n_spanning * 20 <= p.n_docs THEN 'concat'
+                ELSE 'best_fit' END AS policy
+    FROM pad p JOIN sp s ON p.source = s.source AND p.win = s.win
+    """,
+)
+def q194_packing_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-vs-packing POLICY table per (source, window length)
+    (training-econ extension, r13 — the decision artifact q189's
+    docstring promises): q189's padding bill and q192's splitting bill
+    side by side off ONE scan, closed with a recommendation. Per feed
+    and window: if padding wastes ≤5% of token slots, keep document
+    boundaries (``pad`` — cheapest and attention-clean); else if
+    naive concat splits ≤5% of documents, pack (``concat`` — compute-
+    optimal, small quality bill); else the feed needs a real best-fit
+    packer (``best_fit`` — both naive options are expensive). The 5%
+    thresholds are compared as cross-multiplied INTEGERS so the policy
+    never flips on a float tie (invariant 9's spirit applied to CASE
+    branches).
+
+    Semantics note: restricted to nt > 0 docs on BOTH legs (q192's
+    domain) — a zero-token doc participates in neither padding nor
+    packing, so q189's all-docs n_docs can differ on degenerate rows.
+
+    Scale: one documents scan → counts-only persisted base (CLAUDE.md
+    invariant 10) feeding both legs — the padding leg is a broadcast
+    3-row grid into a (source, win) map-side-combinable aggregate; the
+    splitting leg is the q192 bucketed per-source prefix sum (256
+    hash-prefix buckets, carry broadcast back — hot-feed-safe, proven
+    in tools/scale_smoke.py::hotsource_smoke); the closing join is
+    (source, win)-keyed over catalog-sized aggregates.
+    """
+    from pyspark.sql import Window as W
+
+    hk = F.md5(F.col("doc_id").cast("string")).substr(1, 16)
+    base = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            F.size(_tokens(F.col("text"))).cast("bigint").alias("nt"),
+        )
+        .filter(F.col("nt") > 0)
+        .select(
+            "source",
+            "doc_id",
+            "nt",
+            hk.alias("hk"),
+            F.conv(hk.substr(1, 2), 16, 10).cast("bigint").alias("bucket"),
+        )
+    )
+    w_local = (
+        W.partitionBy("source", "bucket")
+        .orderBy("hk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # ONE persisted counts-only pass-1 feeds all three consumers (the
+    # padding aggregate, the cum rows, and the carry totals) — persist
+    # AFTER the local window so the bucketed cumsum runs once, the q192
+    # convention extended to the pad leg
+    local = base.withColumn("local_cum", F.sum("nt").over(w_local)).persist()
+    grid = spark.createDataFrame(
+        [(int(w),) for w in _PACK_WINDOWS], "win bigint"
+    )
+    # padding leg (q189's shape over the shared pass-1)
+    pad = (
+        local.crossJoin(F.broadcast(grid))
+        .groupBy("source", "win")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.sum(F.expr("(nt + win - 1) div win"))
+            .cast("bigint")
+            .alias("padded_windows"),
+        )
+    )
+    # splitting leg (q192's bucketed per-source prefix sum)
+    totals = local.groupBy("source", "bucket").agg(
+        F.max("local_cum").alias("bt")
+    )
+    w_carry = (
+        W.partitionBy("source").orderBy("bucket").rowsBetween(
+            W.unboundedPreceding, -1
+        )
+    )
+    carry = totals.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bt").over(w_carry), F.lit(0))
+        .cast("bigint")
+        .alias("carry_in"),
+    )
+    cum = local.join(F.broadcast(carry), ["source", "bucket"]).select(
+        "source",
+        "nt",
+        (F.col("carry_in") + F.col("local_cum") - F.col("nt"))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    first_w = F.expr("cum_before div win")
+    last_w = F.expr("(cum_before + nt - 1) div win")
+    sp = (
+        cum.crossJoin(F.broadcast(grid))
+        .groupBy("source", "win")
+        .agg(
+            F.count(F.when(last_w > first_w, 1))
+            .cast("bigint")
+            .alias("n_spanning"),
+            F.sum(last_w - first_w).cast("bigint").alias("n_crossings"),
+        )
+    )
+    waste = F.col("padded_windows") * F.col("win") - F.col("total_tokens")
+    return pad.join(sp, ["source", "win"]).select(
+        "source",
+        "win",
+        "n_docs",
+        "total_tokens",
+        "padded_windows",
+        F.expr("(total_tokens + win - 1) div win")
+        .cast("bigint")
+        .alias("concat_windows"),
+        waste.cast("bigint").alias("padding_waste_tokens"),
+        (
+            waste.cast("double")
+            / (F.col("padded_windows") * F.col("win")).cast("double")
+        ).alias("waste_frac"),
+        "n_spanning",
+        "n_crossings",
+        (
+            F.col("n_spanning").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("spanning_frac"),
+        F.when(waste * 20 <= F.col("padded_windows") * F.col("win"), "pad")
+        .when(F.col("n_spanning") * 20 <= F.col("n_docs"), "concat")
+        .otherwise("best_fit")
+        .alias("policy"),
+    )

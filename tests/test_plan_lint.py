@@ -144,6 +144,8 @@ def test_no_registry_query_has_lint_errors(spark):
         # (q158's pinned bounded-grid shape; PLANS.md audit)
         "q192_packing_boundary_audit",  # same 3-row grid fold as q189,
         # joined to the per-source cum table after the prefix sum
+        "q194_packing_policy",  # the q189+q192 composition: both legs'
+        # 3-row grid folds over the shared persisted base (r13)
     }
     got_warns = set()
     for name, spec in R.items():
