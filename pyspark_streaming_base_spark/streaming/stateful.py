@@ -228,7 +228,13 @@ EWMA_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, ewma double"
 EWMA_STATE_SCHEMA = "n bigint, s double"
 
 
-def ewma_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+def ewma_stream(
+    events: DataFrame,
+    alpha: float = 0.5,
+    state_ttl_minutes: Optional[float] = None,
+    ttl_timeout: str = "processing",
+    delay_threshold: str = "1 minute",
+) -> DataFrame:
     """Per-user running EWMA (``s_j = α·x_j + (1−α)·s_{j-1}``) maintained
     across micro-batches — the streaming form of q110's smoother, with
     per-key state of exactly TWO scalars (count + current value), the
@@ -241,18 +247,40 @@ def ewma_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
     recursion bit-for-bit — asserted in the twin test, a stronger claim
     than the usual approximate streaming equivalence.
 
+    State expiry (r13 — the last NoTimeout-with-per-user-state path in
+    this module, the same users-ever-seen hazard the transition ops
+    closed): ``state_ttl_minutes`` + ``ttl_timeout`` mirror
+    :func:`transition_stream` exactly — ``"processing"`` wall-clock
+    silence (continuous triggers only; pending processing-time timeouts
+    spin availableNow drains), ``"event"`` the drain-safe clock
+    (watermarked input, eviction when the watermark passes
+    ``last_seen + ttl``). An evicted user who reappears RESTARTS the
+    smoother from scratch (n=0 — a cold start, never a fabricated
+    carry); leave None only when the key space itself is bounded.
+
     The per-row Python fold is justified the same way the other state
     ops are: state transitions are inherently sequential per key, the
     work is O(batch) with two floats of state, and the vectorized
     alternative (closed-form weights) cannot span micro-batch
     boundaries.
     """
+    if ttl_timeout not in ("processing", "event"):
+        raise ValueError(f"ttl_timeout must be processing|event, got {ttl_timeout!r}")
+    event_mode = state_ttl_minutes is not None and ttl_timeout == "event"
+    ttl_ms = (
+        None
+        if state_ttl_minutes is None
+        else max(1, int(float(state_ttl_minutes) * 60_000))
+    )
 
     def update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle user: drop the (count, value) pair
+            return
         (n, s) = state.get if state.exists else (0, 0.0)
         # a large group arrives as MULTIPLE Arrow chunks within one
         # micro-batch; sorting each chunk independently would fold
@@ -260,21 +288,39 @@ def ewma_stream(events: DataFrame, alpha: float = 0.5) -> DataFrame:
         # (ts, event_id) order holds across the whole batch (the chunk
         # list is bounded by the group's rows in this batch)
         chunks = [pdf for pdf in pdfs if len(pdf)]
+        last_seen_ms = 0
         if chunks:
             batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            last_seen_ms = int(batch["ts"].astype("int64").max()) // 1_000_000
             for x in batch.sort_values(["ts", "event_id"])["value"]:
                 x = float(x)
                 s = x if n == 0 else alpha * x + (1.0 - alpha) * s
                 n += 1
         state.update((n, s))
+        if ttl_ms is not None:
+            if event_mode:
+                state.setTimeoutTimestamp(
+                    max(last_seen_ms, state.getCurrentWatermarkMs()) + ttl_ms
+                )
+            else:
+                state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame([{"user_id": key[0], "n_events": n, "ewma": s}])
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    ev = events.withWatermark("ts", delay_threshold) if event_mode else events
+    return ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_minutes is None
+            else (
+                GroupStateTimeout.EventTimeTimeout
+                if event_mode
+                else GroupStateTimeout.ProcessingTimeTimeout
+            )
+        ),
     )
 
 

@@ -904,3 +904,79 @@ def test_heavy_hitters_stream_mg_guarantee(spark, tmp_path):
     for (salt, _tok) in got:
         per_salt[salt] = per_salt.get(salt, 0) + 1
     assert all(v <= MG_COUNTERS for v in per_salt.values())
+
+
+def test_ewma_stream_event_ttl_evicts_idle_user(spark, tmp_path):
+    """r13 (module sweep after the r12 verdict's transition finding):
+    ewma_stream was the last per-user-state path with NoTimeout and no
+    knob. With ttl_timeout='event', an idle user's (count, value) pair
+    is removed once the watermark passes last_seen + ttl — observable as
+    a COLD RESTART (n=1, ewma = the raw new value) when the user
+    returns, where the no-TTL control folds on (n=3) — and the
+    availableNow drain terminates cleanly despite the pending
+    event-time timeout (the processing-time clock spins here)."""
+    import datetime as _dt
+    import time as _time
+
+    from pyspark_streaming_base_spark.streaming.stateful import ewma_stream
+
+    schema = "ts timestamp, event_id long, user_id long, value double"
+    t0 = _dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + _dt.timedelta(minutes=minutes)
+
+    files = [
+        [(m(0), 1, 1, 10.0), (m(1), 2, 1, 20.0), (m(1), 100, 2, 1.0)],
+        [(m(5), 101, 2, 1.0)],   # batch runs at wm=+0m
+        [(m(30), 102, 2, 1.0)],  # wm=+4m: timeout at +11m not yet passed
+        [(m(31), 103, 2, 1.0)],  # wm=+29m: user 1 evicted (ttl run)
+        [(m(40), 3, 1, 40.0), (m(40), 104, 2, 1.0)],  # user 1 returns
+    ]
+    staging = str(tmp_path / "stage")
+    for rows in files:
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(staging)
+        _time.sleep(1.1)
+
+    def drain(make_df, name, ckpt):
+        reader = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        q = (
+            make_df(reader)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), f"{name} drain did not terminate"
+        return [
+            (r.n_events, r.ewma)
+            for r in spark.table(name).collect()
+            if r.user_id == 1
+        ]
+
+    got_ttl = drain(
+        lambda rd: ewma_stream(
+            rd,
+            state_ttl_minutes=10,
+            ttl_timeout="event",
+            delay_threshold="1 minute",
+        ),
+        "ewma_ttl",
+        "ck_ewma_ttl",
+    )
+    got_ctl = drain(lambda rd: ewma_stream(rd), "ewma_ctl", "ck_ewma_ctl")
+
+    # both runs fold the first batch identically: n=2, s=0.5*20+0.5*10
+    assert (2, 15.0) in got_ttl and (2, 15.0) in got_ctl
+    # control carries state across the idle gap: n=3, s=0.5*40+0.5*15
+    assert (3, 27.5) in got_ctl and (1, 40.0) not in got_ctl
+    # TTL run: eviction fired, the return is a COLD start
+    assert (1, 40.0) in got_ttl and (3, 27.5) not in got_ttl
