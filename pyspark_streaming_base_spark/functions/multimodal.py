@@ -945,3 +945,299 @@ class WAVDecoder:
             "height": m["bits_per_sample"],
             "n_frames": m["n_frames"],
         }
+
+
+def mp4_encode(
+    timescale: int,
+    duration_ticks: int,
+    width: int,
+    height: int,
+    video_codec: str = "avc1",
+    audio_track: bool = False,
+    mdat_first: bool = False,
+    mvhd_v1: bool = False,
+    largesize_mdat: bool = False,
+) -> bytes:
+    """Assemble a real ISO-BMFF/MP4 byte stream (r13 — the q188/q193
+    recipe on the remaining pretraining modality, video): ``ftyp``, a
+    ``free`` box (walkers must skip it by size), a ``moov`` tree with
+    ``mvhd`` (version 0 or — ``mvhd_v1`` — version 1 with 64-bit
+    times), a video ``trak`` (``tkhd`` carrying 16.16 fixed-point
+    width/height, ``hdlr`` = ``vide``, a ``stsd`` sample entry whose
+    fourcc is the codec), an optional audio ``trak`` (``hdlr`` =
+    ``soun``, ``mp4a`` entry), a ``udta`` box a parser must skip
+    unread, and an ``mdat``. ``mdat_first`` emits the non-faststart
+    layout (mdat BEFORE moov — a reader assuming metadata-first
+    breaks); ``largesize_mdat`` uses the 64-bit size==1 box form.
+    Deterministic: same args → same bytes. The inverse pair for
+    :func:`mp4_metadata`. Reference depth comparison: the reference
+    ships no media handling at all — this tier exists for the
+    LLM-pipeline extension surface."""
+    import struct
+
+    if timescale <= 0 or duration_ticks < 0 or width <= 0 or height <= 0:
+        raise ValueError(
+            f"bad MP4 geometry: ts={timescale} dur={duration_ticks} "
+            f"w={width} h={height}"
+        )
+    if duration_ticks > 0xFFFFFFFF and not mvhd_v1:
+        raise ValueError("duration_ticks needs 64 bits: set mvhd_v1=True")
+    codec = video_codec.encode("ascii")
+    if len(codec) != 4:
+        raise ValueError(f"codec fourcc must be 4 ascii bytes, got {video_codec!r}")
+    # 32-bit duration fields the parser never reads (tkhd/mdhd v0) carry
+    # the spec's all-ones "doesn't fit" sentinel when the real value needs
+    # 64 bits; the authoritative duration lives in mvhd (v1 when needed)
+    dur32 = min(duration_ticks, 0xFFFFFFFF)
+
+    def box(btype: bytes, body: bytes, largesize: bool = False) -> bytes:
+        if largesize:
+            return struct.pack(">I", 1) + btype + struct.pack(">Q", 16 + len(body)) + body
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def full(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+        return box(btype, struct.pack(">B", version) + flags.to_bytes(3, "big") + body)
+
+    unity = struct.pack(
+        ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    n_tracks = 2 if audio_track else 1
+    if mvhd_v1:
+        mvhd = full(
+            b"mvhd", 1, 0,
+            struct.pack(">QQIQ", 0, 0, timescale, duration_ticks)
+            + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+            + unity + b"\x00" * 24 + struct.pack(">I", n_tracks + 1),
+        )
+    else:
+        mvhd = full(
+            b"mvhd", 0, 0,
+            struct.pack(">IIII", 0, 0, timescale, duration_ticks)
+            + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+            + unity + b"\x00" * 24 + struct.pack(">I", n_tracks + 1),
+        )
+
+    def tkhd(track_id: int, w: int, h: int, volume: int) -> bytes:
+        return full(
+            b"tkhd", 0, 7,
+            struct.pack(">IIII", 0, 0, track_id, 0)
+            + struct.pack(">I", dur32) + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, volume, 0)
+            + unity + struct.pack(">II", w << 16, h << 16),
+        )
+
+    mdhd = full(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, dur32)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+
+    def hdlr(handler: bytes, name: bytes) -> bytes:
+        return full(b"hdlr", 0, 0, b"\x00" * 4 + handler + b"\x00" * 12 + name + b"\x00")
+
+    # VisualSampleEntry: 8-byte SampleEntry + 70 bytes of visual fields
+    visual_entry = box(
+        codec,
+        b"\x00" * 6 + struct.pack(">H", 1)           # data_reference_index
+        + b"\x00" * 16                                # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4 + struct.pack(">H", 1)          # frame_count
+        + b"\x00" * 32                                # compressorname
+        + struct.pack(">Hh", 0x0018, -1),
+    )
+    stsd_v = full(b"stsd", 0, 0, struct.pack(">I", 1) + visual_entry)
+    vmhd = full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    trak_v = box(
+        b"trak",
+        tkhd(1, width, height, 0)
+        + box(
+            b"mdia",
+            mdhd + hdlr(b"vide", b"VideoHandler")
+            + box(b"minf", vmhd + box(b"stbl", stsd_v)),
+        ),
+    )
+
+    traks = trak_v
+    if audio_track:
+        audio_entry = box(
+            b"mp4a",
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 2, 16, 0, 0)
+            + struct.pack(">I", 44100 << 16),
+        )
+        stsd_a = full(b"stsd", 0, 0, struct.pack(">I", 1) + audio_entry)
+        smhd = full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        traks += box(
+            b"trak",
+            tkhd(2, 0, 0, 0x0100)
+            + box(
+                b"mdia",
+                mdhd + hdlr(b"soun", b"SoundHandler")
+                + box(b"minf", smhd + box(b"stbl", stsd_a)),
+            ),
+        )
+
+    udta = box(b"udta", box(b"name", b"synthetic"))
+    moov = box(b"moov", mvhd + traks + udta)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"iso2" + b"mp41")
+    free = box(b"free", b"free-pad")
+    mdat = box(b"mdat", b"\x00" * 32, largesize=largesize_mdat)
+    mid = (mdat + moov) if mdat_first else (moov + mdat)
+    return ftyp + free + mid
+
+
+def _mp4_boxes(p: bytes, start: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for the ISO-BMFF boxes in
+    ``p[start:end]``: 32-bit size (incl. 8-byte header), ``size == 1`` →
+    64-bit largesize follows the type, ``size == 0`` → box extends to the
+    enclosing end. Truncated or degenerate sizes raise ``ValueError``."""
+    import struct
+
+    i = start
+    while i < end:
+        if i + 8 > end:
+            raise ValueError("truncated box header")
+        size = struct.unpack_from(">I", p, i)[0]
+        btype = p[i + 4 : i + 8]
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated largesize header")
+            size = struct.unpack_from(">Q", p, i + 8)[0]
+            header = 16
+        elif size == 0:
+            size = end - i  # to end of enclosing box
+            header = 8
+        else:
+            header = 8
+        if size < header or i + size > end:
+            raise ValueError(f"bad {btype!r} box size")
+        yield btype, i + header, i + size
+        i += size
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """Header-tier ISO-BMFF/MP4 parse with NO third-party library and NO
+    sample decode — the metadata a 100 TB crawl audit needs from the
+    dominant video container: brand, movie timescale/duration (exact
+    integer microseconds), track count, video dimensions (16.16
+    fixed-point ``tkhd``), codec fourcc (first ``stsd`` entry of the
+    ``vide`` track), audio presence. Walks the box tree generically
+    (``ftyp``/``free``/``mdat``/``udta`` siblings in any order —
+    non-faststart files put ``mdat`` first; 64-bit largesize and
+    version-1 ``mvhd`` handled), skipping unknown boxes by size, never
+    assuming them absent. Malformed streams raise ``ValueError`` and
+    dead-letter upstream like every other decoder. ``duration_us =
+    duration_ticks * 1_000_000 // timescale`` is integer math so the
+    q196 oracle replays it exactly in SQL. A video-less (audio-only)
+    file is VALID: width/height/codec come back None."""
+    import struct
+
+    p = bytes(payload)
+    if len(p) < 8:
+        raise ValueError("not an ISO-BMFF payload")
+    brand = None
+    mvhd = None
+    tracks = []
+    for btype, b0, b1 in _mp4_boxes(p, 0, len(p)):
+        if btype == b"ftyp":
+            if b1 - b0 < 8:
+                raise ValueError("short ftyp box")
+            brand = p[b0 : b0 + 4].decode("ascii", errors="strict")
+        elif btype == b"moov":
+            for ctype, c0, c1 in _mp4_boxes(p, b0, b1):
+                if ctype == b"mvhd":
+                    version = p[c0]
+                    if version == 1:
+                        if c1 - c0 < 32:
+                            raise ValueError("short mvhd v1")
+                        timescale = struct.unpack_from(">I", p, c0 + 20)[0]
+                        duration = struct.unpack_from(">Q", p, c0 + 24)[0]
+                    else:
+                        if c1 - c0 < 20:
+                            raise ValueError("short mvhd v0")
+                        timescale = struct.unpack_from(">I", p, c0 + 12)[0]
+                        duration = struct.unpack_from(">I", p, c0 + 16)[0]
+                    if timescale == 0:
+                        raise ValueError("degenerate mvhd timescale")
+                    mvhd = (timescale, duration)
+                elif ctype == b"trak":
+                    tracks.append(_mp4_track(p, c0, c1))
+    if brand is None:
+        raise ValueError("missing ftyp box")
+    if mvhd is None:
+        raise ValueError("missing moov/mvhd box")
+    if not tracks:
+        raise ValueError("moov has no trak")
+    timescale, duration = mvhd
+    video = next((tr for tr in tracks if tr["handler"] == b"vide"), None)
+    return {
+        "major_brand": brand,
+        "timescale": int(timescale),
+        "duration_ticks": int(duration),
+        "duration_us": int(duration) * 1_000_000 // int(timescale),
+        "n_tracks": len(tracks),
+        "width": video["width"] if video else None,
+        "height": video["height"] if video else None,
+        "video_codec": video["codec"] if video else None,
+        "has_audio": any(tr["handler"] == b"soun" for tr in tracks),
+    }
+
+
+def _mp4_track(p: bytes, start: int, end: int) -> dict:
+    """One ``trak`` subtree → handler fourcc, 16.16-truncated tkhd
+    width/height, first stsd entry fourcc (codec)."""
+    import struct
+
+    handler = None
+    width = height = None
+    codec = None
+    for btype, b0, b1 in _mp4_boxes(p, start, end):
+        if btype == b"tkhd":
+            # width/height are the LAST 8 bytes for v0 (84B) and v1 (96B)
+            if b1 - b0 < 12:
+                raise ValueError("short tkhd")
+            w, h = struct.unpack_from(">II", p, b1 - 8)
+            width, height = w >> 16, h >> 16
+        elif btype == b"mdia":
+            for ctype, c0, c1 in _mp4_boxes(p, b0, b1):
+                if ctype == b"hdlr":
+                    if c1 - c0 < 12:
+                        raise ValueError("short hdlr")
+                    handler = p[c0 + 8 : c0 + 12]
+                elif ctype == b"minf":
+                    for dtype, d0, d1 in _mp4_boxes(p, c0, c1):
+                        if dtype == b"stbl":
+                            for etype, e0, e1 in _mp4_boxes(p, d0, d1):
+                                if etype == b"stsd":
+                                    if e1 - e0 < 16:
+                                        raise ValueError("short stsd")
+                                    n = struct.unpack_from(">I", p, e0 + 4)[0]
+                                    if n >= 1:
+                                        codec = p[e0 + 12 : e0 + 16].decode(
+                                            "ascii", errors="replace"
+                                        )
+    if handler is None:
+        raise ValueError("trak missing mdia/hdlr")
+    return {"handler": handler, "width": width, "height": height, "codec": codec}
+
+
+class MP4Decoder:
+    """Real header decode for MP4/ISO-BMFF payloads — :func:`mp4_metadata`
+    narrowed to the :class:`Decoder` contract, the same split as
+    :class:`JPEGDecoder`/:class:`WAVDecoder` (n_frames here = movie
+    duration in timescale ticks, the sample-free duration analogue).
+    Non-MP4, malformed, or video-less payloads raise and dead-letter."""
+
+    name = "mp4-header-v1"
+
+    def decode(self, payload: bytes) -> dict:
+        m = mp4_metadata(bytes(payload))
+        if m["width"] is None:
+            raise ValueError("no video track")
+        return {
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["duration_ticks"],
+        }

@@ -217,19 +217,19 @@ DRIVER_PRIORITY: tuple = (
     # plus the q144/q165/q166 shared _ecdf machinery exercised by this
     # very query).
     "q184_conversion_latency",
-    # ... and the per-source duplicate-span mass report (q107's
-    # window-hash tier rolled up to the feed level, three tiers:
-    # repeated / cross-doc / cross-source). Its slot comes from
-    # q173_dedup_measure_overlap (driver-green r9, code unchanged; the
-    # dedup-audit family keeps FOUR prefix reps: q40, q156, q172,
-    # q183).
-    "q185_dup_span_by_source",
-    # ... and the grouped exact-percentile SLA report (q184's recipe per
-    # priority class over the calendar-bounded day-lag domain). Its slot
-    # comes from q169_decile_qq (driver-green r9, code unchanged; the
-    # drift family keeps the q165_cvm_drift keeper and the decile/
-    # percentile machinery stays driver-exercised through q184 + this).
-    "q186_ship_latency_by_priority",
+    # ROUND-13: q185_dup_span_by_source yields to q197 below
+    # (driver-green hash rows r10 through r12, code unchanged; the
+    # dedup-audit family keeps q40, q156, q183, and q191 in this
+    # prefix, and the span machinery stays driver-exercised through
+    # q107's keeper inside the q190 ladder; q185 itself stays
+    # exact-green on the local mirror at three SFs). Historical: q185
+    # took q173's slot in r10.
+    # ROUND-13: q186_ship_latency_by_priority yields to q196 below
+    # (driver-green hash rows r10 through r12, code unchanged; the
+    # percentile/latency family keeps q184_conversion_latency here and
+    # the shared _ecdf machinery stays driver-exercised through q184 +
+    # q187; q186 itself stays exact-green on the local mirror at three
+    # SFs). Historical: q186 took q169_decile_qq's slot in r10.
     # ... and the customer-revenue Lorenz/Pareto decile curve (exact
     # scaled-int value-domain cumulatives through the shared _ecdf
     # two-pass). Its slot comes from q168_kcore (driver-green r9 with
@@ -284,6 +284,25 @@ DRIVER_PRIORITY: tuple = (
     # per-source rollup: duration mass, dead-letter rate, format mix).
     # Its slot comes from q177_source_novelty (yield note above).
     "q195_audio_profile_by_source",
+    # ROUND-13 THIRD WAVE, rotated in its birth round: the MP4/ISO-BMFF
+    # video-metadata audit — completes the mandate's image/audio/VIDEO
+    # modality triple (q188/q193's encode→parse round-trip recipe on
+    # box-tree walking: 16.16 fixed-point geometry, exact integer
+    # duration, layout quirks that must not change parsed values). Its
+    # slot comes from q186_ship_latency_by_priority (driver-green hash
+    # rows r10 through r12, code unchanged; the percentile/latency
+    # family keeps q184_conversion_latency in this prefix and the
+    # shared _ecdf machinery stays driver-exercised through q184 +
+    # q187; q186 stays exact-green on the local mirror at three SFs).
+    "q196_mp4_metadata_audit",
+    # ... and the per-source modality-readiness matrix — all three
+    # modality parsers (q188 JPEG, q193 WAV, q196 MP4) composed in one
+    # Arrow stage, rolled up per feed (decodable-image/audio/video doc
+    # counts, the all-three intersection, AV-duration alignment, total
+    # A/V duration mass — the pairing audit before multimodal
+    # training). Its slot comes from q185_dup_span_by_source (yield
+    # note above).
+    "q197_modality_readiness_by_source",
 )
 
 

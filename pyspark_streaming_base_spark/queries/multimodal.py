@@ -582,3 +582,340 @@ def q195_audio_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hi_depth_docs"),
     )
+
+
+@query(
+    "q196_mp4_metadata_audit",
+    # The q188/q193 recipe on the VIDEO modality — the last of the
+    # mandate's three media kinds: every MP4 parameter is pure md5-hex
+    # arithmetic, so the Arrow-batched ENCODE → box-tree-walk PARSE
+    # round trip gets a value-hash oracle. DuckDB reproduces the
+    # parameters (including the exact integer duration_us division and
+    # the codec-pick CASE) from the same digest math; the Spark side
+    # only matches if functions/multimodal.py's mp4_encode and
+    # mp4_metadata invert each other byte-exactly across the planted
+    # layout quirks (mdat-before-moov, 64-bit largesize mdat,
+    # version-1 mvhd — none of which may change the PARSED values) and
+    # the truncation rule dead-letters to NULLs identically.
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS dg FROM documents
+    ), p AS (
+      SELECT doc_id,
+             ('0x' || substring(dg, 17, 2))::BIGINT % 16 = 0 AS malformed,
+             1000 + ('0x' || substring(dg, 1, 4))::BIGINT % 59001 AS ts,
+             1 + ('0x' || substring(dg, 5, 4))::BIGINT % 100000 AS dur,
+             16 * (1 + ('0x' || substring(dg, 9, 2))::BIGINT % 120) AS w,
+             16 * (1 + ('0x' || substring(dg, 11, 2))::BIGINT % 68) AS h,
+             ('0x' || substring(dg, 13, 1))::BIGINT % 2 = 1 AS aud,
+             ('0x' || substring(dg, 14, 1))::BIGINT % 2 = 1 AS hevc
+      FROM m
+    )
+    SELECT doc_id,
+      NOT malformed AS decode_ok,
+      CASE WHEN malformed THEN NULL
+           ELSE (dur * 1000000) // ts END AS duration_us,
+      CASE WHEN malformed THEN NULL ELSE w END AS width,
+      CASE WHEN malformed THEN NULL ELSE h END AS height,
+      CASE WHEN malformed THEN NULL
+           ELSE CAST(1 + CASE WHEN aud THEN 1 ELSE 0 END AS BIGINT)
+           END AS n_tracks,
+      CASE WHEN malformed THEN NULL
+           WHEN hevc THEN 'hev1' ELSE 'avc1' END AS video_codec,
+      CASE WHEN malformed THEN NULL ELSE aud END AS has_audio
+    FROM p
+    """,
+)
+def q196_mp4_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF video-metadata audit (multimodal extension, r13 —
+    completes the mandate's image/audio/VIDEO triple next to q188/q193):
+    the dominant video container's metadata tier — movie
+    timescale-exact duration, dimensions, track count, codec fourcc,
+    audio presence — extracted by a dependency-free box-tree walk
+    (``functions/multimodal.py::mp4_metadata``; NO sample decode, the
+    100 TB-audit budget), with malformed payloads dead-lettered to a
+    ``decode_ok = false`` null row instead of failing the job (the
+    q80/q188/q193 contract).
+
+    The corpus is synthesized per doc from digest arithmetic
+    (``mp4_encode`` — real box trees; digest nibbles plant the three
+    layout quirks real crawls hit: non-faststart mdat-BEFORE-moov,
+    64-bit largesize mdat, version-1 mvhd with 64-bit times — none may
+    change the parsed VALUES, which is itself part of what the hash
+    match proves; every 16th digest truncates its payload to 5 bytes to
+    exercise the dead-letter path), so the oracle replays the
+    parameters in SQL: the hash match proves encode→parse inverts
+    EXACTLY, including the integer duration division, the 16.16
+    fixed-point width/height round trip, and the null rule. Committed
+    hand-assembled fixtures (``tests/fixtures/*.mp4``) pin the parser
+    against byte streams the encoder did NOT produce.
+
+    Scale: payloads are built AND parsed inside one ``mapInPandas``
+    stage — only (doc_id, 7 scalar fields) leave it, blobs never enter
+    an exchange; decode parallelism = input partitions.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        mp4_encode,
+        mp4_metadata,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("dg")
+    )
+
+    schema = (
+        "doc_id bigint, decode_ok boolean, duration_us bigint, "
+        "width bigint, height bigint, n_tracks bigint, "
+        "video_codec string, has_audio boolean"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ok, dur, ws, hs, nt, cod, aud = ([] for _ in range(8))
+            for doc_id, dg in zip(pdf["doc_id"], pdf["dg"]):
+                quirks = int(dg[14:15], 16)
+                payload = mp4_encode(
+                    timescale=1000 + int(dg[0:4], 16) % 59001,
+                    duration_ticks=1 + int(dg[4:8], 16) % 100000,
+                    width=16 * (1 + int(dg[8:10], 16) % 120),
+                    height=16 * (1 + int(dg[10:12], 16) % 68),
+                    video_codec="hev1" if int(dg[13:14], 16) % 2 else "avc1",
+                    audio_track=int(dg[12:13], 16) % 2 == 1,
+                    mdat_first=quirks % 2 == 1,
+                    largesize_mdat=(quirks // 2) % 2 == 1,
+                    mvhd_v1=int(dg[15:16], 16) % 2 == 1,
+                )
+                if int(dg[16:18], 16) % 16 == 0:
+                    payload = payload[:5]  # the planted malformed tier
+                try:
+                    meta = mp4_metadata(payload)
+                    good = True
+                except ValueError:
+                    meta, good = {}, False
+                ids.append(int(doc_id))
+                ok.append(good)
+                dur.append(meta.get("duration_us"))
+                ws.append(meta.get("width"))
+                hs.append(meta.get("height"))
+                nt.append(meta.get("n_tracks"))
+                cod.append(meta.get("video_codec"))
+                aud.append(meta.get("has_audio"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "decode_ok": pd.Series(ok, dtype="bool"),
+                    "duration_us": pd.Series(dur, dtype="Int64"),
+                    "width": pd.Series(ws, dtype="Int64"),
+                    "height": pd.Series(hs, dtype="Int64"),
+                    "n_tracks": pd.Series(nt, dtype="Int64"),
+                    "video_codec": pd.Series(cod, dtype=object),
+                    "has_audio": pd.Series(aud, dtype="boolean"),
+                }
+            )
+
+    return d.mapInPandas(batches, schema)
+
+
+@query(
+    "q197_modality_readiness_by_source",
+    # All THREE modality parsers (q188 JPEG, q193 WAV, q196 MP4) in one
+    # Arrow pass, rolled up per feed. Each modality draws its parameters
+    # from its own SALTED digest (md5(text || '#img'|'#aud'|'#vid')), so
+    # the three dead-letter flags are independent; every aggregate is an
+    # int64 count/sum of the parsers' integer-exact outputs and the one
+    # fraction is a raw IEEE division of identical int64 pairs. The AV
+    # alignment test is an integer |a_us − v_us| ≤ 2s comparison — no
+    # float ever decides a row's bucket.
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             md5(text || '#img') AS di,
+             md5(text || '#aud') AS da,
+             md5(text || '#vid') AS dv
+      FROM documents
+    ), p AS (
+      SELECT source,
+        NOT (('0x' || substring(di, 12, 2))::BIGINT % 16 = 0) AS img_ok,
+        NOT (('0x' || substring(da, 12, 2))::BIGINT % 16 = 0) AS aud_ok,
+        NOT (('0x' || substring(dv, 17, 2))::BIGINT % 16 = 0) AS vid_ok,
+        ((1 + ('0x' || substring(da, 7, 3))::BIGINT % 4096) * 1000000)
+          // (8000 + ('0x' || substring(da, 1, 4))::BIGINT % 40001) AS a_us,
+        ((1 + ('0x' || substring(dv, 5, 4))::BIGINT % 100000) * 1000000)
+          // (1000 + ('0x' || substring(dv, 1, 4))::BIGINT % 59001) AS v_us
+      FROM m
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) FILTER (WHERE img_ok) AS BIGINT) AS img_ok_docs,
+      CAST(COUNT(*) FILTER (WHERE aud_ok) AS BIGINT) AS aud_ok_docs,
+      CAST(COUNT(*) FILTER (WHERE vid_ok) AS BIGINT) AS vid_ok_docs,
+      CAST(COUNT(*) FILTER (WHERE img_ok AND aud_ok AND vid_ok) AS BIGINT)
+        AS all_ok_docs,
+      CAST(COUNT(*) FILTER (WHERE img_ok AND aud_ok AND vid_ok) AS DOUBLE)
+        / COUNT(*) AS all_ok_frac,
+      CAST(COUNT(*) FILTER (WHERE img_ok AND aud_ok AND vid_ok
+                            AND abs(a_us - v_us) <= 2000000) AS BIGINT)
+        AS av_aligned_docs,
+      CAST(SUM(CASE WHEN aud_ok THEN a_us ELSE 0 END) AS BIGINT)
+        AS total_audio_us,
+      CAST(SUM(CASE WHEN vid_ok THEN v_us ELSE 0 END) AS BIGINT)
+        AS total_video_us
+    FROM p GROUP BY source
+    """,
+)
+def q197_modality_readiness_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-FEED modality-readiness matrix (multimodal composition, r13):
+    the audit a multimodal pretraining mix runs before pairing
+    modalities — per source, how many docs have a decodable image,
+    audio, and video payload, how many have ALL three (the docs an
+    interleaved image+audio+video example can actually be built from),
+    the AV-duration-aligned subset (|audio − video| ≤ 2 s — the clip-
+    alignment precheck), and the total decoded A/V duration mass.
+
+    Composes all three real parsers — q188's JPEG marker walk, q193's
+    RIFF chunk walk, q196's ISO-BMFF box walk — in ONE Arrow stage:
+    each modality's payload is synthesized from its own salted digest
+    (independent dead-letter flags), parsed by the genuine
+    ``*_metadata`` functions, and reduced to six scalars per doc before
+    anything leaves the stage.
+
+    Scale: one 2-column scan (source, text) → three JVM-side md5s →
+    one mapInPandas (three encodes + three parses per doc, blobs never
+    leave the task) → a |sources|-row map-side-combinable aggregate;
+    the exchange carries (source, 6 partial scalars) per task. The
+    modality parsers stay header-tier, so the 100 TB cost is the scan.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark_streaming_base_spark.functions.multimodal import (
+        jpeg_encode_structural,
+        jpeg_metadata,
+        mp4_encode,
+        mp4_metadata,
+        wav_encode,
+        wav_metadata,
+    )
+
+    txt = F.col("text")
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.encode(F.concat(txt, F.lit("#img")), "utf-8")).alias("di"),
+        F.md5(F.encode(F.concat(txt, F.lit("#aud")), "utf-8")).alias("da"),
+        F.md5(F.encode(F.concat(txt, F.lit("#vid")), "utf-8")).alias("dv"),
+    )
+
+    schema = (
+        "source string, img_ok boolean, aud_ok boolean, vid_ok boolean, "
+        "audio_us bigint, video_us bigint"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            src, iok, aok, vok, aus, vus = [], [], [], [], [], []
+            for source, di, da, dv in zip(
+                pdf["source"], pdf["di"], pdf["da"], pdf["dv"]
+            ):
+                img = jpeg_encode_structural(
+                    width=16 + int(di[0:4], 16) % 2000,
+                    height=16 + int(di[4:8], 16) % 2000,
+                    n_components=1 + int(di[8:9], 16) % 4,
+                    progressive=int(di[9:10], 16) % 2 == 1,
+                    exif=int(di[10:11], 16) % 2 == 1,
+                )
+                if int(di[11:13], 16) % 16 == 0:
+                    img = img[:3]
+                aud = wav_encode(
+                    sample_rate=8000 + int(da[0:4], 16) % 40001,
+                    channels=1 + int(da[4:5], 16) % 2,
+                    bits_per_sample=8 * (1 + int(da[5:6], 16) % 3),
+                    n_frames=1 + int(da[6:9], 16) % 4096,
+                    list_chunk=int(da[9:10], 16) % 2 == 1,
+                )
+                if int(da[11:13], 16) % 16 == 0:
+                    aud = aud[:3]
+                quirks = int(dv[14:15], 16)
+                vid = mp4_encode(
+                    timescale=1000 + int(dv[0:4], 16) % 59001,
+                    duration_ticks=1 + int(dv[4:8], 16) % 100000,
+                    width=16 * (1 + int(dv[8:10], 16) % 120),
+                    height=16 * (1 + int(dv[10:12], 16) % 68),
+                    video_codec="hev1" if int(dv[13:14], 16) % 2 else "avc1",
+                    audio_track=int(dv[12:13], 16) % 2 == 1,
+                    mdat_first=quirks % 2 == 1,
+                    largesize_mdat=(quirks // 2) % 2 == 1,
+                    mvhd_v1=int(dv[15:16], 16) % 2 == 1,
+                )
+                if int(dv[16:18], 16) % 16 == 0:
+                    vid = vid[:5]
+                try:
+                    jpeg_metadata(img)
+                    img_ok = True
+                except ValueError:
+                    img_ok = False
+                try:
+                    a_us = wav_metadata(aud)["duration_us"]
+                    aud_ok = True
+                except ValueError:
+                    a_us, aud_ok = None, False
+                try:
+                    v_us = mp4_metadata(vid)["duration_us"]
+                    vid_ok = True
+                except ValueError:
+                    v_us, vid_ok = None, False
+                src.append(str(source))
+                iok.append(img_ok)
+                aok.append(aud_ok)
+                vok.append(vid_ok)
+                aus.append(a_us)
+                vus.append(v_us)
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(src, dtype=object),
+                    "img_ok": pd.Series(iok, dtype="bool"),
+                    "aud_ok": pd.Series(aok, dtype="bool"),
+                    "vid_ok": pd.Series(vok, dtype="bool"),
+                    "audio_us": pd.Series(aus, dtype="Int64"),
+                    "video_us": pd.Series(vus, dtype="Int64"),
+                }
+            )
+
+    meta = d.mapInPandas(batches, schema)
+    img_ok, aud_ok, vid_ok = F.col("img_ok"), F.col("aud_ok"), F.col("vid_ok")
+    all_ok = img_ok & aud_ok & vid_ok
+    return meta.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(img_ok, 1)).cast("bigint").alias("img_ok_docs"),
+        F.count(F.when(aud_ok, 1)).cast("bigint").alias("aud_ok_docs"),
+        F.count(F.when(vid_ok, 1)).cast("bigint").alias("vid_ok_docs"),
+        F.count(F.when(all_ok, 1)).cast("bigint").alias("all_ok_docs"),
+        (
+            F.count(F.when(all_ok, 1)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("all_ok_frac"),
+        F.count(
+            F.when(
+                all_ok
+                & (
+                    F.abs(F.col("audio_us") - F.col("video_us"))
+                    <= F.lit(2_000_000)
+                ),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("av_aligned_docs"),
+        F.sum(F.when(aud_ok, F.col("audio_us")).otherwise(0))
+        .cast("bigint")
+        .alias("total_audio_us"),
+        F.sum(F.when(vid_ok, F.col("video_us")).otherwise(0))
+        .cast("bigint")
+        .alias("total_video_us"),
+    )

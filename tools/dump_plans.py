@@ -73,6 +73,8 @@ AUDIT = [
     "q193_wav_metadata_audit",  # one mapInPandas stage, scalar-only output
     "q194_packing_policy",      # one persisted base, grid agg + prefix sum
     "q195_audio_profile_by_source",  # mapInPandas → |sources|-row agg
+    "q196_mp4_metadata_audit",  # one mapInPandas stage, scalar-only output
+    "q197_modality_readiness_by_source",  # 3 parsers, one Arrow stage, |sources|-row agg
 ]
 
 
