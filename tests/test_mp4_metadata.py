@@ -207,3 +207,75 @@ def test_q196_matches_python_mirror(spark):
     # both tiers actually occur in the fixture corpus
     oks = {r[1] for r in got}
     assert oks == {True, False}
+
+
+# ---------------------------------------------------------------------------
+# Robustness fuzz tier (r13): the dead-letter contract upstream catches
+# ValueError ONLY — any other exception (struct.error from an unchecked
+# unpack, IndexError, infinite walk) would crash the Arrow stage instead
+# of dead-lettering one row. On a 100 TB crawl the parser WILL see every
+# byte pattern; these pins make "parse or ValueError, always terminates"
+# an invariant for all three modality parsers.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark_streaming_base_spark.functions.multimodal import (
+    jpeg_encode_structural,
+    jpeg_metadata,
+    wav_encode,
+    wav_metadata,
+)
+
+_PARSERS = (jpeg_metadata, wav_metadata, mp4_metadata)
+
+
+def _parse_or_valueerror(parser, payload):
+    try:
+        parser(payload)
+    except ValueError:
+        pass  # the dead-letter path — the only legal failure mode
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_parsers_only_raise_valueerror_on_random_bytes(data):
+    for parser in _PARSERS:
+        _parse_or_valueerror(parser, data)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_parsers_survive_byte_smash_on_valid_streams(pos, word):
+    """Overwrite 4 bytes of each VALID payload at an arbitrary offset
+    (sizes, fourccs, counts — whatever lives there) — still parse or
+    ValueError, never anything else."""
+    smash = word.to_bytes(4, "big")
+    for parser, payload in (
+        (jpeg_metadata, jpeg_encode_structural(64, 64, 3, False, True)),
+        (wav_metadata, wav_encode(16000, 2, 16, 50, list_chunk=True)),
+        (
+            mp4_metadata,
+            mp4_encode(30000, 90000, 640, 480, audio_track=True,
+                       largesize_mdat=True),
+        ),
+    ):
+        i = pos % max(1, len(payload) - 4)
+        _parse_or_valueerror(parser, payload[:i] + smash + payload[i + 4 :])
+
+
+def test_parsers_survive_every_truncation():
+    """Exhaustive: every prefix of a valid stream parses or raises
+    ValueError (a prefix CAN be valid — e.g. an MP4 cut exactly before
+    its mdat still has a complete moov)."""
+    for parser, payload in (
+        (jpeg_metadata, jpeg_encode_structural(64, 64, 3, True, False)),
+        (wav_metadata, wav_encode(44100, 1, 24, 13)),
+        (mp4_metadata, mp4_encode(600, 1200, 320, 240, mdat_first=True,
+                                  mvhd_v1=True)),
+    ):
+        for k in range(len(payload)):
+            _parse_or_valueerror(parser, payload[:k])
