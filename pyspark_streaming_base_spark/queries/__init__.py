@@ -230,13 +230,12 @@ DRIVER_PRIORITY: tuple = (
     # the shared _ecdf machinery stays driver-exercised through q184 +
     # q187; q186 itself stays exact-green on the local mirror at three
     # SFs). Historical: q186 took q169_decile_qq's slot in r10.
-    # ... and the customer-revenue Lorenz/Pareto decile curve (exact
-    # scaled-int value-domain cumulatives through the shared _ecdf
-    # two-pass). Its slot comes from q168_kcore (driver-green r9 with
-    # its closure-CTE oracle, code unchanged; the graph family keeps
-    # TWO prefix reps: q103_pagerank_top20 and the component-backed
-    # q183_cluster_density_audit).
-    "q187_revenue_pareto",
+    # ROUND-13: q187_revenue_pareto yields to q198 below (driver-green
+    # hash rows in r11 AND r12 — including its DECIMAL(38,0) channel —
+    # code unchanged; the _ecdf prefix-sum machinery keeps TWO prefix
+    # reps, q184_conversion_latency and the q194 policy table, and the
+    # Lorenz curve stays exact-green on the local mirror at three SFs).
+    # Historical: q187 took q168_kcore's slot in r11.
     # ROUND-11 NEW OPERATOR, rotated in its birth round: the JPEG
     # header-metadata audit — the multimodal family's second prefix rep
     # next to q80, and the first whose oracle exercises a PYTHON
@@ -303,6 +302,13 @@ DRIVER_PRIORITY: tuple = (
     # training). Its slot comes from q185_dup_span_by_source (yield
     # note above).
     "q197_modality_readiness_by_source",
+    # ... and the embedding-dimension truncation-recall table (the
+    # Matryoshka-style eval that decides whether the ANN tier can run
+    # on 8/16/32-dim prefixes and cut index memory 2-8x at 10^9
+    # vectors — gridded-selection determinism per the q140/q164 rule,
+    # all four rankings oracle-mirrored in DuckDB list slices). Its
+    # slot comes from q187_revenue_pareto (yield note above).
+    "q198_dim_truncation_recall",
 )
 
 

@@ -24,7 +24,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from pyspark_streaming_base_spark.functions.vectorops import cosine, dot, dvec as _dvec
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._exact import dround, dsum, sql_dsum
+from pyspark_streaming_base_spark.queries._exact import dround, dsum, sql_dround, sql_dsum
 from pyspark_streaming_base_spark.queries._tables import t
 
 #: Number of query vectors (lowest vec_ids) used by the demo queries.
@@ -1085,4 +1085,141 @@ def q152_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.filter(F.col("neg_rank") <= _NEG_K).select(
         "anchor_id", "vec_id", "sim_r", "neg_rank"
+    )
+
+
+#: dimension prefixes evaluated by the truncation-recall audit (the full
+#: vectors are 64-dim; 8/16/32 are the 8x/4x/2x memory-cut candidates)
+_TRUNC_DIMS = (8, 16, 32)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB twin of ``vectorops.cosine`` on two list expressions."""
+    return (
+        f"list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a}))"
+        f" * SQRT(list_dot_product({b}, {b})))"
+    )
+
+
+def _trunc_branch_sql(d: int) -> str:
+    qs, cs = f"q.e[1:{d}]", f"c.e[1:{d}]"
+    return f"""
+      SELECT {d} AS dim, qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+            {sql_dround(_sql_cos(qs, cs))} DESC, c.vec_id) AS rnk
+        FROM q JOIN c ON c.vec_id <> q.qid)
+      WHERE rnk <= {_TOP_K}"""
+
+
+@query(
+    "q198_dim_truncation_recall",
+    # Recall is a set-overlap COUNT between two independently-ranked
+    # top-k lists, so the cross-engine contract is the q60/q140 one:
+    # every similarity is gridded (dround) BEFORE the rank that decides
+    # membership, ties break on vec_id, and the closing recall is a raw
+    # IEEE division of identical int64 pairs. DuckDB list slices are
+    # 1-based INCLUSIVE (e[1:8] = the first 8 components) — the twin of
+    # Spark's slice(vec, 1, 8).
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+            {sql_dround(_sql_cos("q.e", "c.e"))} DESC, c.vec_id) AS rnk
+        FROM q JOIN c ON c.vec_id <> q.qid)
+      WHERE rnk <= {_TOP_K}
+    ), tr AS ({" UNION ALL ".join(_trunc_branch_sql(d) for d in _TRUNC_DIMS)}
+    ), hits AS (
+      SELECT tr.dim, COUNT(*) AS hits FROM tr
+      JOIN truth ON truth.qid = tr.qid AND truth.vec_id = tr.vec_id
+      GROUP BY tr.dim
+    ), nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT CAST(d.dim AS BIGINT) AS dim,
+      CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+      CAST(nt.n_truth AS BIGINT) AS n_truth,
+      CAST(COALESCE(hits.hits, 0) AS DOUBLE) / nt.n_truth AS recall
+    FROM (VALUES {", ".join(f"({d})" for d in _TRUNC_DIMS)}) AS d(dim)
+    LEFT JOIN hits ON hits.dim = d.dim CROSS JOIN nt
+    """,
+)
+def q198_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension truncation recall (Matryoshka-style eval,
+    r13): for each dimension prefix d ∈ {8, 16, 32} of the 64-dim
+    embeddings, the top-k recall of prefix-cosine retrieval against the
+    full-dimension exact top-k — the table that decides whether the ANN
+    tier (q61/q63/q111) can run on truncated vectors and cut index
+    memory 2–8× at 10⁹ vectors before paying for a retrain.
+
+    Determinism (the q140/q164 gridded-selection rule): every cosine —
+    full AND truncated — is rounded to the 10⁻⁶ grid BEFORE the
+    row_number that decides top-k membership, ties break on vec_id, so
+    both engines pick identical sets and the recall fraction is exact.
+
+    Scale: the query panel is broadcast (q60's shape), each of the four
+    rankings is one corpus scan with per-partition top-k
+    (WindowGroupLimit prunes to ≤k rows per query per task before the
+    exchange), and everything after the rankings operates on
+    |panel|·k-row keys-only sets. Truncated branches fold d components
+    instead of 64 — the candidate-side work SHRINKS with d, and no
+    vector ever enters an exchange.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("qid"), _dvec("embedding").alias("qvec")
+        )
+    )
+    c = emb.select("vec_id", _dvec("embedding").alias("cvec"))
+    pairs = q.join(c, F.col("vec_id") != F.col("qid"))
+
+    def topk(qv, cv) -> DataFrame:
+        sim = dround(cosine(qv, cv))
+        return (
+            pairs.withColumn("sim_r", sim)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.partitionBy("qid").orderBy(
+                        F.col("sim_r").desc(), F.col("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("qid", "vec_id")
+        )
+
+    truth = topk(F.col("qvec"), F.col("cvec"))
+    trunc = None
+    for d in _TRUNC_DIMS:
+        b = topk(
+            F.slice(F.col("qvec"), 1, d), F.slice(F.col("cvec"), 1, d)
+        ).select(F.lit(d).cast("bigint").alias("dim"), "qid", "vec_id")
+        trunc = b if trunc is None else trunc.unionByName(b)
+
+    hits = (
+        trunc.join(truth, ["qid", "vec_id"])
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(d).cast("bigint") for d in _TRUNC_DIMS])
+        ).alias("dim")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return (
+        grid.join(hits, "dim", "left")
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(n_truth))
+        .withColumn(
+            "recall",
+            F.col("hits").cast("double") / F.col("n_truth").cast("double"),
+        )
+        .select("dim", "hits", "n_truth", "recall")
     )

@@ -146,6 +146,9 @@ def test_no_registry_query_has_lint_errors(spark):
         # joined to the per-source cum table after the prefix sum
         "q194_packing_policy",  # the q189+q192 composition: both legs'
         # 3-row grid folds over the shared persisted base (r13)
+        "q198_dim_truncation_recall",  # broadcast query-panel folds (q60
+        # shape, x4 rankings) + the 1-row n_truth broadcast fold and
+        # 3-row dim grid (r13; PLANS.md audit)
     }
     got_warns = set()
     for name, spec in R.items():

@@ -75,6 +75,7 @@ AUDIT = [
     "q195_audio_profile_by_source",  # mapInPandas → |sources|-row agg
     "q196_mp4_metadata_audit",  # one mapInPandas stage, scalar-only output
     "q197_modality_readiness_by_source",  # 3 parsers, one Arrow stage, |sources|-row agg
+    "q198_dim_truncation_recall",  # 4 broadcast rankings, keys-only joins
 ]
 
 
