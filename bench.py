@@ -75,6 +75,9 @@ EXTENDED = [
     #                                the serving capstone a deployment runs
     "q155_prf_query_expansion",    # two-pass PRF/RM3-lite retrieval (r8)
     "q180_filter_waterfall",       # 5-rule quality waterfall, one scan (r10)
+    "q197_modality_readiness_by_source",  # 3 media parsers in one Arrow
+    #                                stage + per-feed rollup (r13): prices
+    #                                the whole multimodal decode tier
 ]
 # r6: the inline q111_ivfadc_ann entry (5.5 s at r5, dominated by
 # re-training codebooks + re-encoding the corpus inside the query) is

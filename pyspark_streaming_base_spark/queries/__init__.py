@@ -192,16 +192,13 @@ DRIVER_PRIORITY: tuple = (
     # unchanged; the drift family keeps THREE prefix reps:
     # q165_cvm_drift, q166_mann_whitney, q169_decile_qq).
     "q180_filter_waterfall",
-    # ... plus the cross-LANGUAGE leakage matrix (the audit of the
-    # lang-blocking assumption every near-dup family builds on) and the
-    # event-type transition matrix (first-order Markov chain — funnel /
-    # behavioral-drift analytics one step finer than q141's marginals).
-    # Their slots come from q155_prf_query_expansion (driver-green hash
-    # rows in r8 AND r9; retrieval stays covered by the q154 keeper,
-    # whose BM25 machinery q155 composes) and q167_source_concentration
-    # (driver-green r9, code unchanged; the source-profiling family now
-    # has THREE prefix reps: q172, q177, q178).
-    "q181_cross_lingual_leakage",
+    # ROUND-13: q181_cross_lingual_leakage yields to q199 below
+    # (driver-green hash rows r10 through r12, code unchanged; the
+    # leakage/dedup-audit family keeps q191_split_leakage_audit and
+    # q183_cluster_density_audit in this prefix, and q181 stays
+    # exact-green on the local mirror at three SFs). Historical: q181
+    # took q155's slot in r10. The event-type transition matrix
+    # (first-order Markov chain) keeps its slot:
     "q182_event_transitions",
     # ... and the cluster edge-density audit (the over-merge diagnostic
     # for closure-based dedup — chain-shaped clusters are the docs a
@@ -309,6 +306,12 @@ DRIVER_PRIORITY: tuple = (
     # all four rankings oracle-mirrored in DuckDB list slices). Its
     # slot comes from q187_revenue_pareto (yield note above).
     "q198_dim_truncation_recall",
+    # ... and the ranked-retrieval metrics table (MRR + full-corpus-
+    # ideal nDCG@k over the dense arm, digest-graded relevance,
+    # pre-gridded log2 discounts so no engine evaluates a
+    # transcendental — the eval q146's set-recall doesn't give). Its
+    # slot comes from q181_cross_lingual_leakage (yield note above).
+    "q199_retrieval_metrics",
 )
 
 

@@ -1202,8 +1202,11 @@ def q198_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(d).cast("bigint").alias("dim"), "qid", "vec_id")
         trunc = b if trunc is None else trunc.unionByName(b)
 
+    # truth is |panel|*k rows by construction (30 here) -> broadcast, so
+    # the hit-join and the grid assembly below never plan a sort-merge
+    # exchange pair for set sizes bounded by the panel
     hits = (
-        trunc.join(truth, ["qid", "vec_id"])
+        trunc.join(F.broadcast(truth), ["qid", "vec_id"])
         .groupBy("dim")
         .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
     )
@@ -1214,7 +1217,7 @@ def q198_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     return (
-        grid.join(hits, "dim", "left")
+        grid.join(F.broadcast(hits), "dim", "left")
         .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)).cast("bigint"))
         .crossJoin(F.broadcast(n_truth))
         .withColumn(
@@ -1222,4 +1225,178 @@ def q198_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hits").cast("double") / F.col("n_truth").cast("double"),
         )
         .select("dim", "hits", "n_truth", "recall")
+    )
+
+
+#: DCG rank discounts 1/log2(r+1) for r = 1..k, pre-gridded to 1e-6 and
+#: embedded as LITERALS in both engines — neither engine ever evaluates a
+#: transcendental, so the metric stays inside the exact-sum contract
+#: (rel ∈ {0..3} × a 6-decimal literal is a 6-decimal value, dsum-safe).
+import math as _math
+
+_DISCOUNTS = tuple(
+    _math.floor(1.0 / _math.log2(r + 1) * 1e6 + 0.5) / 1e6
+    for r in range(1, _TOP_K + 1)
+)
+
+
+def _sql_rel(qid: str, vid: str) -> str:
+    """Digest-graded relevance: 60-bit md5 of 'qid:vec_id' → %8 → the
+    {0,0,0,0,0,1,2,3} grade ladder (mostly irrelevant, few graded)."""
+    return (
+        f"GREATEST(CAST(concat('0x', substring(md5({qid} || ':' || {vid}),"
+        f" 1, 15)) AS BIGINT) % 8 - 4, 0)"
+    )
+
+
+def _sql_disc(rnk: str) -> str:
+    cases = " ".join(f"WHEN {r} THEN {d!r}" for r, d in enumerate(_DISCOUNTS, 1))
+    return f"CASE {rnk} {cases} END"
+
+
+@query(
+    "q199_retrieval_metrics",
+    # MRR + nDCG@k with FULL-CORPUS ideal: the retrieved list is q60's
+    # gridded-cosine top-k (same CTE), relevance grades are pure digest
+    # arithmetic, the log2 discounts are pre-gridded literals (no
+    # transcendental runs in either engine), per-rank gains go through
+    # the exact scaled-int sum, and the closing rr/ndcg are dround /
+    # raw-division of identical values — the whole ranked-eval stack
+    # stays on the cross-engine-exact lattice.
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), ret AS (
+      SELECT qid, vec_id, rnk,
+             {_sql_rel("qid", "vec_id")} AS rel
+      FROM (
+        SELECT q.qid, c.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+            {sql_dround(_sql_cos("q.e", "c.e"))} DESC, c.vec_id) AS rnk
+        FROM q JOIN c ON c.vec_id <> q.qid)
+      WHERE rnk <= {_TOP_K}
+    ), dcg AS (
+      SELECT qid,
+        {sql_dsum(f"rel * ({_sql_disc('rnk')})")} AS dcg,
+        MIN(CASE WHEN rel > 0 THEN rnk END) AS first_rel_rank
+      FROM ret GROUP BY qid
+    ), lab AS (
+      SELECT q.qid, c.vec_id,
+             {_sql_rel("q.qid", "c.vec_id")} AS rel
+      FROM (SELECT qid FROM q) q
+      JOIN (SELECT vec_id FROM c) c ON c.vec_id <> q.qid
+    ), ideal AS (
+      SELECT qid, rel,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id)
+          AS irnk
+      FROM lab
+    ), idcg AS (
+      SELECT qid, {sql_dsum(f"rel * ({_sql_disc('irnk')})")} AS idcg
+      FROM ideal WHERE irnk <= {_TOP_K} GROUP BY qid
+    )
+    SELECT d.qid,
+      CAST(d.first_rel_rank AS BIGINT) AS first_rel_rank,
+      CASE WHEN d.first_rel_rank IS NULL THEN 0.0
+           ELSE {sql_dround("1.0 / d.first_rel_rank")} END AS rr,
+      d.dcg AS dcg, i.idcg AS idcg, d.dcg / i.idcg AS ndcg
+    FROM dcg d JOIN idcg i ON i.qid = d.qid
+    """,
+)
+def q199_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval quality metrics (MRR, nDCG@k with a FULL-CORPUS
+    ideal) for the dense arm — the standard eval table q146's set-recall
+    doesn't give: how early the first relevant hit lands (reciprocal
+    rank) and how well the whole ranking orders graded relevance
+    against the best achievable ordering over the ENTIRE corpus (not
+    just the retrieved set — an arm that misses every graded doc scores
+    0, which retrieved-set-normalized nDCG would hide).
+
+    Relevance grades are digest arithmetic (mostly-zero {0,1,2,3}
+    ladder), so both engines label identically; the log2 discounts are
+    pre-gridded module literals (no transcendental evaluated anywhere);
+    per-rank gains go through the exact scaled-int sum; rr is gridded;
+    ndcg is a raw division of identical doubles.
+
+    Scale: the retrieved arm is q60's broadcast-panel scan (one corpus
+    pass, WindowGroupLimit top-k per task); the ideal arm is the same
+    window machinery over (qid, vec_id, rel) KEYS ONLY — no vector is
+    touched to rank labels, and everything after the two rankings is
+    |panel|-row arithmetic.
+    """
+    from pyspark_streaming_base_spark.functions.textops import hash60
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("qid"), _dvec("embedding").alias("qvec")
+        )
+    )
+    c = emb.select("vec_id", _dvec("embedding").alias("cvec"))
+
+    rel = F.greatest(
+        hash60(F.concat_ws(":", F.col("qid"), F.col("vec_id"))) % 8 - 4,
+        F.lit(0),
+    )
+    disc_of = lambda rnk: F.element_at(  # noqa: E731 — rank → literal table
+        F.array(*[F.lit(d) for d in _DISCOUNTS]), rnk.cast("int")
+    )
+
+    ret = (
+        q.join(c, F.col("vec_id") != F.col("qid"))
+        .withColumn("sim_r", dround(cosine(F.col("qvec"), F.col("cvec"))))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    F.col("sim_r").desc(), F.col("vec_id")
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= _TOP_K)
+        .withColumn("rel", rel)
+    )
+    dcg = ret.groupBy("qid").agg(
+        dsum(F.col("rel") * disc_of(F.col("rnk"))).alias("dcg"),
+        F.min(F.when(F.col("rel") > 0, F.col("rnk"))).alias("first_rel_rank"),
+    )
+
+    qids = F.broadcast(
+        emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("qid")
+        )
+    )
+    lab = (
+        qids.join(emb.select("vec_id"), F.col("vec_id") != F.col("qid"))
+        .withColumn("rel", rel)
+        .withColumn(
+            "irnk",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    F.col("rel").desc(), F.col("vec_id")
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("irnk") <= _TOP_K)
+    )
+    idcg = lab.groupBy("qid").agg(
+        dsum(F.col("rel") * disc_of(F.col("irnk"))).alias("idcg")
+    )
+
+    return (
+        dcg.join(F.broadcast(idcg), "qid")
+        .withColumn(
+            "rr",
+            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0)).otherwise(
+                dround(F.lit(1.0) / F.col("first_rel_rank"))
+            ),
+        )
+        .withColumn("ndcg", F.col("dcg") / F.col("idcg"))
+        .select("qid", "first_rel_rank", "rr", "dcg", "idcg", "ndcg")
     )

@@ -149,6 +149,8 @@ def test_no_registry_query_has_lint_errors(spark):
         "q198_dim_truncation_recall",  # broadcast query-panel folds (q60
         # shape, x4 rankings) + the 1-row n_truth broadcast fold and
         # 3-row dim grid (r13; PLANS.md audit)
+        "q199_retrieval_metrics",  # broadcast query-panel folds (q60
+        # shape) on both the retrieved and the keys-only ideal arm (r13)
     }
     got_warns = set()
     for name, spec in R.items():

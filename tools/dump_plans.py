@@ -76,6 +76,7 @@ AUDIT = [
     "q196_mp4_metadata_audit",  # one mapInPandas stage, scalar-only output
     "q197_modality_readiness_by_source",  # 3 parsers, one Arrow stage, |sources|-row agg
     "q198_dim_truncation_recall",  # 4 broadcast rankings, keys-only joins
+    "q199_retrieval_metrics",  # q60 arm + keys-only ideal arm, panel-row math
 ]
 
 
