@@ -38,7 +38,7 @@ REGISTRY: Dict[str, QuerySpec] = {}
 
 # The verify driver checks the FIRST 50 registry entries only (observed:
 # CORRECTNESS_r01/r02 each contain exactly the first 50 names in registry
-# order).  With 185 registered queries that budget must be spent deliberately:
+# order).  With ~200 registered queries that budget must be spent deliberately:
 # DRIVER_PRIORITY pins a 50-query prefix that covers every SURVEY.md §2
 # component (C1–C25, B8, multimodal) at least once, so each component gets a
 # driver-verified correctness row every round.  Queries outside the prefix
