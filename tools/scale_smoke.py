@@ -369,6 +369,7 @@ def _crawl_smoke_loop(spark, reps, tag):
 #: selectable smoke families (CLI: non-integer args pick a subset)
 FAMILIES = (
     "shapes",
+    "statettl",
     "crawl",
     "bloom",
     "semdedup",
@@ -528,6 +529,8 @@ def main() -> None:
         quantiles_smoke(spark, reps)
     if "hotsource" in run:
         hotsource_smoke(spark, reps)
+    if "statettl" in run:
+        statettl_smoke(spark, reps)
 
 
 def semdedup_smoke(spark, reps) -> None:
@@ -1085,6 +1088,96 @@ def quantiles_smoke(spark, reps) -> None:
             print(f"{'quantile_rebuild':>20}  x{n:<3} {dt_reb:7.3f}s  (union)")
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+
+
+def statettl_smoke(spark, reps) -> None:
+    """MEASURED state-cardinality bound for the r13 event-time idle TTL
+    (ewma_stream — the same knob transition_stream/_buffered carry):
+    B=5 micro-batches of U brand-new transient users each, event time
+    advancing one hour per batch (ttl = 10 min, delay = 1 min), so by
+    the time batch b processes, every user from batches <= b-1 has
+    timed out. The no-TTL control holds users-ever-seen = B*U state
+    rows at drain end; the TTL run holds only the LAST batch's U (the
+    one cohort whose eviction no later batch has yet triggered). Rows
+    come from the query's own recentProgress stateOperators metrics —
+    the state store's count, not an inference."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from pyspark_streaming_base_spark.streaming.stateful import ewma_stream
+
+    schema = "ts timestamp, event_id long, user_id long, value double"
+    t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    B = 5
+
+    for n in reps:
+        users_per_batch = 200 * n
+        work = tempfile.mkdtemp(prefix="statettl_")
+        staging = f"{work}/stage"
+        for b in range(B):
+            rows = [
+                (
+                    t0 + datetime.timedelta(hours=b),
+                    b * users_per_batch + u,
+                    b * users_per_batch + u,
+                    1.0,
+                )
+                for u in range(users_per_batch)
+            ]
+            spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(staging)
+            time.sleep(1.1)  # distinct mtimes -> stable file order
+
+        def drain(make_df, name):
+            q = (
+                make_df(
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(staging)
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", f"{work}/ck_{name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(600), f"{name} drain hung"
+            rows_total = None
+            for pr in reversed(q.recentProgress):
+                ops = pr.get("stateOperators") or []
+                if ops and ops[0].get("numRowsTotal") is not None:
+                    rows_total = ops[0]["numRowsTotal"]
+                    break
+            return rows_total
+
+        t1 = time.perf_counter()
+        ttl_rows = drain(
+            lambda rd: ewma_stream(
+                rd,
+                state_ttl_minutes=10,
+                ttl_timeout="event",
+                delay_threshold="1 minute",
+            ),
+            f"sttl_{n}",
+        )
+        dt_ttl = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        ctl_rows = drain(lambda rd: ewma_stream(rd), f"sctl_{n}")
+        dt_ctl = time.perf_counter() - t1
+        seen = B * users_per_batch
+        print(
+            f"statettl x{n:<3} users_ever_seen={seen:>6} "
+            f"state_rows ttl={ttl_rows} (bound {users_per_batch}) "
+            f"control={ctl_rows}  drain ttl={dt_ttl:5.1f}s ctl={dt_ctl:5.1f}s"
+        )
+        assert ttl_rows == users_per_batch, (ttl_rows, users_per_batch)
+        assert ctl_rows == seen, (ctl_rows, seen)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
