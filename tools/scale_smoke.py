@@ -1107,9 +1107,17 @@ def statettl_smoke(spark, reps) -> None:
     import shutil
     import tempfile
 
-    from pyspark_streaming_base_spark.streaming.stateful import ewma_stream
+    from pyspark_streaming_base_spark.streaming.stateful import (
+        ewma_stream,
+        transition_stream_buffered,
+    )
 
-    schema = "ts timestamp, event_id long, user_id long, value double"
+    full_schema = (
+        "ts timestamp, event_id long, user_id long, value double, "
+        "event_type string"
+    )
+    ewma_schema = "ts timestamp, event_id long, user_id long, value double"
+    trans_schema = "ts timestamp, event_id long, user_id long, event_type string"
     t0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
     B = 5
 
@@ -1124,15 +1132,16 @@ def statettl_smoke(spark, reps) -> None:
                     b * users_per_batch + u,
                     b * users_per_batch + u,
                     1.0,
+                    "view" if u % 2 == 0 else "click",
                 )
                 for u in range(users_per_batch)
             ]
-            spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
-                "append"
-            ).parquet(staging)
+            spark.createDataFrame(rows, schema=full_schema).coalesce(
+                1
+            ).write.mode("append").parquet(staging)
             time.sleep(1.1)  # distinct mtimes -> stable file order
 
-        def drain(make_df, name):
+        def drain(make_df, name, schema, mode="update"):
             q = (
                 make_df(
                     spark.readStream.schema(schema)
@@ -1141,7 +1150,7 @@ def statettl_smoke(spark, reps) -> None:
                 )
                 .writeStream.format("memory")
                 .queryName(name)
-                .outputMode("update")
+                .outputMode(mode)
                 .option("checkpointLocation", f"{work}/ck_{name}")
                 .trigger(availableNow=True)
                 .start()
@@ -1164,19 +1173,51 @@ def statettl_smoke(spark, reps) -> None:
                 delay_threshold="1 minute",
             ),
             f"sttl_{n}",
+            ewma_schema,
         )
         dt_ttl = time.perf_counter() - t1
         t1 = time.perf_counter()
-        ctl_rows = drain(lambda rd: ewma_stream(rd), f"sctl_{n}")
+        ctl_rows = drain(lambda rd: ewma_stream(rd), f"sctl_{n}", ewma_schema)
         dt_ctl = time.perf_counter() - t1
         seen = B * users_per_batch
         print(
-            f"statettl x{n:<3} users_ever_seen={seen:>6} "
+            f"statettl x{n:<3} ewma       users_ever_seen={seen:>6} "
             f"state_rows ttl={ttl_rows} (bound {users_per_batch}) "
             f"control={ctl_rows}  drain ttl={dt_ttl:5.1f}s ctl={dt_ctl:5.1f}s"
         )
         assert ttl_rows == users_per_batch, (ttl_rows, users_per_batch)
         assert ctl_rows == seen, (ctl_rows, seen)
+
+        t1 = time.perf_counter()
+        bttl_rows = drain(
+            lambda rd: transition_stream_buffered(
+                rd, delay_threshold="1 minute", idle_ttl_minutes=10
+            ),
+            f"bttl_{n}",
+            trans_schema,
+            mode="append",
+        )
+        dt_bttl = time.perf_counter() - t1
+        t1 = time.perf_counter()
+        bctl_rows = drain(
+            lambda rd: transition_stream_buffered(rd, delay_threshold="1 minute"),
+            f"bctl_{n}",
+            trans_schema,
+            mode="append",
+        )
+        dt_bctl = time.perf_counter() - t1
+        # the buffered op holds TWO cohorts at steady state: the newest
+        # (rows the watermark hasn't passed stay buffered) and the one
+        # flushed last batch (its idle timeout, armed at buffer-empty,
+        # fires one batch later) — O(2 x active window), never ever-seen
+        print(
+            f"statettl x{n:<3} transition users_ever_seen={seen:>6} "
+            f"state_rows ttl={bttl_rows} (bound {2 * users_per_batch}) "
+            f"control={bctl_rows}  drain ttl={dt_bttl:5.1f}s "
+            f"ctl={dt_bctl:5.1f}s"
+        )
+        assert bttl_rows <= 2 * users_per_batch, (bttl_rows, users_per_batch)
+        assert bctl_rows == seen, (bctl_rows, seen)
         shutil.rmtree(work, ignore_errors=True)
 
 
