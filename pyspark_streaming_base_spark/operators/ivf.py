@@ -28,23 +28,39 @@ from pyspark_streaming_base_spark.functions.vectorops import cosine, dvec
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, vec, cell): nearest-centroid cell per vector — one
-    broadcast join + argmax, the corpus never shuffles."""
+    """(vec_id, vec, cell): nearest-centroid cell per vector — a pure
+    PROJECTION over the corpus (r13): the by-construction-small centroid
+    table is folded to ONE row of (cent_id, cvec) structs and broadcast,
+    and the argmax runs as an expression fold per corpus row. The old
+    shape (broadcast join multiplying the corpus ×n_cells, then a
+    groupBy(vec_id) pulling it back) paid one full-corpus exchange
+    carrying ``vec`` — this pays zero: no exchange, no row
+    multiplication, same arithmetic.
+
+    Bit-exact with the former aggregate: ``cosine`` is the same shared
+    sequential fold per (vec, cvec) pair, and ``array_max`` over
+    struct(csim, -cent_id, …) is the same lexicographic ordering
+    ``max_by(cent_id, struct(csim, -cent_id))`` used (NaN/tie semantics
+    shared by both — one interpreted ordering)."""
+    cents = centroids.groupBy().agg(
+        F.collect_list(F.struct("cent_id", "cvec")).alias("_cents")
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                cosine(F.col("vec"), c["cvec"]).alias("csim"),
+                (-c["cent_id"]).alias("tb"),
+                c["cent_id"].alias("cell"),
+            ),
+        )
+    )
     return (
-        emb.join(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "vec",
-            "cent_id",
-            cosine(F.col("vec"), F.col("cvec")).alias("csim"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("vec").alias("vec"),
-            F.max_by(
-                "cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("tb"))
-            ).alias("cell"),
-        )
+        emb.join(F.broadcast(cents))  # 1-row broadcast: idiomatic BNLJ
+        .select("vec_id", "vec", best["cell"].alias("cell"))
+        # empty-centroid input degrades to an empty result (the old
+        # join-based semantics), never a NULL cell
+        .where(F.col("cell").isNotNull())
     )
 
 

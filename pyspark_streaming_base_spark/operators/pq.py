@@ -39,7 +39,7 @@ on vec_id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.functions.vectorops import l2sq
@@ -54,6 +54,20 @@ __all__ = [
     "build_pq_index",
     "query_pq_index",
 ]
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism for the fused single-pass encode: the
+    heavy per-row quantizer arithmetic runs wherever the SCAN's splits
+    put it, so an input with fewer splits than cores (the fixture is ONE
+    ~17 MB parquet file) would serialize the whole pass through one
+    task. Spread by vec_id hash only in that case — at corpus scale the
+    input's own splits already exceed the core count and this is a
+    no-op (no exchange added). The q130 image-corpus precedent."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, "vec_id")
+    return df
 
 
 def pq_subvectors(emb: DataFrame, m: int, id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
@@ -79,17 +93,6 @@ def _d2(a: str, b: str) -> F.Column:
     return l2sq(F.col(a), F.col(b))
 
 
-def _assign(subvecs: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """(vec_id, sub, cid): nearest codeword per subvector — broadcast
-    join on the subspace key, JVM distance fold, deterministic argmin."""
-    return (
-        subvecs.join(F.broadcast(codebooks), "sub")
-        .withColumn("d2", _d2("sv", "cv"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
-    )
-
-
 def pq_codebooks(
     emb: DataFrame, m: int, k: int, iters: int = 3, train_cap: int = 65_536
 ) -> DataFrame:
@@ -112,9 +115,69 @@ def pq_codebooks(
     fixture scales (n < cap) the training set IS the corpus, so
     results are unchanged.
 
-    The dimension must divide evenly by ``m`` — checked here at index
-    build time (one 1-row driver action; otherwise ``slice`` would
-    silently DROP the tail dimensions from every signature)."""
+    The dimension must divide evenly by ``m`` — checked at index build
+    time (otherwise ``slice`` would silently DROP the tail dimensions
+    from every signature).
+
+    r13 execution split (the FAISS ``train()`` shape taken to its
+    conclusion): when ``train_cap > 0`` the training set is
+    driver-sized BY CONSTRUCTION (≤ train_cap·dim doubles — 32 MB at
+    the 65k default, 256 KB at the bench's cap=512), so Spark selects
+    the deterministic sample (one TakeOrdered scan) and the Lloyd
+    rounds themselves run as one vectorized numpy pass on the driver —
+    identical init (subvectors of the K lowest train ids), identical
+    (d2, cid) argmin tie-break, identical per-cluster means, pinned
+    against the independent mirror in ``test_codebooks_match_numpy_
+    lloyd``. The old distributed rounds paid ~1 s of fixed job/exchange
+    overhead per iteration to aggregate 8k subvector rows; the bounded
+    collect is the documented exception to the no-collect rule (bounded
+    by the knob, like ``tune_nprobe``'s 1-row sweep probes).
+    ``train_cap <= 0`` (train on the FULL corpus — unbounded) keeps the
+    distributed joint-Lloyd rounds."""
+    if train_cap > 0:
+        import numpy as np
+
+        spark = emb.sparkSession
+        rows = (
+            emb.select("vec_id", "vec")
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(train_cap)
+            .collect()  # bounded by train_cap BY CONSTRUCTION
+        )
+        schema = "sub int, cid bigint, cv array<double>"
+        if not rows:
+            return spark.createDataFrame([], schema)
+        X = np.array([r.vec for r in rows], dtype=np.float64)
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        d = X.shape[1]
+        if d % m != 0:
+            raise ValueError(
+                f"vector dimension {d} is not divisible by m={m}; "
+                "the tail dimensions would be silently dropped"
+            )
+        ds = d // m
+        init = np.argsort(ids, kind="stable")[: min(k, len(ids))]
+        out = []
+        for sub in range(m):
+            Xs = X[:, sub * ds : (sub + 1) * ds]
+            cids = np.sort(ids[init])
+            # init codewords in cid order: the subvectors of the K
+            # lowest train ids (ids are unique, so argsort is exact)
+            C = Xs[np.argsort(ids, kind="stable")[: len(cids)]]
+            for _ in range(iters):
+                d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                # cids are sorted ascending, so argmin's first-minimum
+                # IS the (d2, cid) lexicographic tie-break
+                a = d2.argmin(axis=1)
+                keep = np.unique(a)
+                C = np.stack([Xs[a == c].mean(axis=0) for c in keep])
+                cids = cids[keep]
+            out.extend(
+                (sub, int(cid), [float(x) for x in cv])
+                for cid, cv in zip(cids, C)
+            )
+        return spark.createDataFrame(out, schema)
+
     probe = emb.select(F.size("vec").alias("d")).first()
     if probe is not None and probe.d % m != 0:
         raise ValueError(
@@ -122,16 +185,7 @@ def pq_codebooks(
             "the tail dimensions would be silently dropped"
         )
     train = emb
-    if train_cap > 0:
-        train = emb.orderBy(F.xxhash64("vec_id"), "vec_id").limit(train_cap)
     subvecs = pq_subvectors(train, m)
-    if train_cap > 0:
-        # repartition restores parallelism after limit's single
-        # partition; the checkpoint pins the bounded training set so
-        # the per-round assign join reads memory, not the corpus
-        subvecs = subvecs.repartition(
-            emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
-        ).localCheckpoint(eager=True)
     # the TRUE lowest-k ids (not `vec_id < k`, which under-populates the
     # init on sparse/offset id spaces — same ADVICE-r6 fix as the coarse
     # quantizer in build_pq_index); identical selection on dense-from-0 ids
@@ -165,18 +219,65 @@ def pq_codebooks(
     return cent
 
 
-def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
-    """(vec_id, codes: array<bigint> length M) — the 8-byte compressed
-    corpus representation."""
+def _cb_entries_row(codebooks: DataFrame) -> DataFrame:
+    """ONE row holding the whole fine quantizer: ``_cb[sub]`` is the
+    array of (cid, cv) codeword structs for subspace ``sub`` (positional
+    by sub, which IS dense 0..M-1 — it comes from ``sequence``). M·K
+    rows total by construction (≤ a few hundred), so the fold-to-one-row
+    and its broadcast are bounded at any corpus scale."""
     return (
-        _assign(pq_subvectors(emb, m), codebooks)
-        .groupBy("vec_id")
+        codebooks.groupBy("sub")
+        .agg(F.collect_list(F.struct("cid", "cv")).alias("entries"))
+        .groupBy()
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("sub", "cid"))),
-                lambda s: s["cid"],
-            ).alias("codes")
+                # comparator on sub only: a struct holding an array of
+                # structs is not natively orderable (same trick as
+                # _adc_tables)
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "entries")),
+                    lambda l, r: F.when(l["sub"] < r["sub"], -1)
+                    .when(l["sub"] > r["sub"], 1)
+                    .otherwise(0),
+                ),
+                lambda s: s["entries"],
+            ).alias("_cb")
         )
+    )
+
+
+def _codes_expr(vec: Column, cb: Column, m: int) -> Column:
+    """codes[sub] = argmin_cid ||vec_sub − codeword||² as ONE expression
+    fold — the encode arithmetic of the old explode → broadcast-join →
+    two-groupBy pipeline (same ``slice`` subvectors, same ``l2sq``
+    sequential fold per pair, same (d2, cid) lexicographic argmin via
+    ``array_min`` = ``min_by``), with zero exchanges and zero row
+    multiplication."""
+    ds = (F.size(vec) / m).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda sub: F.array_min(
+            F.transform(
+                F.element_at(cb, sub + 1),
+                lambda e: F.struct(
+                    l2sq(F.slice(vec, sub * ds + 1, ds), e["cv"]).alias("d2"),
+                    e["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+
+
+def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
+    """(vec_id, codes: array<bigint> length M) — the 8-byte compressed
+    corpus representation. r13: a pure projection over the corpus (the
+    codebooks fold to one broadcast row; see :func:`_codes_expr`) — the
+    corpus is scanned once and never exchanged, where the old shape
+    exploded M subvector rows per vector, joined ×K codewords, and paid
+    two full-corpus aggregation exchanges to regroup."""
+    cb_row = _cb_entries_row(codebooks)
+    return emb.join(F.broadcast(cb_row)).select(
+        "vec_id", _codes_expr(F.col("vec"), F.col("_cb"), m).alias("codes")
     )
 
 
@@ -261,10 +362,15 @@ def _exact_rerank(
 ) -> DataFrame:
     """Exact-distance re-rank of a (qid, vec_id) shortlist — the one
     rerank definition :func:`pq_search_rerank` and :func:`ivfadc_search`
-    share. Touches only O(queries × shortlist) full-precision rows."""
+    share. Touches only O(queries × shortlist) full-precision rows.
+    The shortlist is broadcast (bounded at queries × shortlist BY
+    CONSTRUCTION): without the hint the planner — seeing no size
+    estimate through the window filter that produced it — shuffle-joins
+    the corpus-sized ``emb`` side on vec_id (r13)."""
     qv = queries.select("qid", "qvec")
     exact = (
-        short.join(emb, "vec_id")
+        F.broadcast(short)
+        .join(emb, "vec_id")
         .join(F.broadcast(qv), "qid")
         .withColumn("d2_r", F.round(_d2("qvec", "vec"), 6))
     )
@@ -450,14 +556,28 @@ def build_pq_index(
         else pq_codebooks(emb, m, k, iters=iters, train_cap=train_cap)
     )
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
-    cb_saved = cb.sparkSession.read.parquet(f"{path}/codebooks")
+    spark = cb.sparkSession
+    cb_saved = spark.read.parquet(f"{path}/codebooks")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned = ivf_assign(emb, centroids).select("vec_id", "cell")
-    enc = pq_encode(emb, cb_saved, m)
+    # r13: ONE fused corpus pass — cell assignment and PQ encoding are
+    # both projections against 1-row broadcast quantizer folds
+    # (ivf_assign / _codes_expr), so the index row is produced directly:
+    # no separate assign scan, no separate encode scan, and no 3-way
+    # corpus self-join (the old shape sort-merge-joined the corpus with
+    # itself twice to re-attach cell and codes). Zero corpus exchanges.
+    # Centroids are read BACK from the written parquet so a derived
+    # centroid frame (e.g. the lowest-n_cells TakeOrdered above) is not
+    # recomputed against the corpus.
+    cent_saved = spark.read.parquet(f"{path}/centroids")
     (
-        emb.join(assigned, "vec_id")
-        .join(enc, "vec_id")
-        .select("vec_id", "cell", "codes", "vec")
+        ivf_assign(_spread(emb), cent_saved)
+        .join(F.broadcast(_cb_entries_row(cb_saved)))
+        .select(
+            "vec_id",
+            "cell",
+            _codes_expr(F.col("vec"), F.col("_cb"), m).alias("codes"),
+            "vec",
+        )
         .write.mode("overwrite")
         .parquet(f"{path}/index")
     )
@@ -484,14 +604,19 @@ def append_pq_index(spark, path: str, new_emb: DataFrame, m: int) -> None:
 
     cb = spark.read.parquet(f"{path}/codebooks")
     centroids = spark.read.parquet(f"{path}/centroids")
-    assigned = ivf_assign(new_emb, centroids).select("vec_id", "cell")
-    enc = pq_encode(new_emb, cb, m)
     from pyspark_streaming_base_spark.operators.tombstones import append_live
 
+    # same fused single-pass shape as build_pq_index (r13): assignment
+    # and encoding are projections, the batch is scanned once
     append_live(
-        new_emb.join(assigned, "vec_id")
-        .join(enc, "vec_id")
-        .select("vec_id", "cell", "codes", "vec"),
+        ivf_assign(_spread(new_emb), centroids)
+        .join(F.broadcast(_cb_entries_row(cb)))
+        .select(
+            "vec_id",
+            "cell",
+            _codes_expr(F.col("vec"), F.col("_cb"), m).alias("codes"),
+            "vec",
+        ),
         f"{path}/index",
     )
 
