@@ -37,12 +37,23 @@ def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             "hb"
         ),
     )
+    # r13 fix: the salt MUST be closed over with a one-argument lambda.
+    # The previous `lambda x, i=i: …` form has arity 2, and pyspark
+    # treats any two-parameter lambda passed to transform() as the
+    # (element, index) variant — the default was silently REBOUND to the
+    # array-index column, collapsing all 16 "permutations" into the one
+    # function min_j(xxhash64(h_j, j)) and making the 4 band hashes
+    # identical (verified empirically; q41's verified output was missing
+    # 12 true Jaccard≥0.8 pairs at sf0.1 that the restored banding
+    # recovers — a strict superset at every fixture SF). Guarded by
+    # test_minhash_index.py::test_permutations_are_distinct.
+    def _salted(i: int):
+        return lambda x: F.xxhash64(x, F.lit(i))
+
     mins = hb.select(
         id_col,
         *[
-            F.array_min(
-                F.transform(F.col("hb"), lambda x, i=i: F.xxhash64(x, F.lit(i)))
-            ).alias(f"h{i}")
+            F.array_min(F.transform(F.col("hb"), _salted(i))).alias(f"h{i}")
             for i in range(N_PERM)
         ],
     )

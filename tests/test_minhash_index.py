@@ -171,3 +171,25 @@ def test_compact_folds_tombstones(spark, tmp_path, pointer_mode):
 
     raw = read_live(spark, idx)
     assert raw.filter(F.col("doc_id").isin(gone)).count() == 0
+
+
+def test_permutations_are_distinct(spark):
+    """Regression guard for the r13 salt fix: a two-parameter lambda
+    passed to transform() is the (element, index) variant, so the old
+    `lambda x, i=i:` salting silently rebound every salt to the array
+    index — all 16 permutation minima collapsed to ONE function and the
+    4 band hashes were identical per document. The restored banding
+    must produce ≥2 distinct band hashes for essentially every
+    multi-shingle document (16 independent permutations agreeing on a
+    band quadruple is a ~2⁻⁶⁴ event)."""
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "text").limit(50)
+    per_doc = (
+        minhash_bands(docs)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("band_hash").alias("nb"))
+        .collect()
+    )
+    assert per_doc
+    assert all(r.nb >= 2 for r in per_doc), [
+        (r.doc_id, r.nb) for r in per_doc if r.nb < 2
+    ]
