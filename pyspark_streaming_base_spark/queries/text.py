@@ -16,7 +16,7 @@ from pyspark_streaming_base_spark.functions.textops import (
     word_shingles as _shingles,
 )
 from pyspark_streaming_base_spark.queries import query
-from pyspark_streaming_base_spark.queries._tables import t
+from pyspark_streaming_base_spark.queries._tables import spread, t
 
 #: Tiny per-language stopword lists for the heuristic language-ID operator.
 _STOPWORDS = {
@@ -1421,7 +1421,14 @@ def q136_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_score_terms,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # r13 (guide §2.5 input skew / §1.2): the fixture table is ONE
+    # parquet split, so each tokenize-rooted stage ran as a single task;
+    # spread() parallelizes them across cores and is a no-op at corpus
+    # scale (see _tables.spread). The scorer's repeated subtrees stay
+    # UNpersisted deliberately: each is a pruned single-pass scan and a
+    # 1-partition persist was measured to SERIALIZE every consumer
+    # behind one task (2.4× slower at 32 cores).
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     return bm25_score_terms(
         bm25_postings(docs),
         bm25_doclens(docs),
@@ -1886,13 +1893,26 @@ def q155_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_doclens,
         bm25_postings,
         bm25_score_expr,
+        bm25_score_terms,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # r13 (guide §2.5 input skew / §1.2): spread() parallelizes every
+    # tokenize-rooted subtree across cores (the fixture table is ONE
+    # parquet split, so each previously ran as a single task); no-op at
+    # corpus scale. The repeated postings/doclens subtrees stay
+    # UNpersisted deliberately: each is pruned (the isin/semi-join
+    # filters push below the aggregate and explode, so e.g. the
+    # expansion mining tokenizes only the ≤5 feedback docs), the
+    # independent subtrees overlap on the cores, and a 1-partition
+    # persist was measured to SERIALIZE all consumers behind one task
+    # (2.4× slower at 32 cores). Pass-1 IS q136's scorer call
+    # (bm25_score_terms with q136's exact arguments), so the feedback
+    # set is value-identical to the previous q136_bm25_topk() call.
+    docs = spread(t(spark, sf_dir, "documents"), "doc_id")
     postings = bm25_postings(docs)
     doclens = bm25_doclens(docs)
     fb = (
-        q136_bm25_topk(spark, sf_dir)
+        bm25_score_terms(postings, doclens, _BM25_TERMS, top_k=_BM25_TOPK)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_PRF_FB_DOCS)
         .select("doc_id")
