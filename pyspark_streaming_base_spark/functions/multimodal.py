@@ -496,10 +496,13 @@ def bmp_encode_gray(gray) -> bytes:
         raise ValueError(f"need a 2-D gray matrix, got shape {g.shape}")
     h, w = g.shape
     stride = (w * 3 + 3) & ~3
-    pad = b"\x00" * (stride - w * 3)
-    body = b"".join(
-        np.repeat(row, 3).tobytes() + pad for row in g[::-1]  # bottom-up BGR
-    )
+    # bottom-up BGR rows padded to 4 bytes, built in ONE vectorized pass
+    # (the r≤12 per-row generator paid ~h numpy calls per image — a real
+    # executor hot-path cost at 10⁴ images/task); byte-identical: gray
+    # repeated ×3 is BGR, zeros are the pad
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = np.repeat(g[::-1], 3, axis=1)
+    body = rows.tobytes()
     header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
