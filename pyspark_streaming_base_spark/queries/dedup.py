@@ -26,7 +26,7 @@ from pyspark_streaming_base_spark.operators.fuzzyjoin import (
 )
 from pyspark_streaming_base_spark.queries import query
 from pyspark_streaming_base_spark.queries._exact import dround
-from pyspark_streaming_base_spark.queries._tables import t
+from pyspark_streaming_base_spark.queries._tables import spread, t
 
 
 @query(
@@ -136,9 +136,13 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressions, no explode-shuffle; the first exchange is the band join.
     from pyspark_streaming_base_spark.operators.minhash import minhash_bands
 
-    stacked = minhash_bands(
-        t(spark, sf_dir, "documents").select("doc_id", "text")
-    )
+    # r13 (guide §2.5 input skew): the fixture table is ONE parquet
+    # split, so the 16-permutation signature computation ran as a single
+    # task per join side; spread() parallelizes it and is a no-op at
+    # corpus scale (see _tables.spread). The same spread frame feeds the
+    # verify sides below so their exchanges map in parallel too.
+    docs = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    stacked = minhash_bands(docs)
     # SHUFFLE_HASH keeps AQE from picking a broadcast band join (measured
     # ~1.6× slower here, and the only legal shape at 100 TB where neither
     # side broadcasts). The signature pipeline computes once per join
@@ -164,7 +168,6 @@ def q41_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join candidate ids to the raw text FIRST (broadcast of the tiny
     # candidate set), so shingles are recomputed only for O(candidates)
     # rows, not the whole corpus.
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     verified = (
