@@ -211,6 +211,19 @@ def semdedup_removed(
         .unionByName(pairs_grp)
         .unionByName(pairs_star)
     )
+    # r13 (guide §2.5 skew): the pair-generating joins are keyed on the
+    # blocking cell, so their output parallelism is capped at the number
+    # of DISTINCT cells touched (k=8 at the fixture; a hot near-identical
+    # cell concentrates its whole pair mass on one task at any scale) —
+    # and the expensive step, the interpreted 64-dim cosine verify,
+    # inherits that cap. Re-hash the candidate id-pairs across the cores
+    # before the verify: an O(candidates × 16 B) keys-only exchange that
+    # parallelizes per-pair arithmetic worth ~100× the row width.
+    # Explicit partition count: AQE's size-based coalescing would fold
+    # this small-byte/high-CPU exchange back to a handful of tasks.
+    pairs = pairs.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, "id_x", "id_y"
+    )
 
     # verify: re-attach vectors PER CANDIDATE (keys-only exchange rule) —
     # two equi-joins against the corpus, O(candidates) rows of payload.
