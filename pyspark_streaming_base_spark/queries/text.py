@@ -981,7 +981,10 @@ def q87_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark_streaming_base_spark.functions.textops import word_shingles
 
-    d = t(spark, sf_dir, "documents").select(
+    # r13 (guide §2.5 input skew): spread the single-split fixture scan
+    # so the per-branch shingle computation parallelizes; no-op at
+    # corpus scale (see _tables.spread).
+    d = spread(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         "lang",
         word_shingles(F.col("text")).alias("shingles"),
@@ -1220,7 +1223,10 @@ def q121_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark_streaming_base_spark.functions.textops import word_shingles
 
-    d = t(spark, sf_dir, "documents").select(
+    # r13 (guide §2.5 input skew): spread the single-split fixture scan
+    # so the per-branch shingle computation parallelizes; no-op at
+    # corpus scale (see _tables.spread).
+    d = spread(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         "lang",
         word_shingles(F.col("text")).alias("shingles"),
@@ -1492,7 +1498,10 @@ def q139_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_bloom,
     )
 
-    d = t(spark, sf_dir, "documents").select(
+    # r13 (guide §2.5 input skew): spread the single-split fixture scan
+    # so the per-branch shingle computation parallelizes; no-op at
+    # corpus scale (see _tables.spread).
+    d = spread(t(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         "lang",
         word_shingles(F.col("text")).alias("shingles"),
@@ -2868,7 +2877,10 @@ def q180_filter_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the 5-row report is an explode of that row. Nothing doc-sized
     ever shuffles.
     """
-    return filter_waterfall(t(spark, sf_dir, "documents"))
+    # r13 (guide §2.5 input skew): single-split fixture scan — both the
+    # scalar-metrics branch and the bigram explode otherwise run their
+    # per-doc expression work in ONE task; no-op at corpus scale.
+    return filter_waterfall(spread(t(spark, sf_dir, "documents"), "doc_id"))
 
 
 def filter_waterfall(docs: DataFrame) -> DataFrame:
