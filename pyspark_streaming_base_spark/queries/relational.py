@@ -27,7 +27,7 @@ from pyspark_streaming_base_spark.queries._exact import (
     sql_dsum,
     unscale,
 )
-from pyspark_streaming_base_spark.queries._tables import dim, t
+from pyspark_streaming_base_spark.queries._tables import dim, spread, t
 
 
 # ---------------------------------------------------------------------------
@@ -67,7 +67,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side so the shuffle carries only (flag, status) groups — O(groups),
     not O(rows), across the wire at 100 TB.
     """
-    li = t(spark, sf_dir, "lineitem")
+    # r13 (guide §2.5 input skew): the fixture fact table is one parquet
+    # row group, so scan + the 8-aggregate partial evaluation ran in ONE
+    # task; spread() moves the aggregate work off the serial scan task
+    # and is a no-op at corpus scale (see _tables.spread).
+    li = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
     f = li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
