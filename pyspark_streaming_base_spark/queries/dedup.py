@@ -616,8 +616,11 @@ def q107_dup_span_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-heavy crawl.
     """
     toks = _tokens(F.col("text"))
+    # r13 (guide §2.5 input skew): spread the single-split fixture scan
+    # — the per-doc window hashing (~size(tk) md5s per doc) otherwise
+    # runs in ONE task; no-op at corpus scale (see _tables.spread).
     d = (
-        t(spark, sf_dir, "documents")
+        spread(t(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", toks.alias("tk"))
         .filter(F.size("tk") >= _SPAN_W)
     )
