@@ -119,10 +119,43 @@ def _load_gate() -> dict | None:
         return None
 
 
+def _steal_snapshot() -> tuple[int, float] | None:
+    """(cumulative steal jiffies, wall time) from /proc/stat — the
+    hypervisor-steal counter is the only in-guest signal that
+    distinguishes "this VM's CPUs were taken by a co-tenant" from our
+    own load (r13: an afternoon of 2-3x inflated captures showed an
+    IDLE-guest steal of ~4% of capacity — chronic host oversubscription
+    that loadavg and the start probes cannot see, because steal only
+    accrues against runnable tasks and spikes exactly when the bench
+    wants all cores)."""
+    try:
+        with open("/proc/stat") as f:
+            steal = int(f.readline().split()[8])
+        return steal, time.perf_counter()
+    except (OSError, IndexError, ValueError):  # pragma: no cover
+        return None
+
+
+def _steal_pct_since(snap: tuple[int, float] | None) -> float | None:
+    """Steal as a percentage of total machine capacity (ncpus x 100
+    jiffies/s) over the window since ``snap``."""
+    if snap is None:
+        return None
+    now = _steal_snapshot()
+    if now is None:  # pragma: no cover
+        return None
+    dj, dt = now[0] - snap[0], now[1] - snap[1]
+    if dt <= 0:  # pragma: no cover
+        return None
+    ncpu = os.cpu_count() or 1
+    return round(100.0 * dj / (dt * 100.0 * ncpu), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_gate = _load_gate()
+    steal_snap = _steal_snapshot()
     spark = SessionFactory.local(app_name="bench")
     registry = load_all()
     # Warmup: one-time machinery costs land here, not on the first query
@@ -194,6 +227,11 @@ def main() -> None:
         # the probes later say (two rounds of driver records matched
         # this signature exactly)
         "contaminated_start": bool(load_gate and not load_gate["satisfied"]),
+        # r13: hypervisor steal over the WHOLE run, as % of machine
+        # capacity — the start gate and probes only see the run's first
+        # seconds; a co-tenant arriving mid-run inflates every query in
+        # lockstep while both look clean. >~2% disputes the raw basis.
+        "host_steal_pct_run": _steal_pct_since(steal_snap),
         "host_calibration": _calibrate(spark),
         "extended": ext,
         "extended_value": round(sum(ext.values()), 3),
