@@ -70,8 +70,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2.5 input skew): the fixture fact table is one parquet
     # row group, so scan + the 8-aggregate partial evaluation ran in ONE
     # task; spread() moves the aggregate work off the serial scan task
-    # and is a no-op at corpus scale (see _tables.spread).
-    li = spread(t(spark, sf_dir, "lineitem"), "l_orderkey")
+    # and is a no-op at corpus scale (see _tables.spread). Key on
+    # l_shipdate — a column Q1 already reads for the filter — so the
+    # spread forces no extra column through scan+exchange (the original
+    # l_orderkey key un-pruned an 8-byte column Q1 never references;
+    # caught by test_agg_reads_only_needed_columns).
+    li = spread(t(spark, sf_dir, "lineitem"), "l_shipdate")
     f = li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

@@ -82,14 +82,20 @@ def test_minhash_single_aggregation_pass(spark):
     # the band stacking must NOT replan the signature agg per band
     df = R["q41_minhash_lsh_pairs"].fn(spark, SF_SMALL)
     plan = formatted_plan(df)
-    # one agg for 16 mins + banding via explode → small constant exchange count
-    assert shuffle_count(df) <= 4, plan
+    # one agg for 16 mins + banding via explode → small constant exchange
+    # count, never O(bands): r13 reads 7 = 4 conditional single-split
+    # spreads (the corpus scan feeds 4 plan branches; _tables.spread is
+    # a no-op on multi-split input) + 2 band-join + 1 pair-dedup
+    assert shuffle_count(df) <= 8, plan
 
 
 def test_q1_single_shuffle(spark):
-    # partial agg map-side, one exchange on the group keys, final agg
+    # partial agg map-side, one exchange on the group keys, final agg —
+    # plus (r13) the conditional single-split spread before the partial
+    # agg (keyed on l_shipdate, a column Q1 reads anyway; a no-op on
+    # multi-split input, so at scale this is back to exactly 1)
     df = R["q01_pricing_summary"].fn(spark, SF_SMALL)
-    assert shuffle_count(df) == 1
+    assert shuffle_count(df) <= 2
 
 
 def test_unpivot_is_shuffle_free(spark):
