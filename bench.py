@@ -192,23 +192,46 @@ def main() -> None:
             spark.catalog.clearCache()
         return out
 
-    timings = time_set(HEADLINE, runs)
     # extended tier: heavier queries (tens of seconds each at sf0.1 —
     # q108/q124 emit millions of verified pairs), best-of-2 bounds total
     # bench wall; relative noise shrinks with query length, so fewer
     # runs lose little precision here. SPARK_GRAFT_BENCH_TIER=headline
     # skips it — the isolated-headline mode used for A/B bisects of
     # session-level changes (r5→r6 regression hunt).
-    if os.environ.get("SPARK_GRAFT_BENCH_TIER", "all") == "headline":
-        ext = {}
-    else:
-        ext = time_set(EXTENDED, min(runs, 2))
-        ext.update(_time_pq_index_tier(spark, sf_dir, min(runs, 2)))
-        ext.update(_time_crawl_loop_tier(spark, sf_dir, min(runs, 2)))
-        ext.update(_time_bm25_index_tier(spark, sf_dir, min(runs, 2)))
-        ext.update(_time_containment_index_tier(spark, sf_dir, min(runs, 2)))
-        ext.update(_time_quantile_fold_tier(spark, sf_dir, min(runs, 2)))
-        ext.update(_time_ivf_tune_tier(spark, sf_dir))
+    def measure_once() -> tuple[dict, dict, float | None]:
+        snap = _steal_snapshot()
+        timings = time_set(HEADLINE, runs)
+        if os.environ.get("SPARK_GRAFT_BENCH_TIER", "all") == "headline":
+            ext = {}
+        else:
+            ext = time_set(EXTENDED, min(runs, 2))
+            ext.update(_time_pq_index_tier(spark, sf_dir, min(runs, 2)))
+            ext.update(_time_crawl_loop_tier(spark, sf_dir, min(runs, 2)))
+            ext.update(_time_bm25_index_tier(spark, sf_dir, min(runs, 2)))
+            ext.update(_time_containment_index_tier(spark, sf_dir, min(runs, 2)))
+            ext.update(_time_quantile_fold_tier(spark, sf_dir, min(runs, 2)))
+            ext.update(_time_ivf_tune_tier(spark, sf_dir))
+        return timings, ext, _steal_pct_since(snap)
+
+    # r14 (r13 verdict item 2): a capture whose measurement window saw
+    # hypervisor steal above the dispute threshold is re-taken (bounded,
+    # default once) and the LOWER-steal attempt is kept — the r13 PERF
+    # misread happened because the one high-steal capture (4.86% vs the
+    # ~0.8% of every clean record) became the round's record. Same
+    # methodology both attempts; only the cleaner window survives.
+    max_steal = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_STEAL_PCT", "2.0"))
+    steal_retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "1")))
+    timings, ext, steal_pct = measure_once()
+    steal_retries_used = 0
+    while (
+        steal_pct is not None
+        and steal_pct > max_steal
+        and steal_retries_used < steal_retries
+    ):
+        steal_retries_used += 1
+        t2, e2, s2 = measure_once()
+        if s2 is None or s2 <= steal_pct:
+            timings, ext, steal_pct = t2, e2, s2
     total = round(sum(timings.values()), 3)
     try:
         load1 = round(os.getloadavg()[0], 2)  # ambient-load context for
@@ -227,11 +250,16 @@ def main() -> None:
         # the probes later say (two rounds of driver records matched
         # this signature exactly)
         "contaminated_start": bool(load_gate and not load_gate["satisfied"]),
-        # r13: hypervisor steal over the WHOLE run, as % of machine
-        # capacity — the start gate and probes only see the run's first
-        # seconds; a co-tenant arriving mid-run inflates every query in
-        # lockstep while both look clean. >~2% disputes the raw basis.
-        "host_steal_pct_run": _steal_pct_since(steal_snap),
+        # r13: hypervisor steal over the measurement window, as % of
+        # machine capacity — the start gate and probes only see the
+        # run's first seconds; a co-tenant arriving mid-run inflates
+        # every query in lockstep while both look clean. >~2% disputes
+        # the raw basis. r14: the value is the KEPT attempt's window
+        # (see the steal-retry loop); whole-run steal incl. warmup is
+        # host_steal_pct_total.
+        "host_steal_pct_run": steal_pct,
+        "host_steal_pct_total": _steal_pct_since(steal_snap),
+        "steal_retries_used": steal_retries_used,
         "host_calibration": _calibrate(spark),
         "extended": ext,
         "extended_value": round(sum(ext.values()), 3),
@@ -422,6 +450,11 @@ def _emit(out: dict) -> None:
         "load_avg_1m": out.get("load_avg_1m"),
         "load_gate_ok": (out.get("load_gate") or {}).get("satisfied"),
         "contaminated_start": out.get("contaminated_start"),
+        # r14 (r13 verdict item 2): the one field that arbitrated the
+        # r13 PERF dispute now rides the one-line contract — a compact
+        # record self-declares whether its window was steal-degraded
+        # instead of demanding detail-file forensics.
+        "host_steal_pct_run": out.get("host_steal_pct_run"),
         "host_calibration": out.get("host_calibration"),
         "headline_delta_pct": out.get("headline_delta_pct"),
         "headline_delta_basis": out.get("headline_delta_basis"),
