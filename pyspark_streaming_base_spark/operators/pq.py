@@ -61,13 +61,12 @@ def _spread(df: DataFrame) -> DataFrame:
     heavy per-row quantizer arithmetic runs wherever the SCAN's splits
     put it, so an input with fewer splits than cores (the fixture is ONE
     ~17 MB parquet file) would serialize the whole pass through one
-    task. Spread by vec_id hash only in that case — at corpus scale the
-    input's own splits already exceed the core count and this is a
-    no-op (no exchange added). The q130 image-corpus precedent."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism, "vec_id")
-    return df
+    task. r14: delegates to the ONE shared definition in
+    ``operators/spread.py`` (hoisted per the r13 advice), keyed on
+    vec_id."""
+    from pyspark_streaming_base_spark.operators.spread import spread
+
+    return spread(df, "vec_id")
 
 
 def pq_subvectors(emb: DataFrame, m: int, id_col: str = "vec_id", vec_col: str = "vec") -> DataFrame:
@@ -126,9 +125,13 @@ def pq_codebooks(
     the deterministic sample (one TakeOrdered scan) and the Lloyd
     rounds themselves run as one vectorized numpy pass on the driver —
     identical init (subvectors of the K lowest train ids), identical
-    (d2, cid) argmin tie-break, identical per-cluster means, pinned
-    against the independent mirror in ``test_codebooks_match_numpy_
-    lloyd``. The old distributed rounds paid ~1 s of fixed job/exchange
+    (d2, cid) argmin tie-break, and per-cluster means equal within 1e-9
+    (pinned against the independent mirror in
+    ``test_codebooks_match_numpy_lloyd``; numpy's pairwise-summation
+    mean vs ``F.avg``'s shuffle-order sequential fold is a latent
+    last-bit difference, so anything derived from codebooks would need
+    ``dround`` gridding before it could feed an oracle-checked query —
+    invariant 9; q111 is rows-only by design). The old distributed rounds paid ~1 s of fixed job/exchange
     overhead per iteration to aggregate 8k subvector rows; the bounded
     collect is the documented exception to the no-collect rule (bounded
     by the knob, like ``tune_nprobe``'s 1-row sweep probes).
@@ -281,10 +284,14 @@ def pq_encode(emb: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
     )
 
 
-def _adc_tables(queries: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
-    """(qid, tabs): per-query M-row table of CID-KEYED subspace distance
-    maps — tabs[sub][cid] = ||q_sub - codeword||². The one table
-    definition :func:`pq_search` and :func:`ivfadc_search` share.
+def _tabs_expr(qvec: Column, cb: Column, m: int) -> Column:
+    """tabs[sub][cid] = ||q_sub − codeword||² as ONE expression fold over
+    the 1-row codebook entries fold (:func:`_cb_entries_row`) — the ADC
+    table arithmetic of the old explode → broadcast-join → two-groupBy
+    pipeline (same ``slice`` subvectors, same ``l2sq`` sequential fold
+    per (subvector, codeword) pair, same cid-keyed map rows), with zero
+    exchanges and zero row multiplication. The encode-side twin of
+    :func:`_codes_expr`.
 
     The per-subspace row is a ``map<cid, d2>``, not a positional array:
     if a Lloyd cluster empties during :func:`pq_codebooks` training (a
@@ -293,31 +300,90 @@ def _adc_tables(queries: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
     codeword's distance (or throw under ANSI). Key lookup is immune —
     every code was assigned FROM the codebook, so its key always
     resolves."""
-    qsubs = pq_subvectors(queries, m, id_col="qid", vec_col="qvec")
-    return (
-        qsubs.join(F.broadcast(codebooks), "sub")
-        .withColumn("d2", _d2("sv", "cv"))
-        .groupBy("qid", "sub")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("cid", "d2")))
-            ).alias("row")
-        )
-        .groupBy("qid")
-        .agg(
+    ds = (F.size(qvec) / m).cast("int")
+    # two-arg lambda = (element, index): sub IS the positional index of
+    # _cb (dense 0..M-1 by construction — _cb_entries_row sorts on sub)
+    return F.transform(
+        cb,
+        lambda entries, sub: F.map_from_entries(
             F.transform(
-                # comparator on sub only: a struct holding a map is not
-                # natively orderable, and sub IS dense 0..M-1 (it comes
-                # from sequence(0, m-1)), so positional-by-sub is safe
-                F.array_sort(
-                    F.collect_list(F.struct("sub", "row")),
-                    lambda l, r: F.when(l["sub"] < r["sub"], -1)
-                    .when(l["sub"] > r["sub"], 1)
-                    .otherwise(0),
+                entries,
+                lambda e: F.struct(
+                    e["cid"].alias("cid"),
+                    l2sq(F.slice(qvec, sub * ds + 1, ds), e["cv"]).alias("d2"),
                 ),
-                lambda s: s["row"],
-            ).alias("tabs")
+            )
+        ),
+    )
+
+
+def _adc_tables(queries: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
+    """(qid, tabs): per-query M-row table of CID-KEYED subspace distance
+    maps — tabs[sub][cid] = ||q_sub - codeword||². The one table
+    definition :func:`pq_search` and :func:`_quantizer_plan` share.
+
+    r14: a pure projection against the 1-row broadcast codebook fold
+    (:func:`_tabs_expr`) — the old shape exploded M subvector rows per
+    query, broadcast-joined the codebooks, and paid two aggregation
+    exchanges to regroup; this pays none."""
+    return queries.join(F.broadcast(_cb_entries_row(codebooks))).select(
+        "qid", _tabs_expr(F.col("qvec"), F.col("_cb"), m).alias("tabs")
+    )
+
+
+def _quantizer_plan(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    nprobe: int,
+) -> DataFrame:
+    """(qid, cell, tabs): each query's ``nprobe`` nearest coarse cells
+    with its ADC tables attached — BOTH per-query quantizer
+    consultations of an IVFADC probe fused into ONE projection over two
+    1-row broadcast quantizer folds (centroids ≤ n_cells rows, codebooks
+    ≤ M·K rows, both by-construction-small). Replaces the r13 serial
+    ladder (centroid broadcast → probe-rank window exchange → probe
+    broadcast → codebook broadcast → two ADC aggregation exchanges →
+    table broadcast): one broadcastable frame, zero exchanges.
+
+    Value-identical to ``ivf_probe_cells`` + the old ``_adc_tables`` by
+    construction: cell selection sorts struct(csim, cent_id) with an
+    explicit comparator that is row_number's (csim DESC, cent_id ASC)
+    ordering — same shared ``cosine`` fold per (qvec, cvec) pair, same
+    Spark total order on doubles (NaN greatest, NaN = NaN) — and
+    ``slice(ranked, 1, nprobe)`` is the ``prb <= nprobe`` filter.
+    ``tabs`` is :func:`_tabs_expr` (same ``l2sq`` folds, cid-keyed)."""
+    from pyspark_streaming_base_spark.functions.vectorops import cosine
+
+    cents = centroids.groupBy().agg(
+        F.collect_list(F.struct("cent_id", "cvec")).alias("_cents")
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            cosine(F.col("qvec"), c["cvec"]).alias("csim"),
+            c["cent_id"].alias("cell"),
+        ),
+    )
+    ranked = F.array_sort(
+        scored,
+        lambda l, r: F.when(l["csim"] > r["csim"], -1)
+        .when(l["csim"] < r["csim"], 1)
+        .when(l["cell"] < r["cell"], -1)
+        .when(l["cell"] > r["cell"], 1)
+        .otherwise(0),
+    )
+    cells = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+    return (
+        queries.join(F.broadcast(cents))
+        .join(F.broadcast(_cb_entries_row(codebooks)))
+        .select(
+            "qid",
+            cells.alias("_cells"),
+            _tabs_expr(F.col("qvec"), F.col("_cb"), m).alias("tabs"),
         )
+        .select("qid", F.explode("_cells").alias("cell"), "tabs")
     )
 
 
@@ -442,33 +508,31 @@ def ivfadc_search(
     corpus × 16 bytes of codes — coarse pruning and compression
     multiply. Exact math touches only O(queries × shortlist) rows.
     """
-    from pyspark_streaming_base_spark.operators.ivf import ivf_probe_cells
-
-    probes = ivf_probe_cells(queries, centroids, nprobe).select("qid", "cell")
-    # candidate codes: probed cells only — the pruned compressed scan
+    probes = _quantizer_plan(queries, centroids, codebooks, m, nprobe)
+    # candidate codes: probed cells only — the pruned compressed scan;
+    # the ADC tables ride the (bounded) probe broadcast, so no second
+    # per-query join is needed to score
     cand = (
         F.broadcast(probes)
         .join(assigned.select("vec_id", "cell"), "cell")
         .join(encoded, "vec_id")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "codes")
+        .select("qid", "vec_id", "codes", "tabs")
     )
-    short = _adc_shortlist(cand, queries, codebooks, m, shortlist)
+    short = _adc_shortlist(cand, shortlist)
     return _exact_rerank(emb, short, queries, top_k)
 
 
-def _adc_shortlist(
-    cand: DataFrame, queries: DataFrame, codebooks: DataFrame, m: int, shortlist: int
-) -> DataFrame:
-    """(qid, vec_id) ADC shortlist over a (qid, vec_id, codes) candidate
-    frame — the one compressed-scoring definition shared by
+def _adc_shortlist(cand: DataFrame, shortlist: int) -> DataFrame:
+    """(qid, vec_id) ADC shortlist over a (qid, vec_id, codes, tabs)
+    candidate frame — the one compressed-scoring definition shared by
     :func:`ivfadc_search` (joins assignments↔codes per query) and
-    :func:`query_pq_index` (reads the pre-joined persisted layout)."""
-    tables = _adc_tables(queries, codebooks, m)
+    :func:`query_pq_index` (reads the pre-joined persisted layout). The
+    ADC tables arrive ON the candidate rows (r14 — they ride the
+    :func:`_quantizer_plan` broadcast), so scoring is a pure projection."""
     adc = _adc_fold()
     return (
-        cand.join(F.broadcast(tables), "qid")
-        .withColumn("adc_r", F.round(adc, 6))
+        cand.withColumn("adc_r", F.round(adc, 6))
         .withColumn(
             "srnk",
             F.row_number().over(
@@ -648,18 +712,17 @@ def query_pq_index(
         "vec_id", live_path=f"{path}/index",
     )
 
-    from pyspark_streaming_base_spark.operators.ivf import ivf_probe_cells
-
-    probes = ivf_probe_cells(queries, centroids, nprobe).select("qid", "cell")
+    probes = _quantizer_plan(queries, centroids, codebooks, m, nprobe)
     # the pruned compressed scan reads (vec_id, cell, codes) straight off
-    # the persisted layout — no join to reach the codes
+    # the persisted layout — no join to reach the codes, and the ADC
+    # tables ride the probe broadcast (r14)
     cand = (
         F.broadcast(probes)
         .join(index.select("vec_id", "cell", "codes"), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "codes")
+        .select("qid", "vec_id", "codes", "tabs")
     )
-    short = _adc_shortlist(cand, queries, codebooks, m, shortlist)
+    short = _adc_shortlist(cand, shortlist)
     return _exact_rerank(index.select("vec_id", "vec"), short, queries, top_k)
 
 

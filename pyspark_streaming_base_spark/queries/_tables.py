@@ -71,20 +71,10 @@ def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Scale-adaptive parallelism for expensive per-row stages (tokenize/
-    shingle/decode) over a small-split input — the ONE query-layer
-    definition of the pattern ``operators/pq.py::_spread`` and q130
-    established (r13): the fixture tables are single parquet files, so
-    every scan-rooted stage otherwise runs as ONE task while the other
-    31 cores idle. Repartition to ``defaultParallelism`` ONLY when the
-    scan has fewer splits than cores; at 100 TB the input's own splits
-    exceed the core count and this adds NO exchange. Hash on ``cols``
-    (deterministic — avoids the round-robin sort-before-repartition and
-    the retry hazard of guide §2.5) when given, round-robin otherwise.
-    Values are unaffected: every consumer in this repo is partition-
-    order independent by the exact-math invariants."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        if cols:
-            return df.repartition(sc.defaultParallelism, *cols)
-        return df.repartition(sc.defaultParallelism)
-    return df
+    shingle/decode) over a small-split input. r14: delegates to the ONE
+    shared definition in ``operators/spread.py`` (hoisted per the r13
+    advice — this and ``operators/pq.py`` carried two copies); see that
+    module's docstring for the no-op-at-scale rationale."""
+    from pyspark_streaming_base_spark.operators.spread import spread as _s
+
+    return _s(df, *cols)
