@@ -229,68 +229,136 @@ def tune_nprobe(
 
     if not 0.0 < recall_floor <= 1.0:
         raise ValueError(f"recall_floor must be in (0, 1], got {recall_floor}")
-    n_cells = spark.read.parquet(f"{path}/centroids").count()
-    if truth is None:
-        live = apply_tombstones(
-            spark,
-            f"{path}/tombstones",
-            read_live(spark, f"{path}/assignments"),
-            "vec_id",
-            live_path=f"{path}/assignments",
-        ).select("vec_id", "vec")
-        sim = F.round(cosine(F.col("qvec"), F.col("vec")), 6)
-        truth = (
-            F.broadcast(queries)
-            .join(live, F.col("vec_id") != F.col("qid"))
-            .withColumn("sim_r", sim)
-            .withColumn(
-                "rnk",
-                F.row_number().over(
-                    W.partitionBy("qid").orderBy(
-                        F.col("sim_r").desc(), F.col("vec_id")
-                    )
-                ),
-            )
-            .filter(F.col("rnk") <= top_k)
-            .select("qid", "vec_id")
-        )
-    truth = truth.select("qid", "vec_id").localCheckpoint(eager=True)
-    per_q_truth = truth.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_truth")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    n_cells = centroids.count()
+    live = apply_tombstones(
+        spark,
+        f"{path}/tombstones",
+        read_live(spark, f"{path}/assignments"),
+        "vec_id",
+        live_path=f"{path}/assignments",
     )
 
-    sweep = []
-    nprobe = 1
-    while True:
-        got = query_ivf_index(spark, path, queries, nprobe=nprobe, top_k=top_k)
-        hits = truth.join(got.select("qid", "vec_id"), ["qid", "vec_id"])
-        rec_row = (
-            per_q_truth.join(
-                hits.groupBy("qid").agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_hit")
-                ),
-                "qid",
-                "left",
-            )
-            .select(
-                (
-                    F.coalesce("n_hit", F.lit(0)).cast("double")
-                    / F.col("n_truth").cast("double")
-                ).alias("rq")
-            )
-            .agg(F.avg("rq").alias("recall"))
-            .collect()[0]  # one number per sweep step — bounded
+    # r14 (guide §1.2 "the distributed algorithm first"): the old sweep
+    # ran a FULL probe per schedule step — ≤ log₂(cells)+1 serial
+    # corpus-touching jobs whose scan work sums to ~2× the corpus, plus
+    # a separate brute-force truth pass. Every step's result is
+    # derivable from ONE full-visibility scoring pass: rank every cell
+    # per query once (prb — the same (csim DESC, cent_id ASC) ordering
+    # ivf_probe_cells uses), score every candidate once, and grade each
+    # candidate's top-k membership at EVERY schedule value from running
+    # counts — nprobe=s shows exactly the candidates with prb ≤ s, so
+    # "in the top-k at s" is "fewer than k better-ranked visible rows".
+    # The exact-truth top-k is the s = n_cells column of the same pass.
+    # One corpus-touching job total, identical recalls by construction.
+    schedule = [1]
+    while schedule[-1] < n_cells:
+        schedule.append(min(schedule[-1] * 2, n_cells))
+
+    q_cells = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "qid",
+            "qvec",
+            "cent_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("csim"),
         )
-        recall = float(rec_row["recall"] or 0.0)
-        sweep.append((nprobe, recall))
-        if recall >= recall_floor or nprobe >= n_cells:
+        .withColumn(
+            "prb",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.col("csim").desc(), F.col("cent_id")
+                )
+            ),
+        )
+        .select("qid", "qvec", F.col("cent_id").alias("cell"), "prb")
+    )
+    cand = (
+        F.broadcast(q_cells)
+        .join(live.select("cell", "vec_id", "vec"), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("sim_r", F.round(cosine(F.col("qvec"), F.col("vec")), 6))
+        .select("qid", "vec_id", "sim_r", "prb")
+    )
+    # Bound the exchange before the grading window: a row can be in the
+    # global top-k of ANY visible set only if it is in the top-k of its
+    # OWN cell-rank class (the class is a subset of every visible set
+    # containing the row), so the per-(qid, prb) WindowGroupLimit prunes
+    # candidates to ≤ panel × n_cells × k rows map-side — and the
+    # "better-visible" counts stay decision-exact on the pruned set
+    # (per class, min(k, better) survivors; the < k test is unchanged
+    # whether any class saturates or none does).
+    pruned = (
+        cand.withColumn(
+            "crn",
+            F.row_number().over(
+                W.partitionBy("qid", "prb").orderBy(
+                    F.col("sim_r").desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("crn") <= top_k)
+        .drop("crn")
+    )
+    better = W.partitionBy("qid").orderBy(
+        F.col("sim_r").desc(), F.col("vec_id")
+    ).rowsBetween(W.unboundedPreceding, -1)
+    flags = pruned
+    for j, s in enumerate(schedule):
+        n_better = F.coalesce(
+            F.sum((F.col("prb") <= s).cast("long")).over(better), F.lit(0)
+        )
+        flags = flags.withColumn(
+            f"in{j}", (F.col("prb") <= s) & (n_better < top_k)
+        )
+    if truth is None:
+        # exact truth IS the full-probe top-k: at s = n_cells every
+        # candidate is visible, so in{last} is the brute-force
+        # (sim_r DESC, vec_id) top-k over all live vectors — the same
+        # pairs, the same rounded cosine, the same tie-break the old
+        # separate truth pass computed
+        hit_rows = flags.filter(F.col(f"in{len(schedule) - 1}"))
+        per_q = hit_rows.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            *[
+                F.sum(F.col(f"in{j}").cast("long")).alias(f"h{j}")
+                for j in range(len(schedule))
+            ],
+        )
+    else:
+        truth = truth.select("qid", "vec_id").localCheckpoint(eager=True)
+        per_q_truth = truth.groupBy("qid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth")
+        )
+        hits = flags.join(truth, ["qid", "vec_id"]).groupBy("qid").agg(
+            *[
+                F.sum(F.col(f"in{j}").cast("long")).alias(f"h{j}")
+                for j in range(len(schedule))
+            ]
+        )
+        per_q = per_q_truth.join(hits, "qid", "left")
+    rec_row = per_q.agg(
+        *[
+            F.avg(
+                F.coalesce(F.col(f"h{j}"), F.lit(0)).cast("double")
+                / F.col("n_truth").cast("double")
+            ).alias(f"r{j}")
+            for j in range(len(schedule))
+        ]
+    ).collect()[0]  # one L-number row for the whole sweep — bounded
+
+    sweep = []
+    for j, s in enumerate(schedule):
+        recall = float(rec_row[f"r{j}"] if rec_row[f"r{j}"] is not None else 0.0)
+        sweep.append((s, recall))
+        if recall >= recall_floor or s >= n_cells:
             return {
-                "nprobe": nprobe,
+                "nprobe": s,
                 "recall": recall,
                 "met": recall >= recall_floor,
                 "sweep": sweep,
             }
-        nprobe = min(nprobe * 2, n_cells)
+    raise AssertionError("unreachable: schedule ends at n_cells")  # pragma: no cover
 
 
 def ivf_probe_cells(
