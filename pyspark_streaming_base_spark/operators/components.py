@@ -5,10 +5,12 @@ group even when A~C was never emitted).
 
 Algorithm: iterative min-label propagation WITH pointer jumping. Every
 vertex starts labeled with itself; each round, every vertex takes the
-minimum label in its closed neighborhood, then follows its label's label
-(label(v) ← label(label(v)) — the path-halving shortcut from the
-published pointer-jumping/CC-in-MapReduce literature). Neighborhood
-minima alone need O(diameter) rounds — a chain-shaped component (HTML
+minimum of its own label, the labels in its neighborhood, and its
+label's label (label(label(v)) — the path-halving shortcut from the
+published pointer-jumping/CC-in-MapReduce literature), all read from
+the SAME round-start snapshot and folded through one aggregation
+(r14: one localCheckpoint per round, not two). Neighborhood minima
+alone need O(diameter) rounds — a chain-shaped component (HTML
 boilerplate picked up page-by-page builds exactly that) of length 100
 would blow the round budget; the jump halves the remaining label-tree
 depth each round, so convergence is O(log diameter) with one extra
@@ -71,48 +73,44 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # neighbor minimum: for each vertex, the smallest label adjacent to it
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .select(F.col("a").alias("id"), F.col("label").alias("nbr_label"))
-            .groupBy("id")
-            .agg(F.min("nbr_label").alias("nbr_label"))
-        )
-        stepped = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("_old"),
-            )
-            # materialize BEFORE the self-join below: both sides of the
-            # pointer jump read this frame, and without the checkpoint
-            # the O(E) neighbor-min join re-executes once per side
-            # (ReusedExchange is not guaranteed to cover it) — the
-            # docstring's "one extra self-join on the vertex-sized
-            # label table" cost claim holds only with this cut
-            .localCheckpoint(eager=True)
-        )
-        # pointer jump: label(v) ← label(label(v)). Labels always point
-        # to REACHABLE smaller ids (min-propagation preserves this, and
-        # composing two reachable hops stays reachable), so the jump is
-        # sound; it halves the label-tree depth, turning O(diameter)
-        # rounds into O(log diameter). Left join: a label that is its
-        # own component minimum has label(label)=label (row exists —
-        # every label value is a vertex id in this table).
-        parent = stepped.select(
+        # r14 round fusing: the neighbor minimum AND the pointer jump
+        # read the SAME label snapshot and fold through ONE aggregation —
+        # new(v) = min(label(v), min_{b∈N(v)} label(b), label(label(v))).
+        # The r13 shape materialized an intermediate "stepped" table
+        # (neighbor-min first, jump on the stepped labels) — two
+        # localCheckpoints and ~2 job waves per round; this is one. The
+        # jump now reads the round-START labels (a snapshot-synchronous
+        # path-halving step, the standard pointer-jumping formulation):
+        # per round it shortcuts one hop less than the sequenced variant,
+        # but depth still halves (jump) while the neighbor min still
+        # propagates one hop, so convergence stays O(log diameter) and
+        # the fixpoint is unchanged — labels only ever move DOWN to
+        # reachable ids, and a fixpoint forces labels constant across
+        # every edge and idempotent (label(label)=label), i.e. the
+        # component minimum (pinned by the same tests/q44 oracle).
+        parent = labels.select(
             F.col("id").alias("_pid"), F.col("label").alias("_plabel")
         )
+        contrib = (
+            # neighbor labels: the smallest label adjacent to each vertex
+            sym.join(labels, sym["b"] == labels["id"])
+            .select(F.col("a").alias("id"), F.col("label").alias("lab"))
+            .unionByName(
+                # pointer jump: label(label(v)) — the label's own label
+                # (row always exists: every label value is a vertex id)
+                labels.join(parent, labels["label"] == parent["_pid"])
+                .select("id", F.col("_plabel").alias("lab"))
+            )
+        )
+        mins = contrib.groupBy("id").agg(F.min("lab").alias("_mn"))
         new_labels = (
-            stepped.join(parent, stepped["label"] == parent["_pid"], "left")
+            labels.join(mins, "id", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("_mn"), F.col("label"))
                 ).alias("label"),
-                "_old",
+                F.col("label").alias("_old"),
             )
             .withColumn("changed", F.col("label") < F.col("_old"))
             .localCheckpoint(eager=True)  # truncate lineage every round
