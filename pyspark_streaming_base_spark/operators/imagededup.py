@@ -65,7 +65,12 @@ def image_near_dup_pairs(
         field = F.shiftrightunsigned(F.col("ahash"), shift) if shift else F.col(
             "ahash"
         )
-        segs.append(field.bitwiseAND(F.lit((1 << seg_len) - 1)))
+        if seg_len < 64:
+            field = field.bitwiseAND(F.lit((1 << seg_len) - 1))
+        # else: the segment IS the whole word (max_dist=0 ⇒ one 64-bit
+        # segment) — (1 << 64) - 1 overflows a JVM long literal, and the
+        # mask would be a no-op anyway (r13 advice)
+        segs.append(field)
         start += seg_len
     keyed = (
         hashed.filter(F.col("ahash").isNotNull())

@@ -374,6 +374,32 @@ def test_image_near_dup_pairs_end_to_end(spark):
     assert got[(1, 2)] <= 10
 
 
+def test_image_near_dup_max_dist_zero_exact_duplicates(spark):
+    """ADVICE r13: max_dist=0 means ONE 64-bit segment, whose mask
+    (1 << 64) - 1 overflowed a JVM long at plan build — the whole-word
+    segment must skip the mask. Semantics: exact-hash duplicates only."""
+    import numpy as np
+
+    from pyspark_streaming_base_spark.operators.imagededup import (
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (24, 24, 3)).astype("uint8")
+    other = rng.randint(0, 256, (24, 24, 3)).astype("uint8")
+    rows = [
+        (1, _bmp_px(base)),
+        (2, _bmp_px(base)),   # byte-identical → same hash → dist 0
+        (3, _bmp_px(other)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = image_near_dup_pairs(
+        df, payload_col="payload", id_col="media_id", max_dist=0
+    )
+    got = {(r.id_a, r.id_b): r.dist for r in pairs.collect()}
+    assert got == {(1, 2): 0}
+
+
 def test_image_ahash_matches_driver_recompute(spark):
     import numpy as np
 
