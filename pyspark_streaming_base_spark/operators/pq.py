@@ -225,27 +225,27 @@ def pq_codebooks(
 def _cb_entries_row(codebooks: DataFrame) -> DataFrame:
     """ONE row holding the whole fine quantizer: ``_cb[sub]`` is the
     array of (cid, cv) codeword structs for subspace ``sub`` (positional
-    by sub, which IS dense 0..M-1 — it comes from ``sequence``). M·K
-    rows total by construction (≤ a few hundred), so the fold-to-one-row
-    and its broadcast are bounded at any corpus scale."""
-    return (
-        codebooks.groupBy("sub")
-        .agg(F.collect_list(F.struct("cid", "cv")).alias("entries"))
-        .groupBy()
-        .agg(
-            F.transform(
-                # comparator on sub only: a struct holding an array of
-                # structs is not natively orderable (same trick as
-                # _adc_tables)
-                F.array_sort(
-                    F.collect_list(F.struct("sub", "entries")),
-                    lambda l, r: F.when(l["sub"] < r["sub"], -1)
-                    .when(l["sub"] > r["sub"], 1)
-                    .otherwise(0),
-                ),
-                lambda s: s["entries"],
-            ).alias("_cb")
-        )
+    by the sorted distinct subs present, which IS dense 0..M-1 — sub
+    comes from ``sequence``). M·K rows total by construction (≤ a few
+    hundred), so the fold-to-one-row and its broadcast are bounded at
+    any corpus scale. r14: ONE global aggregation — the old
+    groupBy(sub) → groupBy() ladder paid two exchanges for ≤ a few
+    hundred rows; the per-sub regroup is now an expression over the
+    flat collected array (M · M·K element scans, bounded)."""
+    flat = codebooks.groupBy().agg(
+        F.collect_list(F.struct("sub", "cid", "cv")).alias("_flat")
+    )
+    subs = F.array_sort(
+        F.array_distinct(F.transform("_flat", lambda e: e["sub"]))
+    )
+    return flat.select(
+        F.transform(
+            subs,
+            lambda s: F.transform(
+                F.filter("_flat", lambda e: e["sub"] == s),
+                lambda e: F.struct(e["cid"].alias("cid"), e["cv"].alias("cv")),
+            ),
+        ).alias("_cb")
     )
 
 
@@ -318,16 +318,18 @@ def _tabs_expr(qvec: Column, cb: Column, m: int) -> Column:
 
 
 def _adc_tables(queries: DataFrame, codebooks: DataFrame, m: int) -> DataFrame:
-    """(qid, tabs): per-query M-row table of CID-KEYED subspace distance
-    maps — tabs[sub][cid] = ||q_sub - codeword||². The one table
-    definition :func:`pq_search` and :func:`_quantizer_plan` share.
+    """(qid, qvec, tabs): per-query M-row table of CID-KEYED subspace
+    distance maps — tabs[sub][cid] = ||q_sub - codeword||². The one
+    table definition :func:`pq_search` and :func:`_quantizer_plan`
+    share.
 
     r14: a pure projection against the 1-row broadcast codebook fold
     (:func:`_tabs_expr`) — the old shape exploded M subvector rows per
     query, broadcast-joined the codebooks, and paid two aggregation
-    exchanges to regroup; this pays none."""
+    exchanges to regroup; this pays none. ``qvec`` rides along so the
+    exact re-rank never re-reads the query batch."""
     return queries.join(F.broadcast(_cb_entries_row(codebooks))).select(
-        "qid", _tabs_expr(F.col("qvec"), F.col("_cb"), m).alias("tabs")
+        "qid", "qvec", _tabs_expr(F.col("qvec"), F.col("_cb"), m).alias("tabs")
     )
 
 
@@ -338,8 +340,9 @@ def _quantizer_plan(
     m: int,
     nprobe: int,
 ) -> DataFrame:
-    """(qid, cell, tabs): each query's ``nprobe`` nearest coarse cells
-    with its ADC tables attached — BOTH per-query quantizer
+    """(qid, qvec, cell, tabs): each query's ``nprobe`` nearest coarse
+    cells with its ADC tables (and full-precision query vector, for the
+    downstream exact re-rank) attached — BOTH per-query quantizer
     consultations of an IVFADC probe fused into ONE projection over two
     1-row broadcast quantizer folds (centroids ≤ n_cells rows, codebooks
     ≤ M·K rows, both by-construction-small). Replaces the r13 serial
@@ -353,14 +356,46 @@ def _quantizer_plan(
     ordering — same shared ``cosine`` fold per (qvec, cvec) pair, same
     Spark total order on doubles (NaN greatest, NaN = NaN) — and
     ``slice(ranked, 1, nprobe)`` is the ``prb <= nprobe`` filter.
-    ``tabs`` is :func:`_tabs_expr` (same ``l2sq`` folds, cid-keyed)."""
+    ``tabs`` is :func:`_tabs_expr` (same ``l2sq`` folds, cid-keyed).
+
+    Both quantizer tables fold through ONE tagged-union aggregation into
+    ONE broadcast row (r14): two separate folds paid two exchange jobs
+    and two broadcast jobs for ≤ n_cells + M·K bounded rows."""
     from pyspark_streaming_base_spark.functions.vectorops import cosine
 
-    cents = centroids.groupBy().agg(
-        F.collect_list(F.struct("cent_id", "cvec")).alias("_cents")
+    tagged = centroids.select(
+        F.lit(0).alias("_t"),
+        F.col("cent_id").cast("bigint").alias("_a"),
+        F.lit(0).cast("bigint").alias("_b"),
+        F.col("cvec").alias("_v"),
+    ).unionByName(
+        codebooks.select(
+            F.lit(1).alias("_t"),
+            F.col("sub").cast("bigint").alias("_a"),
+            F.col("cid").cast("bigint").alias("_b"),
+            F.col("cv").alias("_v"),
+        )
+    )
+    qrow = tagged.groupBy().agg(
+        F.collect_list(F.struct("_t", "_a", "_b", "_v")).alias("_q")
+    )
+    cents = F.transform(
+        F.filter(F.col("_q"), lambda e: e["_t"] == 0),
+        lambda e: F.struct(e["_a"].alias("cent_id"), e["_v"].alias("cvec")),
+    )
+    # positional by sub (dense 0..M-1 — sub comes from sequence), the
+    # _cb_entries_row convention rebuilt from the flat tagged fold
+    cb = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.filter(
+                F.col("_q"), lambda e: (e["_t"] == 1) & (e["_a"] == s)
+            ),
+            lambda e: F.struct(e["_b"].alias("cid"), e["_v"].alias("cv")),
+        ),
     )
     scored = F.transform(
-        F.col("_cents"),
+        cents,
         lambda c: F.struct(
             cosine(F.col("qvec"), c["cvec"]).alias("csim"),
             c["cent_id"].alias("cell"),
@@ -376,14 +411,14 @@ def _quantizer_plan(
     )
     cells = F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
     return (
-        queries.join(F.broadcast(cents))
-        .join(F.broadcast(_cb_entries_row(codebooks)))
+        queries.join(F.broadcast(qrow))
         .select(
             "qid",
+            "qvec",
             cells.alias("_cells"),
-            _tabs_expr(F.col("qvec"), F.col("_cb"), m).alias("tabs"),
+            _tabs_expr(F.col("qvec"), cb, m).alias("tabs"),
         )
-        .select("qid", F.explode("_cells").alias("cell"), "tabs")
+        .select("qid", "qvec", F.explode("_cells").alias("cell"), "tabs")
     )
 
 
@@ -408,10 +443,9 @@ def pq_search(
     """ADC top-k: (qid, vec_id, adc_r, rnk) for each query against the
     code-compressed corpus. ``queries`` needs (qid, qvec); assumed small
     relative to the corpus (it is broadcast — same contract as q60)."""
-    tables = _adc_tables(queries, codebooks, m)
     adc = _adc_fold()
     ranked = (
-        encoded.join(F.broadcast(tables), F.col("vec_id") != F.col("qid"))
+        _adc_candidates(encoded, codebooks, queries, m)
         .withColumn("adc_r", F.round(adc, 6))
         .withColumn(
             "rnk",
@@ -423,22 +457,32 @@ def pq_search(
     return ranked.filter(F.col("rnk") <= top_k).select("qid", "vec_id", "adc_r", "rnk")
 
 
-def _exact_rerank(
-    emb: DataFrame, short: DataFrame, queries: DataFrame, top_k: int
+def _adc_candidates(
+    encoded: DataFrame, codebooks: DataFrame, queries: DataFrame, m: int
 ) -> DataFrame:
-    """Exact-distance re-rank of a (qid, vec_id) shortlist — the one
-    rerank definition :func:`pq_search_rerank` and :func:`ivfadc_search`
-    share. Touches only O(queries × shortlist) full-precision rows.
-    The shortlist is broadcast (bounded at queries × shortlist BY
-    CONSTRUCTION): without the hint the planner — seeing no size
-    estimate through the window filter that produced it — shuffle-joins
-    the corpus-sized ``emb`` side on vec_id (r13)."""
-    qv = queries.select("qid", "qvec")
-    exact = (
-        F.broadcast(short)
-        .join(emb, "vec_id")
-        .join(F.broadcast(qv), "qid")
-        .withColumn("d2_r", F.round(_d2("qvec", "vec"), 6))
+    """(qid, vec_id, codes, tabs, qvec, …): the un-pruned all-pairs ADC
+    candidate frame — every (query, corpus code row) pair with the ADC
+    tables and query vector riding the query-side broadcast. Shared by
+    :func:`pq_search` (ranks it directly) and :func:`pq_search_rerank`
+    (shortlists then re-ranks exactly)."""
+    tables = _adc_tables(queries, codebooks, m)
+    return encoded.join(F.broadcast(tables), F.col("vec_id") != F.col("qid"))
+
+
+def _exact_rerank(emb: DataFrame, short: DataFrame, top_k: int) -> DataFrame:
+    """Exact-distance re-rank of a (qid, vec_id, qvec) shortlist — the
+    one rerank definition :func:`pq_search_rerank`, :func:`ivfadc_search`
+    and :func:`query_pq_index` share. Touches only O(queries × shortlist)
+    full-precision rows. The shortlist is broadcast (bounded at
+    queries × shortlist BY CONSTRUCTION): without the hint the planner —
+    seeing no size estimate through the window filter that produced it —
+    shuffle-joins the corpus-sized ``emb`` side on vec_id (r13). The
+    query vector arrives ON the shortlist rows (r14 — it rides the
+    quantizer-plan broadcast end to end), so the re-rank no longer
+    re-reads or re-broadcasts the query batch: one equi-join against
+    ``emb``, then the final window."""
+    exact = F.broadcast(short).join(emb, "vec_id").withColumn(
+        "d2_r", F.round(_d2("qvec", "vec"), 6)
     )
     return (
         exact.withColumn(
@@ -472,10 +516,10 @@ def pq_search_rerank(
     while the corpus-wide pass stays on 8–16-byte codes. ``emb`` needs
     (vec_id, vec) — the same frame the index was built from.
     """
-    cand = pq_search(encoded, codebooks, queries, m, top_k=shortlist).select(
-        "qid", "vec_id"
+    short = _adc_shortlist(
+        _adc_candidates(encoded, codebooks, queries, m), shortlist
     )
-    return _exact_rerank(emb, cand, queries, top_k)
+    return _exact_rerank(emb, short, top_k)
 
 
 def ivfadc_search(
@@ -517,19 +561,23 @@ def ivfadc_search(
         .join(assigned.select("vec_id", "cell"), "cell")
         .join(encoded, "vec_id")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "codes", "tabs")
+        .select("qid", "vec_id", "codes", "tabs", "qvec")
     )
     short = _adc_shortlist(cand, shortlist)
-    return _exact_rerank(emb, short, queries, top_k)
+    return _exact_rerank(emb, short, top_k)
 
 
 def _adc_shortlist(cand: DataFrame, shortlist: int) -> DataFrame:
-    """(qid, vec_id) ADC shortlist over a (qid, vec_id, codes, tabs)
-    candidate frame — the one compressed-scoring definition shared by
-    :func:`ivfadc_search` (joins assignments↔codes per query) and
-    :func:`query_pq_index` (reads the pre-joined persisted layout). The
-    ADC tables arrive ON the candidate rows (r14 — they ride the
-    :func:`_quantizer_plan` broadcast), so scoring is a pure projection."""
+    """(qid, vec_id, qvec) ADC shortlist over a (qid, vec_id, codes,
+    tabs, qvec) candidate frame — the one compressed-scoring definition
+    shared by :func:`pq_search_rerank`, :func:`ivfadc_search` (joins
+    assignments↔codes per query) and :func:`query_pq_index` (reads the
+    pre-joined persisted layout). The ADC tables and query vector arrive
+    ON the candidate rows (r14 — they ride the query-side broadcast), so
+    scoring is a pure projection, and the shortlist hands ``qvec``
+    straight to the exact re-rank. The shortlist-window exchange stays
+    bounded at scale: the rank filter is WindowGroupLimit-eligible, so
+    each map task forwards at most ``shortlist`` rows per query."""
     adc = _adc_fold()
     return (
         cand.withColumn("adc_r", F.round(adc, 6))
@@ -540,7 +588,7 @@ def _adc_shortlist(cand: DataFrame, shortlist: int) -> DataFrame:
             ),
         )
         .filter(F.col("srnk") <= shortlist)
-        .select("qid", "vec_id")
+        .select("qid", "vec_id", "qvec")
     )
 
 
@@ -720,10 +768,10 @@ def query_pq_index(
         F.broadcast(probes)
         .join(index.select("vec_id", "cell", "codes"), "cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "codes", "tabs")
+        .select("qid", "vec_id", "codes", "tabs", "qvec")
     )
     short = _adc_shortlist(cand, shortlist)
-    return _exact_rerank(index.select("vec_id", "vec"), short, queries, top_k)
+    return _exact_rerank(index.select("vec_id", "vec"), short, top_k)
 
 
 def delete_from_pq_index(spark, path: str, ids, compact_ratio: float = None) -> None:
