@@ -1132,17 +1132,12 @@ def q137_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment identity is its 60-bit fingerprint — the standard
     hash-based-dedup contract; see ``hash60``'s collision note.
 
-    Scale (r14, guide §2.3 "shuffle keys and metadata instead of
-    payloads"): the keeper DECISION needs only (doc_id, g, hash60) —
-    pure int64s — so the keeper-window exchange no longer carries the
-    segment text (the r13 shape shipped every ~48-char segment through
-    it as ride-along payload). The text branch pays exactly ONE
-    exchange, its own doc-keyed collect aggregate; the decision branch
-    rejoins it per doc as a removed-positions array (duplicates are the
-    minority, so the array is small), and the join reuses both
-    aggregates' doc_id hash partitioning — no extra exchange. Tokenize
-    runs once per branch (two independent single-pass subtrees), the
-    explicit price of un-carrying the payload.
+    Scale: one narrow posexplode → ONE shuffle for the keeper window,
+    PARTITIONED ON AN INT64 KEY (hot boilerplate segments are plain AQE
+    skew; every in-partition sort compare is an int64 compare, not a
+    ~48-char string compare) → one doc-keyed aggregate. The segment text
+    still rides the exchange as payload — the rebuild needs it — so the
+    key switch buys compare cost here, not bytes (q107/q185 buy both).
     """
     from pyspark.sql import Window as W
 
@@ -1166,37 +1161,26 @@ def q137_segment_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g", "seg"),
     ).select("doc_id", F.col("g").cast("bigint").alias("g"), "seg")
-    # decision branch: keys only through the corpus-wide keeper window
-    removed = (
-        seg.select("doc_id", "g", hash60(F.col("seg")).alias("h"))
-        .withColumn(
-            "occ_rank",
-            F.row_number().over(W.partitionBy("h").orderBy("doc_id", "g")),
-        )
-        .groupBy("doc_id")
-        .agg(
-            # collect_list skips the NULLs of the kept rows — the array
-            # holds exactly the REMOVED in-doc positions
-            F.collect_list(
-                F.when(F.col("occ_rank") > 1, F.col("g"))
-            ).alias("removed_gs")
+    marked = seg.withColumn(
+        "occ_rank",
+        F.row_number().over(
+            W.partitionBy(hash60(F.col("seg"))).orderBy("doc_id", "g")
+        ),
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("occ_rank") == 1, F.struct("g", "seg"))
         )
     )
-    # text branch: one doc-keyed aggregate, the only exchange text rides
-    txt = seg.groupBy("doc_id").agg(
+    return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_segs"),
-        F.array_sort(F.collect_list(F.struct("g", "seg"))).alias("_segs"),
-    )
-    kept = F.filter(
-        F.col("_segs"),
-        lambda s: ~F.array_contains(F.col("removed_gs"), s["g"]),
-    )
-    return txt.join(removed, "doc_id").select(
-        "doc_id",
-        "n_segs",
-        F.size("removed_gs").cast("bigint").alias("n_removed"),
+        F.sum((F.col("occ_rank") > 1).cast("bigint"))
+        .cast("bigint")
+        .alias("n_removed"),
         F.md5(
-            F.array_join(F.transform(kept, lambda s: s["seg"]), " ")
+            F.array_join(
+                F.transform(kept_structs, lambda s: s["seg"]), " "
+            )
         ).alias("kept_fp"),
     )
 
