@@ -98,15 +98,22 @@ def bm25_score_terms(
     (``TakeOrderedAndProject`` — per-partition top-k, ties on the id).
 
     Plan shape: the ``isin`` filter reaches the postings scan (parquet
-    ``In`` pushdown when postings are a parquet table); df folds to a
-    k-row broadcast, corpus stats to a 1-row broadcast; the only
-    corpus-proportional exchange is the (matching docs × k terms) join
-    back to doclens.
+    ``In`` pushdown when postings are a parquet table); df attaches to
+    the matching rows via a term-partitioned window (r14 — the old
+    separate ``groupBy(term)`` + broadcast-join-back referenced the
+    postings subtree TWICE, which for inline callers meant a second
+    full corpus tokenize; the window's exchange carries only the
+    matching docs × k terms rows); corpus stats fold to a 1-row
+    broadcast; the only corpus-proportional exchange is the join back
+    to doclens.
     """
+    from pyspark.sql import Window as W
+
     if not terms:
         raise ValueError("bm25_score_terms: empty query term list")
-    hits = postings.filter(F.col("term").isin(*terms))
-    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    hits = postings.filter(F.col("term").isin(*terms)).withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("term")).cast("bigint")
+    )
     stats = doclens.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (
@@ -115,7 +122,6 @@ def bm25_score_terms(
     )
     scored = (
         hits.join(doclens, id_col)
-        .join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             id_col,
