@@ -52,10 +52,13 @@ from pyspark.sql import functions as F
 
 from pyspark_streaming_base_spark.functions.textops import tokens, word_shingles
 from pyspark_streaming_base_spark.operators.tombstones import (
+    _READ_TOMB,
     append_live,
     apply_tombstones,
     clear_tombstones,
     read_live,
+    read_tombstones,
+    resolve_concurrently,
     swap_in,
     write_tombstones,
 )
@@ -170,25 +173,27 @@ def append_containment_index(
     append_live(_postings(sets), f"{path}/postings", partition_by=("slice",))
 
 
-def _live_sets(spark: SparkSession, path: str) -> DataFrame:
+def _live_sets(spark: SparkSession, path: str, raw=None, tomb=_READ_TOMB) -> DataFrame:
     return apply_tombstones(
         spark,
         f"{path}/tombstones",
-        read_live(spark, f"{path}/sets"),
+        raw if raw is not None else read_live(spark, f"{path}/sets"),
         "doc_id",
         live_path=f"{path}/sets",
+        tomb=tomb,
     )
 
 
-def _live_postings(spark: SparkSession, path: str) -> DataFrame:
+def _live_postings(spark: SparkSession, path: str, raw=None, tomb=_READ_TOMB) -> DataFrame:
     return apply_tombstones(
         spark,
         f"{path}/tombstones",
-        read_live(spark, f"{path}/postings"),
+        raw if raw is not None else read_live(spark, f"{path}/postings"),
         "doc_id",
         # ratio vs the one-row-per-doc table (postings rows inflate both
         # sides of the ratio identically only when doc sizes are even)
         live_path=f"{path}/sets",
+        tomb=tomb,
     )
 
 
@@ -247,6 +252,16 @@ def _probe(
         - F.floor((F.col("nt_a") * F.lit(tau_num) + F.lit(tau_den - 1)) / F.lit(tau_den))
         + F.lit(1)
     )
+    # r14: the four index-table resolutions (df, postings, sets,
+    # tombstones) are independent driver-side metadata I/O — run them
+    # concurrently and share ONE tombstone read across both live views
+    # (see tombstones.resolve_concurrently)
+    df_tbl, posts_raw, sets_raw, tomb = resolve_concurrently(
+        lambda: read_live(spark, f"{path}/df"),
+        lambda: read_live(spark, f"{path}/postings"),
+        lambda: read_live(spark, f"{path}/sets"),
+        lambda: read_tombstones(spark, f"{path}/tombstones"),
+    )
     pref = (
         probe.select(
             "query_id",
@@ -260,7 +275,7 @@ def _probe(
         )
         # rarest-first order from the (possibly stale) df table; unseen
         # shingles rank rarest. Keys-only rows throughout.
-        .join(read_live(spark, f"{path}/df"), "sh", "left")
+        .join(df_tbl, "sh", "left")
         .withColumn(
             "_pos",
             F.row_number().over(
@@ -272,7 +287,7 @@ def _probe(
         .filter(F.col("_pos") <= F.col("_k"))
         .select("query_id", "q_lang", "nt_a", "sh")
     )
-    posts = _live_postings(spark, path)
+    posts = _live_postings(spark, path, raw=posts_raw, tomb=tomb)
     # candidate generation: prefix equi-join on (sh, lang) with the
     # integer size gate. `slice` rides on the posting row so the gate
     # `den·2^(slice+1) > num·nt_a` (slice upper bound vs the implied
@@ -291,7 +306,7 @@ def _probe(
     )
     # verify: re-attach both shingle sets by id (keys-only until here)
     qs = probe.select("query_id", "q_shingles", "nt_a")
-    bs = _live_sets(spark, path).select(
+    bs = _live_sets(spark, path, raw=sets_raw, tomb=tomb).select(
         F.col("doc_id").alias("index_id"), F.col("shingles").alias("b_shingles")
     )
     n_common = F.size(F.array_intersect(F.col("q_shingles"), F.col("b_shingles")))

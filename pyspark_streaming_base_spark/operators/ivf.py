@@ -134,13 +134,18 @@ def query_ivf_index(
     from pyspark_streaming_base_spark.operators.tombstones import (
         apply_tombstones,
         read_live,
+        resolve_concurrently,
     )
 
-    centroids = spark.read.parquet(f"{path}/centroids")
+    # r14: independent driver-side resolutions run concurrently
+    centroids, assigned_raw = resolve_concurrently(
+        lambda: spark.read.parquet(f"{path}/centroids"),
+        lambda: read_live(spark, f"{path}/assignments"),
+    )
     assigned = apply_tombstones(
         spark,
         f"{path}/tombstones",
-        read_live(spark, f"{path}/assignments"),
+        assigned_raw,
         "vec_id",
         live_path=f"{path}/assignments",
     )
@@ -229,12 +234,19 @@ def tune_nprobe(
 
     if not 0.0 < recall_floor <= 1.0:
         raise ValueError(f"recall_floor must be in (0, 1], got {recall_floor}")
-    centroids = spark.read.parquet(f"{path}/centroids")
+    from pyspark_streaming_base_spark.operators.tombstones import (
+        resolve_concurrently,
+    )
+
+    centroids, live_raw = resolve_concurrently(
+        lambda: spark.read.parquet(f"{path}/centroids"),
+        lambda: read_live(spark, f"{path}/assignments"),
+    )
     n_cells = centroids.count()
     live = apply_tombstones(
         spark,
         f"{path}/tombstones",
-        read_live(spark, f"{path}/assignments"),
+        live_raw,
         "vec_id",
         live_path=f"{path}/assignments",
     )

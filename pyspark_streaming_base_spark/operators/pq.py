@@ -751,12 +751,19 @@ def query_pq_index(
     from pyspark_streaming_base_spark.operators.tombstones import (
         apply_tombstones,
         read_live,
+        resolve_concurrently,
     )
 
-    codebooks = spark.read.parquet(f"{path}/codebooks")
-    centroids = spark.read.parquet(f"{path}/centroids")
+    # r14: the three table resolutions are independent driver-side
+    # metadata I/O — run them concurrently (measured ~100 ms each
+    # serial; see resolve_concurrently)
+    codebooks, centroids, index_raw = resolve_concurrently(
+        lambda: spark.read.parquet(f"{path}/codebooks"),
+        lambda: spark.read.parquet(f"{path}/centroids"),
+        lambda: read_live(spark, f"{path}/index"),
+    )
     index = apply_tombstones(
-        spark, f"{path}/tombstones", read_live(spark, f"{path}/index"),
+        spark, f"{path}/tombstones", index_raw,
         "vec_id", live_path=f"{path}/index",
     )
 

@@ -162,6 +162,21 @@ def write_tombstones(
     ids.select(id_col).write.mode("append").parquet(tomb_path)
 
 
+def resolve_concurrently(*thunks):
+    """Run independent driver-side table resolutions (``spark.read``
+    schema/footer reads, pointer checks) in parallel threads and return
+    their results in order — guide §2.6 applied to the DRIVER: a probe
+    that opens N index tables serially pays N × ~100 ms of blocking
+    metadata I/O before any job runs (r14, measured: 4 schema reads
+    0.52 s serial → 0.18 s concurrent). Pure reads only — no actions,
+    no thread-local job-group state is touched."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def read_tombstones(spark: SparkSession, tomb_path: str) -> Optional[DataFrame]:
     """The distinct tombstoned ids, or None when nothing was ever
     deleted (the common fresh-index case — avoids planning a no-op
@@ -185,6 +200,9 @@ def read_tombstones(spark: SparkSession, tomb_path: str) -> Optional[DataFrame]:
         raise
 
 
+_READ_TOMB = object()  # sentinel: apply_tombstones reads the path itself
+
+
 def apply_tombstones(
     spark: SparkSession,
     tomb_path: str,
@@ -192,6 +210,7 @@ def apply_tombstones(
     id_col: str,
     live_path: Optional[str] = None,
     warn_ratio: Optional[float] = COMPACT_RATIO,
+    tomb=_READ_TOMB,
 ) -> DataFrame:
     """``df`` minus tombstoned ids — the LIVE view. One anti-join; the
     tombstone side is a bare id list, broadcast by AQE while it stays
@@ -201,8 +220,15 @@ def apply_tombstones(
     driver-side metadata only, no job — and a
     ``TombstoneCompactionNeeded`` warning fires past ``warn_ratio`` so
     an operator who never schedules compaction hears about the
-    silently-degrading probe instead of paying for it forever."""
-    tomb = read_tombstones(spark, tomb_path)
+    silently-degrading probe instead of paying for it forever.
+
+    ``tomb`` (r14): a loader resolving several tables of one index may
+    pre-read the tombstone frame once (``read_tombstones``) — possibly
+    concurrently with the table reads (:func:`resolve_concurrently`) —
+    and pass it (or its None) here instead of paying a fresh read per
+    table."""
+    if tomb is _READ_TOMB:
+        tomb = read_tombstones(spark, tomb_path)
     if tomb is None:
         return df
     if live_path is not None and warn_ratio is not None:
