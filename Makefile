@@ -1,10 +1,17 @@
 # Developer entry points. All gates run on the preinstalled toolchain —
 # no network access assumed.
 
-.PHONY: test correctness correctness-sf01 bench lint plan-lint plans install smoke scale-smoke
+.PHONY: test test-full correctness correctness-sf01 bench lint plan-lint plans install smoke scale-smoke
 
 test:
+	# default tier: slow soak/property/e2e tests excluded (pyproject
+	# addopts) so the gate fits the driver's verification budget (r14)
 	python -m pytest tests/ -q
+
+test-full:
+	# EVERYTHING incl. the slow tier — the round-end gate (-m "" clears
+	# the default 'not slow' filter)
+	python -m pytest tests/ -q -m ""
 
 correctness:
 	python tools/check_correctness.py
