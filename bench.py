@@ -942,11 +942,16 @@ def _delta_vs_prev(total: float, timings: dict, ext: dict) -> dict | None:
     ``BENCH_r{N}.json`` capture (truncates ~2000 chars; r8's is
     unrecoverable). Only comparable when the previous record ran at the
     same sf."""
+    import re
+
     here = os.path.dirname(os.path.abspath(__file__))
+    # STRICT round names only: suffixed side-records like
+    # BENCH_r13_c8.json are low-core scaling captures (r13 verdict
+    # item 9) — comparing a 32-core run against one makes every delta
+    # and normalization nonsense (r14: the first final capture picked
+    # the c8 record because it sorts after BENCH_r13.json)
     recs = sorted(
-        n for n in os.listdir(here)
-        if n.startswith("BENCH_r") and n.endswith(".json")
-        and not n.startswith("BENCH_DETAIL")
+        n for n in os.listdir(here) if re.fullmatch(r"BENCH_r\d+\.json", n)
     )
     for name in reversed(recs):
         detail = name.replace("BENCH_r", "BENCH_DETAIL_r")
